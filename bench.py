@@ -1,0 +1,65 @@
+"""Benchmark harness — times every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` sink (full computation, no
+driver-side collect, no filesystem write), after a warm-up pass of the
+session. Timings are the median of N_RUNS runs per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_pipeline_project_spark.queries import REGISTRY  # noqa: E402
+from etl_pipeline_project_spark.session import get_spark  # noqa: E402
+
+N_RUNS = 3
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers with the cheapest query once.
+    REGISTRY["q_scan_table"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for key in sorted(REGISTRY):
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            REGISTRY[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(runs), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_median_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,620 @@
+"""Driver-contract query registry.
+
+One entry per operator from SURVEY.md §2: ``REGISTRY[key]`` is a
+``(spark, sf_dir) -> DataFrame`` callable exercising the operator on the
+driver testdata, and ``ORACLE[key]`` (where present) is the equivalent
+DuckDB SQL over the same parquet tables. Keys without an oracle are
+rows-only checks (sinks, streaming, UDF demonstrations).
+
+Cross-engine determinism rules (SURVEY §5 t2):
+- every computed column is aliased identically on both sides;
+- double aggregates accumulate in DECIMAL(38,10) then cast to double —
+  exact, order-independent, so distributed partial aggregation cannot
+  produce run-to-run or engine-to-engine drift;
+- dedup/top-k declare full tie-break orderings (SURVEY §1.4 Q3);
+- session timezone is UTC on the Spark side (SURVEY §1.4 Q6); all
+  timestamps stay naive-UTC in DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_spark.functions.keys import concat_key, hash_key
+from etl_pipeline_project_spark.functions.scalars import array_join_col, coalesce_first
+from etl_pipeline_project_spark.functions.timefn import (
+    build_time_dimension,
+    parse_timestamp,
+)
+from etl_pipeline_project_spark.operators.aggregates import (
+    count_distinct_by,
+    money_sum,
+    rollup_by,
+    windowed_daily,
+)
+from etl_pipeline_project_spark.operators.dedup import dedup_keyed, distinct_values
+from etl_pipeline_project_spark.operators.joins import anti_incremental, left_enrich
+from etl_pipeline_project_spark.operators.relational import (
+    drop_null_rows,
+    rename_columns,
+    select_existing,
+)
+from etl_pipeline_project_spark.operators.setops import union_all, union_single_column
+from etl_pipeline_project_spark.operators.windows import sort_limit, topk_per_group
+from etl_pipeline_project_spark.sources.readers import load_table, scan_keys
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _msum(expr: str) -> str:
+    """DuckDB twin of ``operators.aggregates.money_sum`` — exact decimal
+    accumulation, round to cents, narrow before the double cast (wide-scale
+    int128→double conversion differs from the JVM by 1 ULP)."""
+    return f"CAST(CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE)"
+
+REGISTRY: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(key: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[key] = fn
+        if oracle is not None:
+            ORACLE[key] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.A — scans
+# ---------------------------------------------------------------------------
+
+
+@_q("q_scan_table", "SELECT * FROM region")
+def q_scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan (`data/transformation_dw.py:130-133`)."""
+    return load_table(spark, sf_dir, "region")
+
+
+@_q(
+    "q_scan_union_files",
+    """
+    SELECT * FROM lineitem WHERE l_linenumber <= 3
+    UNION ALL
+    SELECT * FROM lineitem WHERE l_linenumber > 3
+    """,
+)
+def q_scan_union_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file scan + union-all (`data/utils.py:28-45`). Testdata analog:
+    two filtered halves re-unioned by name."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return union_all(li.filter(F.col("l_linenumber") <= 3), li.filter(F.col("l_linenumber") > 3))
+
+
+@_q("q_scan_project_ids", "SELECT o_orderkey FROM orders")
+def q_scan_project_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-column key scan (`data/transformation_db.py:109`); column
+    pruning reaches the parquet reader (ReadSchema shows one column)."""
+    return scan_keys(load_table(spark, sf_dir, "orders"), "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.B — projections / renames / filters
+# ---------------------------------------------------------------------------
+
+
+@_q("q_project_select", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def q_project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant projection (`data/transformation_db.py:104-105`) — the
+    requested-but-absent column is silently skipped."""
+    cust = load_table(spark, sf_dir, "customer")
+    return select_existing(cust, ["c_custkey", "c_name", "c_mktsegment", "c_phone_missing"])
+
+
+@_q(
+    "q_rename_cols",
+    """
+    SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+           l_quantity AS quantity, l_extendedprice AS price
+    FROM lineitem
+    """,
+)
+def q_rename_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk rename (`data/transformation_db.py:100-101,133-139`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    renamed = rename_columns(
+        li,
+        {
+            "l_orderkey": "orderkey",
+            "l_partkey": "partkey",
+            "l_quantity": "quantity",
+            "l_extendedprice": "price",
+            "not_a_column": "ignored",
+        },
+    )
+    return renamed.select("orderkey", "partkey", "quantity", "price")
+
+
+@_q(
+    "q_filter_notnull",
+    "SELECT event_id, ts, event_type, value, props FROM events "
+    "WHERE props IS NOT NULL AND value IS NOT NULL",
+)
+def q_filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-NULL enforcement (`data/transformation_dw.py:153,175-177,...`)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value", "props")
+    return drop_null_rows(ev, subset=["props", "value"])
+
+
+@_q(
+    "q_filter_predicate",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row predicate (`data/extraction.py:43`; `data/utils.py:35`). The
+    conjunctive filter is pushed to the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate").filter(
+        (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C — joins
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_join_left_equi",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name AS customer_name
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_left_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⟕dim enrichment (`data/transformation_dw.py:266-271`), dim side
+    broadcast — no shuffle of the fact table at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = left_enrich(
+        orders,
+        cust.select(F.col("c_custkey"), F.col("c_name").alias("customer_name")),
+        orders["o_custkey"] == F.col("c_custkey"),
+    )
+    return joined.select("o_orderkey", "o_custkey", "o_totalprice", "customer_name")
+
+
+@_q(
+    "q_join_anti_incremental",
+    """
+    SELECT o.* FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders e
+      WHERE e.o_orderdate < TIMESTAMP '1998-01-01' AND e.o_orderkey = o.o_orderkey
+    )
+    """,
+)
+def q_join_anti_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental 'only new keys' load (`data/transformation_db.py:109-113`)
+    as a true left_anti join — replaces the reference's driver-memory id set
+    (SURVEY §1.4 Q7)."""
+    orders = load_table(spark, sf_dir, "orders")
+    already_loaded = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    return anti_incremental(orders, already_loaded, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.D — dedup / distinct
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_dedup_keyed",
+    """
+    SELECT * FROM lineitem
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+    ) = 1
+    """,
+)
+def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-key dedup (`data/transformation_db.py:97` et al.) in the
+    deterministic row_number form (SURVEY §1.4 Q3): 'first' is declared by a
+    *total* tie-break order — (linenumber, partkey, suppkey) is unique within
+    an order in the testdata; a partial order would leave survivor choice to
+    the engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return dedup_keyed(li, "l_orderkey", tiebreak=["l_linenumber", "l_partkey", "l_suppkey"])
+
+
+@_q(
+    "q_distinct_values",
+    "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL",
+)
+def q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct non-null scalar set (`data/transformation_dw.py:144`)."""
+    return distinct_values(load_table(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# §2.E — set operations
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_union_all",
+    """
+    SELECT c_custkey AS entity_id, c_name AS entity_name, 'customer' AS entity_kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, 'supplier' FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of homogeneous tables (`data/utils.py:44`;
+    `data/transformation_dw.py:223-226`)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("entity_kind"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("entity_kind"),
+    )
+    return union_all(cust, supp)
+
+
+# ---------------------------------------------------------------------------
+# §2.F — scalar functions
+# ---------------------------------------------------------------------------
+
+_TIME_DIM_ORACLE = """
+WITH all_ts AS (
+  SELECT o_orderdate AS ts FROM orders
+  UNION ALL SELECT l_shipdate FROM lineitem
+  UNION ALL SELECT ts FROM events
+), d AS (SELECT DISTINCT ts FROM all_ts WHERE ts IS NOT NULL)
+SELECT ts AS timestamp_datetime,
+       strftime(ts, '%H:%M:%S') AS jam,
+       dayname(ts) AS hari,
+       CAST(ts AS DATE) AS tanggal,
+       strftime(ts, '%Y-%m') AS bulan,
+       year(ts) AS tahun
+FROM d
+"""
+
+
+@_q("q_time_dimension", _TIME_DIM_ORACLE)
+def q_time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the dim_waktu build (`data/transformation_dw.py:136-153`) —
+    union timestamp columns of three tables, distinct non-null, derive
+    time-of-day / weekday / date / year-month / year."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    all_ts = union_single_column(
+        [(orders, "o_orderdate"), (li, "l_shipdate"), (ev, "ts")], "timestamp_datetime"
+    )
+    return build_time_dimension(all_ts.na.drop().distinct())
+
+
+@_q(
+    "q_ts_parse",
+    """
+    SELECT event_id,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_parsed,
+           make_timestamp(user_id * 1000000) AS ts_from_epoch
+    FROM events
+    """,
+)
+def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp parse/normalize (`data/transformation_dw.py:143`;
+    `data/extraction.py:50`): string→timestamp roundtrip at seconds
+    precision + epoch→UTC timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        parse_timestamp(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss").alias(
+            "ts_parsed"
+        ),
+        F.timestamp_micros(F.col("user_id") * 1000000).alias("ts_from_epoch"),
+    )
+
+
+@_q(
+    "q_concat_key",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat_ws('_', l_orderkey, l_partkey, l_linenumber) AS surrogate_key
+    FROM lineitem
+    """,
+)
+def q_concat_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat surrogate key (`data/extraction.py:46`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        concat_key("l_orderkey", "l_partkey", "l_linenumber").alias("surrogate_key"),
+    )
+
+
+@_q(
+    "q_hash_key",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sha256(concat_ws('_', l_orderkey, l_partkey, l_linenumber)) AS hashed_key
+    FROM lineitem
+    """,
+)
+def q_hash_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sha-256 key the reference intended (SURVEY §1.4 Q4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        hash_key("l_orderkey", "l_partkey", "l_linenumber").alias("hashed_key"),
+    )
+
+
+@_q(
+    "q_string_join_array",
+    """
+    SELECT p_partkey,
+           array_to_string(string_split(p_type, ' '), ' | ') AS type_joined
+    FROM part
+    """,
+)
+def q_string_join_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List→delimited string collapse (`data/extraction.py:59,66,144`):
+    split/join round-trip over the part type tags."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", array_join_col(F.split(F.col("p_type"), " "), " | ").alias("type_joined")
+    )
+
+
+@_q(
+    "q_coalesce",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), c_name) AS merged
+    FROM customer
+    """,
+)
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-non-null source merge (`data/extraction.py:139-148`) — true SQL
+    coalesce, not Python-`or` (divergence documented in SURVEY §2.F)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        coalesce_first(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.col("c_name")).alias(
+            "merged"
+        ),
+    )
+
+
+@_q(
+    "q_cast_types",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS orderkey_str,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS totalprice_int,
+           strftime(o_orderdate, '%Y%m%d') AS order_yyyymmdd
+    FROM orders
+    """,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts (`manual_tools/manual_finance_uploader.py:90,103`;
+    `data/extraction.py:97,102`; `data/utils.py:15`). double→long is
+    truncation toward zero on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("orderkey_str"),
+        F.col("o_totalprice").cast("long").alias("totalprice_int"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("order_yyyymmdd"),
+    )
+
+
+@_q(
+    "q_conditional_expr",
+    """
+    SELECT event_id,
+           CASE WHEN value > 100 THEN 'high'
+                WHEN value > 10 THEN 'mid'
+                ELSE 'low' END AS value_band,
+           CASE WHEN props IS NOT NULL THEN upper(event_type) ELSE NULL END AS typ
+    FROM events
+    """,
+)
+def q_conditional_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe conditional projection (`data/extraction.py:100,103,104`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 100, "high")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.when(F.col("props").isNotNull(), F.upper("event_type"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("typ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.G — aggregations / windows / sort (engine extensions over the mart)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_agg_sum_by_dim",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_msum('l_quantity')} AS sum_qty,
+           {_msum('l_extendedprice * (1 - l_discount)')} AS sum_revenue,
+           {_msum('l_quantity')} / COUNT(*) AS avg_l_quantity,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_sum_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped SUM/AVG/COUNT of fact amounts (TPC-H-Q1-shaped; motivated by
+    the money facts `data/transformation_dw.py:92-116`). Decimal-exact
+    accumulation; partial+final hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(qty).alias("sum_qty"),
+        money_sum(rev).alias("sum_revenue"),
+        (money_sum(qty) / F.count(F.lit(1))).alias("avg_l_quantity"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q(
+    "q_agg_rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_msum('o_totalprice')} AS total,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_o_orderpriority
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a dim hierarchy (`data/transformation_dw.py:47-61`
+    motivates proyek→departemen subtotals)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rollup_by(orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice", sum_col="total")
+
+
+@_q(
+    "q_agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_l_partkey,
+           COUNT(DISTINCT l_suppkey) AS n_l_suppkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (generalizes §2.D dedup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_l_partkey"),
+        F.countDistinct("l_suppkey").alias("n_l_suppkey"),
+    )
+
+
+@_q("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the one-pass fixed-memory 100 TB path
+    (no oracle: approximation is engine-specific; accuracy is asserted in
+    tests/test_aggregates.py against the exact count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return count_distinct_by(li, ["l_returnflag"], "l_partkey")
+
+
+@_q(
+    "q_window_rank",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber
+           ) AS INTEGER) AS rn
+    FROM lineitem
+    QUALIFY rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group under a declared deterministic ordering (SURVEY
+    §1.4 Q3 generalized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ranked = topk_per_group(
+        li,
+        "l_orderkey",
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        k=3,
+    )
+    return ranked.select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+
+
+@_q(
+    "q_sort_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sort_limit(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@_q(
+    "q_agg_window_day",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           COUNT(*) AS n_events,
+           {_msum('value')} AS sum_value
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def q_agg_window_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily aggregate — batch twin of the streaming window
+    (`dags/tourism_finance_etl_dag.py:15` daily cadence)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_daily(ev, "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.I — UDF surface demonstration
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat_ws('_', l_orderkey, l_partkey, l_linenumber) AS surrogate_key
+    FROM lineitem
+    """,
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas_udf reimplementation of `q_concat_key` —
+    demonstrates the engine's extension surface (SURVEY §2.I); verified by
+    the same oracle as the built-in form."""
+    from etl_pipeline_project_spark.functions.udfs import concat3_udf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        concat3_udf("l_orderkey", "l_partkey", "l_linenumber").alias("surrogate_key"),
+    )

@@ -1,0 +1,85 @@
+"""Table scans and multi-file ingestion.
+
+Reference behaviors re-expressed:
+
+- Multi-file CSV scan + union (`data/utils.py:28-45`: list GCS blobs under a
+  prefix, filter ``*.csv``, read each into pandas, ``pd.concat``) → a single
+  glob scan. Spark's multi-file reader subsumes the loop-and-concat and
+  parallelizes the read across executors; at 100 TB the file listing itself
+  is distributed and the per-file work never touches the driver.
+- Full table scan (`data/transformation_dw.py:130-133`: ``pd.read_sql_table``)
+  → ``spark.read.parquet`` / ``spark.table`` — lazy, columnar, with column
+  pruning and predicate pushdown handled by Catalyst.
+- Single-column key scan (`data/transformation_db.py:109`:
+  ``SELECT {id_column} FROM {table}``) → ``.select(key)``; the parquet scan
+  reads exactly one column (check ``ReadSchema`` in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_pipeline_project_spark.schemas import TESTDATA_SCHEMAS
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-testdata parquet table with its declared schema.
+
+    Parquet is self-describing, so no schema is forced — but we validate
+    against the registry to fail fast on drift instead of mid-query.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = TESTDATA_SCHEMAS.get(name)
+    if expected is not None:
+        got = {f.name: f.dataType for f in df.schema.fields}
+        missing = set(expected.fieldNames()) - set(got)
+        if missing:
+            raise ValueError(f"table {name!r} at {sf_dir} is missing columns {sorted(missing)}")
+        # TIMESTAMP(NANOS) parquet columns arrive as long nanos under
+        # spark.sql.legacy.parquet.nanosAsLong (see session.py); normalize to
+        # TimestampType with integer µs division (floor — matches DuckDB's
+        # nanos→micros truncation). `div` keeps the arithmetic in int64: a
+        # double division would lose precision above 2^53 ns (~1970+104 days).
+        fixes = {
+            f.name: F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            for f in expected.fields
+            if isinstance(f.dataType, T.TimestampType) and isinstance(got[f.name], T.LongType)
+        }
+        if fixes:
+            df = df.withColumns(fixes)
+    return df
+
+
+def read_csv_glob(
+    spark: SparkSession,
+    path_glob: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    infer: bool = False,
+) -> DataFrame:
+    """One logical table from many files (reference `data/utils.py:28-45`).
+
+    The reference lists blobs, filters ``.csv``, reads each file eagerly and
+    concatenates on the driver — O(dataset) driver memory. Here the glob is
+    pushed to the source: Spark plans one distributed scan over all matched
+    files, and the explicit schema avoids the reference's inference drift
+    (SURVEY §1.4 Q2). ``infer=True`` restores inference for exploration only.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if infer:
+        reader = reader.option("inferSchema", "true")
+    else:
+        reader = reader.schema(schema)
+    # pathGlobFilter mirrors the reference's `.csv`-suffix filter (utils.py:35)
+    return reader.option("pathGlobFilter", "*.csv").csv(path_glob)
+
+
+def scan_keys(df: DataFrame, key: str) -> DataFrame:
+    """SELECT key FROM t — the reference's existing-ids scan
+    (`data/transformation_db.py:109`). Column pruning reaches the parquet
+    footer: the scan reads exactly one column.
+    """
+    return df.select(key)

@@ -1,0 +1,47 @@
+"""Table sinks.
+
+Reference behaviors re-expressed:
+
+- Full-refresh mart load (`data/transformation_dw.py:154-156` and 10 more
+  ``WRITE_TRUNCATE`` load jobs; SURVEY §1.4 Q8) → ``mode("overwrite")`` —
+  idempotent by construction.
+- Append-only operational load after the incremental anti-join
+  (`data/transformation_db.py:116`: ``to_sql(if_exists='append')``) →
+  ``mode("append")``.
+- Timestamped CSV staging upload with a skip-if-empty guard
+  (`data/utils.py:6-26`) → partitioned CSV write; the filename-timestamp
+  convention becomes real partition columns, which is what makes partition
+  pruning possible at 100 TB. The empty guard is unnecessary under lazy
+  eval (an empty write is a no-op), so it is not reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_overwrite(df: DataFrame, path: str, *, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """Idempotent full-refresh sink (reference WRITE_TRUNCATE semantics)."""
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_append(df: DataFrame, path: str, *, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """Append sink — pair with ``operators.joins.anti_incremental`` so only
+    never-seen keys are appended (the reference's load_data_if_new,
+    `data/transformation_db.py:91-121`)."""
+    writer = df.write.mode("append").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """CSV staging sink (reference `data/utils.py:6-26`). Partition columns
+    replace the reference's in-filename timestamps."""
+    writer = df.write.mode(mode).option("header", "true").format("csv")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

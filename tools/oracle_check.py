@@ -1,0 +1,110 @@
+"""Local replica of the driver's t2 differential check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column-name
+set, and order-insensitive values. Run this before every commit so the
+driver's CORRECTNESS_r{N}.json holds no surprises.
+
+Usage: python tools/oracle_check.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from etl_pipeline_project_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from etl_pipeline_project_spark.session import get_spark  # noqa: E402
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def _norm_cell(v):
+    # Strict: full-precision repr for floats. If this passes, any sane
+    # driver-side rounding/hashing also passes.
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and args[0].startswith("/") else DEFAULT_SF
+    only = set(a for a in args if not a.startswith("/"))
+
+    import __spark_entry__ as contract
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = contract.queries()
+    oracles = contract.oracle_sql()
+    failures = []
+    for key, fn in sorted(qs.items()):
+        if only and key not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(key)
+            print(f"FAIL  {key}: spark error: {e}")
+            continue
+        if key not in oracles:
+            print(f"ok?   {key}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            if not s_rows:
+                failures.append(key)
+                print(f"FAIL  {key}: zero rows on rows-only check")
+            continue
+        try:
+            res = con.execute(oracles[key])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(key)
+            print(f"FAIL  {key}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if not problems:
+            sn = _norm_rows(s_cols, s_rows)
+            dn = _norm_rows(d_cols, d_rows)
+            if sn != dn:
+                diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diff}")
+        if problems:
+            failures.append(key)
+            print(f"FAIL  {key}: {'; '.join(problems)}")
+        else:
+            print(f"PASS  {key} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
