@@ -594,6 +594,101 @@ def q_agg_window_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.A ⊘ — sinks (materializing queries; verified by read-back)
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+@_q("q_sink_overwrite", "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL")
+def q_sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-refresh sink (`data/transformation_dw.py:154-156` WRITE_TRUNCATE,
+    SURVEY §1.4 Q8). Written twice to demonstrate idempotence, then read
+    back — the oracle checks the round-tripped result."""
+    from etl_pipeline_project_spark.sources.sinks import write_overwrite
+
+    out = f"{_SCRATCH}/sink_overwrite"
+    seg = distinct_values(load_table(spark, sf_dir, "customer"), "c_mktsegment")
+    write_overwrite(seg, out)
+    write_overwrite(seg, out)  # idempotent by construction
+    return spark.read.parquet(out)
+
+
+@_q("q_sink_append", "SELECT * FROM orders")
+def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append sink behind the incremental anti-join
+    (`data/transformation_db.py:109-116`): overwrite a base load (orders
+    before 1998), append only never-seen keys from the full staged set, read
+    back. The read-back equals the staged table exactly once per key —
+    running the load twice adds zero rows."""
+    from etl_pipeline_project_spark.sources.sinks import write_append, write_overwrite
+
+    out = f"{_SCRATCH}/sink_append"
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    write_overwrite(base, out)
+    target = spark.read.parquet(out)
+    # localCheckpoint materializes the anti-join result before the append
+    # touches the same path it scans
+    new_rows = anti_incremental(orders, target, "o_orderkey").localCheckpoint(eager=True)
+    write_append(new_rows, out)
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# §2.H — Structured Streaming (availableNow-driven, deterministic key-level
+# results → oracle-checkable despite being streaming plans)
+# ---------------------------------------------------------------------------
+
+
+@_q("q_stream_ingest", "SELECT event_id, ts, user_id, event_type, value, props FROM events")
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source micro-batch ingest (`data/utils.py:28-45` prefix polling
+    as a stream)."""
+    from etl_pipeline_project_spark.streaming.ops import read_events_stream, run_to_memory
+
+    out = run_to_memory(read_events_stream(spark, sf_dir))
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@_q("q_stream_dedup", "SELECT DISTINCT user_id, event_type FROM events")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful keyed dedup with watermark-bounded state
+    (`data/transformation_db.py:91-121` as a stream; SURVEY §2.H)."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_dedup_keys,
+    )
+
+    stream = stream_dedup_keys(read_events_stream(spark, sf_dir), ["user_id", "event_type"])
+    return run_to_memory(stream)
+
+
+@_q(
+    "q_stream_window",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling daily aggregate (`dags/tourism_finance_etl_dag.py:15`
+    daily cadence as a stream). Complete output mode so every window is
+    emitted in the final state."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_windowed_counts,
+    )
+
+    stream = stream_windowed_counts(read_events_stream(spark, sf_dir), "ts", "event_type")
+    return run_to_memory(stream, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
 # §2.I — UDF surface demonstration
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,95 @@
+"""Structured Streaming re-expression of the reference's incremental loads.
+
+The reference is micro-batch-by-cron (SURVEY §2.H): a daily Airflow trigger
+(`dags/tourism_finance_etl_dag.py:15-16`), files accumulating under a GCS
+prefix (`data/utils.py:32`), and an incremental "only new keys" DB load
+(`data/transformation_db.py:91-121`). That is exactly the Structured
+Streaming model: a file source watching a prefix, stateful dropDuplicates
+for the anti-join semantics, and watermarked windows for the daily rollups.
+
+Local testing drives each stream to completion with
+``trigger(availableNow=True)`` + a memory sink — deterministic final state,
+which is why the streaming queries still get DuckDB oracles (key-level
+projections only; survivor *rows* under streaming dedup are arrival-order
+dependent, the same nondeterminism as the reference's keep-first, SURVEY
+§1.4 Q3).
+
+At scale the same plans run unchanged against a real prefix with a durable
+checkpoint: the file-source log replaces the reference's "which files did I
+already read" convention, and the dedup state store replaces the
+driver-memory id set (Q7).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_mem_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source micro-batch ingest of the events table
+    (`q_stream_ingest`; reference GCS prefix polling `data/utils.py:28-45`).
+
+    The schema is taken from the static footer (explicit, no inference —
+    SURVEY §1.2), and the TIMESTAMP(NANOS) column is normalized exactly as
+    the batch reader does (sources/readers.py).
+    """
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .format("parquet")
+        # glob form: the streaming source requires a directory/glob, and the
+        # testdata table is a single file
+        .load(f"{sf_dir}/events.*")
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_dedup_keys(stream: DataFrame, keys: list[str], watermark_col: str = "ts") -> DataFrame:
+    """Stateful exactly-once keyed dedup (`q_stream_dedup`) — the streaming
+    twin of the anti-join incremental load (`data/transformation_db.py:
+    91-121`). The watermark bounds state: keys older than the horizon are
+    dropped from the store, which is what makes this run forever at scale.
+
+    Projects to the key columns: which full row survives is arrival-order
+    dependent (same as the reference's keep-first), the key set is not.
+    """
+    return (
+        stream.withWatermark(watermark_col, "1 day")
+        .dropDuplicates(keys)
+        .select(*keys)
+    )
+
+
+def stream_windowed_counts(stream: DataFrame, ts: str, group: str) -> DataFrame:
+    """Watermarked tumbling daily aggregate (`q_stream_window`) — streaming
+    twin of the reference's daily batch cadence."""
+    return (
+        stream.withWatermark(ts, "1 day")
+        .groupBy(F.window(F.col(ts), "1 day"), group)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("day_start"), group, "n_events")
+    )
+
+
+def run_to_memory(df: DataFrame, *, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the final table. Local-test harness only — real
+    deployments use a durable sink + checkpoint."""
+    name = f"stream_mem_{next(_mem_counter)}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
