@@ -689,6 +689,322 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# North-star: text analysis over `documents` (SURVEY §7 step 7)
+# ---------------------------------------------------------------------------
+
+_WC_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+_BPE_SQL = "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+_PUNCT_SQL = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE)"
+_STOP_SQL = (
+    "CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS BIGINT)"
+)
+_FP_SQL = "sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+@_q(
+    "q_text_token_count",
+    f"""
+    SELECT doc_id, {_WC_SQL} AS n_words, {_BPE_SQL} AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens."""
+    from etl_pipeline_project_spark.operators.text_analysis import token_count_bpe, word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+    )
+
+
+@_q(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           {_WC_SQL} AS n_words,
+           {_PUNCT_SQL} AS punct_ratio,
+           CAST({_STOP_SQL} AS DOUBLE) / CAST(GREATEST({_WC_SQL}, 1) AS DOUBLE) AS stopword_ratio,
+           (LEAST(CAST({_WC_SQL} AS DOUBLE) / 50.0, 1.0)
+            + (1.0 - LEAST(({_PUNCT_SQL}) * 4, 1.0))
+            + LEAST((CAST({_STOP_SQL} AS DOUBLE) / CAST(GREATEST({_WC_SQL}, 1) AS DOUBLE)) * 5, 1.0)
+           ) / 3 AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword heuristics (built-in
+    expressions only — a 100 TB documents scan stays one codegen'd map)."""
+    from etl_pipeline_project_spark.operators.text_analysis import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        word_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        word_count("text").alias("n_words"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+_LANG_HITS = {
+    "en": "the|a|and|of|to|in|is",
+    "de": "der|die|das|und|nicht|ist",
+    "fr": "le|la|les|et|est|une",
+    "es": "el|los|las|es|una",
+}
+_LANG_HIT_SQL = {
+    lang: f"CAST(len(regexp_extract_all(lower(text), '\\b({pat})\\b')) AS BIGINT)"
+    for lang, pat in _LANG_HITS.items()
+}
+_LANG_BEST = "GREATEST(" + ", ".join(f"h_{lang}" for lang in _LANG_HITS) + ")"
+
+
+@_q(
+    "q_text_lang_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {', '.join(f"{sql} AS h_{lang}" for lang, sql in _LANG_HIT_SQL.items())},
+             len(regexp_extract_all(text, '[一-鿿]')) AS zh_chars
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN zh_chars > 0 THEN 'zh'
+                WHEN {_LANG_BEST} = 0 THEN 'und'
+                WHEN h_en = {_LANG_BEST} THEN 'en'
+                WHEN h_de = {_LANG_BEST} THEN 'de'
+                WHEN h_fr = {_LANG_BEST} THEN 'fr'
+                WHEN h_es = {_LANG_BEST} THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-hit argmax (+ CJK character detection),
+    fixed precedence on ties."""
+    from etl_pipeline_project_spark.operators.text_analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+@_q(
+    "q_doc_fingerprint",
+    f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: sha-256 over whitespace-normalized text."""
+    from etl_pipeline_project_spark.operators.text_analysis import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication over `documents`
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_dedup_exact_docs",
+    f"""
+    WITH fp AS (SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents)
+    SELECT doc_id, fingerprint FROM fp
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep lowest
+    doc_id (deterministic keep-one, SURVEY §1.4 Q3 discipline)."""
+    from etl_pipeline_project_spark.operators.dedup_text import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("doc_id", "fingerprint")
+
+
+_SHINGLE_SQL = """
+    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+      THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      ELSE [] END)
+"""
+
+
+@_q(
+    "q_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLE_SQL} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(GREATEST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS DOUBLE)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.02
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs over source-blocked candidates
+    (blocking is what keeps pairwise similarity off the O(n²) cliff; the
+    unblocked path is MinHash-LSH, `q_dedup_minhash_lsh`)."""
+    from etl_pipeline_project_spark.operators.dedup_text import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", "source", k=3, threshold=0.02)
+
+
+@_q("q_dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — the 100 TB dedup path (banded
+    signatures → bucket join, no all-pairs). Approximate: no SQL oracle;
+    recall vs exact Jaccard asserted in tests/test_llm_ops.py."""
+    from etl_pipeline_project_spark.operators.dedup_text import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", jaccard_distance_threshold=0.95)
+
+
+@_q("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (md5 token hashes — deterministic across
+    runs/engines, verified in tests). One Arrow-batched UDF pass; banded
+    candidate pairing exercised in tests/test_llm_ops.py."""
+    from etl_pipeline_project_spark.operators.dedup_text import simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# North-star: embedding similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+@_q(
+    "q_ann_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id AS nid,
+             {_DOT_SQL.format(a='q.qvec', b='e.embedding')} AS score
+      FROM q, embeddings e
+      WHERE e.vec_id != q.qid
+    )
+    SELECT qid, nid, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors by dot product (embeddings are unit-norm ⇒
+    cosine): broadcast query set, map-side scored corpus, window top-k. The
+    corpus never shuffles — the plan that still works when the corpus is
+    100 TB. Dot product accumulation is bit-identical to the DuckDB twin."""
+    from etl_pipeline_project_spark.operators.similarity import ann_bruteforce_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_q(
+    "q_embed_neardup",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS score
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, score FROM p ORDER BY score DESC, id_a, id_b LIMIT 20
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact pairs within coarse blocks (label =
+    IVF cluster-id stand-in), global top-20 most similar."""
+    from etl_pipeline_project_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, top_n=20)
+
+
+@_q("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH top-k — the sub-linear scale path. Approximate
+    ⇒ no SQL oracle; recall vs brute force asserted in tests."""
+    from etl_pipeline_project_spark.operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal columns (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_multimodal_meta",
+    """
+    SELECT doc_id, 'text' AS format,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion layout: opaque binary payload + typed metadata
+    struct. Filters/pruning run on metadata columns only — payload bytes
+    are never read for a metadata-only query."""
+    from etl_pipeline_project_spark.operators.multimodal import to_multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = to_multimodal(docs, "doc_id", "text", "text")
+    return mm.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+@_q("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (deterministic byte-histogram stand-in for a decoder —
+    codec libs absent in this container; see operators/multimodal.py)."""
+    from etl_pipeline_project_spark.operators.multimodal import extract_features, to_multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(to_multimodal(docs, "doc_id", "text", "text"))
+
+
+@_q("q_multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: explode fixed-stride byte windows of each
+    payload into one row per 'frame' with a checksum."""
+    from etl_pipeline_project_spark.operators.multimodal import frame_sample, to_multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(to_multimodal(docs, "doc_id", "text", "text"))
+
+
+# ---------------------------------------------------------------------------
 # §2.I — UDF surface demonstration
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,125 @@
+"""Tests for the LLM-data-pipeline operator block: approximate operators
+are validated by recall against their exact twins (SURVEY §7: "LSH parity —
+verified by recall bounds, not hash equality"); deterministic operators by
+stability; stubs by contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_spark.operators.dedup_text import (
+    _simhash_one,
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_candidates,
+    simhash_signatures,
+)
+from etl_pipeline_project_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    to_multimodal,
+)
+from etl_pipeline_project_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    cosine_neardup_pairs,
+)
+from etl_pipeline_project_spark.sources.readers import load_table
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """Every strongly-similar pair (jaccard >= 0.3) must be surfaced by the
+    LSH candidate join at a generous distance threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.3).collect()
+    }
+    if not exact:
+        pytest.skip("no strong near-dup pairs at this scale")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", jaccard_distance_threshold=0.8).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, (recall, exact - lsh)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"]) for r in ann_bruteforce_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r["qid"], r["nid"]) for r in ann_lsh_topk(emb, queries, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # 4 hash tables over a near-uniform unit sphere: modest but nonzero bar
+    assert recall >= 0.4, recall
+
+
+def test_simhash_deterministic_and_similarity_ordering():
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    c = "completely different words entirely unrelated text"
+    assert _simhash_one(a) == _simhash_one(a)
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(_simhash_one(a), _simhash_one(b)) < ham(_simhash_one(a), _simhash_one(c))
+
+
+def test_simhash_signatures_stable_across_runs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    s1 = dict(simhash_signatures(docs, "doc_id", "text").collect())
+    s2 = dict(simhash_signatures(docs, "doc_id", "text").collect())
+    assert s1 == s2
+
+
+def test_simhash_candidates_schema(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cand = simhash_candidates(docs, "doc_id", "text")
+    assert set(cand.columns) == {"id_a", "id_b", "sh_a", "sh_b", "hamming"}
+    # hamming symmetric bound
+    assert cand.filter((F.col("hamming") < 0) | (F.col("hamming") > 64)).count() == 0
+
+
+def test_dedup_exact_keeps_lowest_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    out = dedup_exact(dup, "text", "doc_id")
+    assert out.count() == docs.count()
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_cosine_neardup_sorted_desc(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = cosine_neardup_pairs(emb, top_n=10).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_multimodal_features_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    mm = to_multimodal(docs, "doc_id", "text", "text")
+    feats = extract_features(mm).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+
+
+def test_multimodal_frame_sample_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    mm = to_multimodal(docs, "doc_id", "text", "text")
+    frames = frame_sample(mm, every_n_bytes=64, max_frames=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    for r in per_doc:
+        assert 1 <= r["count"] <= 4
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
