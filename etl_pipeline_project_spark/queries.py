@@ -1005,6 +1005,203 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reference pipeline parity (SURVEY §3 E2+E3): the star-schema build over
+# reference-shaped operational tables derived from the driver testdata
+# (plans/adapter.py). Every mart table is differentially verified.
+# ---------------------------------------------------------------------------
+
+
+def _mart_q(table: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_pipeline_project_spark.plans.adapter import derive_reference_tables
+        from etl_pipeline_project_spark.plans import mart
+
+        ops = derive_reference_tables(spark, sf_dir)
+        return getattr(mart, table)(ops)
+
+    fn.__name__ = f"q_mart_{table}"
+    fn.__doc__ = f"Star-schema build of `{table}` (plans/mart.py) over the adapter tables."
+    return fn
+
+
+def _register_mart_queries() -> None:
+    from etl_pipeline_project_spark.plans.adapter import ADAPTER_CTE
+
+    oracles = {
+        "dim_waktu": """
+            , all_ts AS (
+              SELECT timestamp_review AS ts FROM reviews
+              UNION ALL SELECT created_at_tweet FROM tweets
+              UNION ALL SELECT "timestamp" FROM pemasukan
+              UNION ALL SELECT "timestamp" FROM pengeluaran
+            ), d AS (SELECT DISTINCT ts FROM all_ts WHERE ts IS NOT NULL)
+            SELECT ts AS timestamp_datetime,
+                   strftime(ts, '%H:%M:%S') AS jam,
+                   dayname(ts) AS hari,
+                   CAST(ts AS DATE) AS tanggal,
+                   strftime(ts, '%Y-%m') AS bulan,
+                   year(ts) AS tahun
+            FROM d
+        """,
+        "dim_place": """
+            , renamed AS (
+              SELECT place_id, name AS nama_tempat, lat AS latitude, lng AS longitude,
+                     phone_number AS nomor_telepon, opening_hours_text AS jam_operasional,
+                     types AS jenis_tempat
+              FROM places
+              WHERE place_id IS NOT NULL AND name IS NOT NULL
+                AND lat IS NOT NULL AND lng IS NOT NULL
+            )
+            SELECT * FROM renamed
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY place_id
+              ORDER BY nama_tempat ASC NULLS FIRST, latitude ASC NULLS FIRST,
+                       longitude ASC NULLS FIRST) = 1
+        """,
+        "dim_user": """
+            , u AS (
+              SELECT id_author_twitter AS id_user, author_location AS lokasi_user
+              FROM tweets WHERE id_author_twitter IS NOT NULL
+            )
+            SELECT * FROM u
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY id_user ORDER BY lokasi_user ASC NULLS FIRST) = 1
+        """,
+        "dim_vendor": """
+            , v AS (
+              SELECT id_vendor, nama_vendor FROM pengeluaran WHERE id_vendor IS NOT NULL
+            )
+            SELECT * FROM v
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY id_vendor ORDER BY nama_vendor ASC NULLS FIRST) = 1
+        """,
+        "dim_departemen": """
+            , d AS (
+              SELECT id_departemen, nama_departemen FROM pengeluaran
+              WHERE id_departemen IS NOT NULL
+            )
+            SELECT * FROM d
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY id_departemen ORDER BY nama_departemen ASC NULLS FIRST) = 1
+        """,
+        "dim_proyek": """
+            , p AS (
+              SELECT id_proyek, nama_proyek, sektor_pariwisata FROM pemasukan
+              UNION ALL
+              SELECT id_proyek, nama_proyek, sektor_pariwisata FROM pengeluaran
+            )
+            SELECT * FROM p WHERE id_proyek IS NOT NULL
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY id_proyek
+              ORDER BY nama_proyek ASC NULLS FIRST, sektor_pariwisata ASC NULLS FIRST) = 1
+        """,
+        "dim_penyumbang": """
+            , p AS (
+              SELECT id_penyumbang, nama_penyumbang, jenis_penyumbang FROM pemasukan
+              WHERE id_penyumbang IS NOT NULL
+            )
+            SELECT * FROM p
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY id_penyumbang
+              ORDER BY nama_penyumbang ASC NULLS FIRST, jenis_penyumbang ASC NULLS FIRST) = 1
+        """,
+        "fact_maps": """
+            SELECT id_review, timestamp_review, place_id, author_url, review_text, rating
+            FROM reviews
+            WHERE id_review IS NOT NULL AND timestamp_review IS NOT NULL
+              AND place_id IS NOT NULL AND review_text IS NOT NULL AND rating IS NOT NULL
+        """,
+        "fact_twitter": """
+            , joined AS (
+              SELECT t.id_tweet, t.created_at_tweet, t.place_id_source AS place_id,
+                     p.name AS nama_tempat, t.id_author_twitter AS id_user,
+                     t.keyword_search, t.text_tweet
+              FROM tweets t LEFT JOIN places p ON t.place_id_source = p.place_id
+            )
+            SELECT * FROM joined
+            WHERE id_tweet IS NOT NULL AND created_at_tweet IS NOT NULL
+              AND place_id IS NOT NULL AND nama_tempat IS NOT NULL AND id_user IS NOT NULL
+        """,
+        "fact_pengeluaran": """
+            SELECT id_transaksi_original AS id_transaksi, "timestamp", id_proyek,
+                   id_vendor, id_departemen, jenis_kebutuhan,
+                   CAST(jumlah AS DECIMAL(38,9)) AS jumlah_pengeluaran,
+                   bukti AS bukti_transaksi
+            FROM pengeluaran
+            WHERE id_transaksi_original IS NOT NULL AND "timestamp" IS NOT NULL
+              AND id_proyek IS NOT NULL AND id_vendor IS NOT NULL
+              AND id_departemen IS NOT NULL AND jumlah IS NOT NULL
+        """,
+        "fact_pemasukan": """
+            SELECT id_transaksi_original AS id_transaksi, "timestamp", id_proyek,
+                   id_penyumbang, jenis_pemasukan,
+                   CAST(jumlah AS DECIMAL(38,9)) AS jumlah_pemasukan,
+                   bukti AS bukti_transaksi
+            FROM pemasukan
+            WHERE id_transaksi_original IS NOT NULL AND "timestamp" IS NOT NULL
+              AND id_proyek IS NOT NULL AND id_penyumbang IS NOT NULL AND jumlah IS NOT NULL
+        """,
+    }
+    for table, tail in oracles.items():
+        _q(f"q_mart_{table}", ADAPTER_CTE + tail)(_mart_q(table))
+
+
+_register_mart_queries()
+
+
+@_q(
+    "q_ops_load_incremental",
+    None,  # oracle attached below (needs ADAPTER_CTE)
+)
+def q_ops_load_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 parity (`data/transformation_db.py:91-121`): staged files with
+    cross-file duplicate keys → deterministic dedup → anti-join against
+    already-loaded keys → rows to append. Duplicates are simulated by
+    unioning the staged table with a jumlah-doubled copy; 'first' is
+    declared as lowest jumlah (the original)."""
+    from etl_pipeline_project_spark.plans.adapter import derive_reference_tables
+    from etl_pipeline_project_spark.plans.operational import load_operational
+
+    pem = derive_reference_tables(spark, sf_dir)["pemasukan"]
+    staged = union_all(pem, pem.withColumn("jumlah", F.col("jumlah") * 2))
+    existing = pem.filter(F.col("timestamp") < F.lit("1998-01-01").cast("timestamp"))
+    return load_operational(
+        staged,
+        existing,
+        key="id_transaksi_original",
+        tiebreak=[F.col("jumlah").asc_nulls_first()],
+    )
+
+
+def _attach_ops_load_oracle() -> None:
+    from etl_pipeline_project_spark.plans.adapter import ADAPTER_CTE
+
+    ORACLE["q_ops_load_incremental"] = ADAPTER_CTE + """
+        , staged AS (
+          SELECT * FROM pemasukan
+          UNION ALL
+          SELECT id_transaksi_original, "timestamp", id_proyek, nama_proyek,
+                 sektor_pariwisata, id_penyumbang, nama_penyumbang, jenis_penyumbang,
+                 jenis_pemasukan, jumlah * 2 AS jumlah, bukti
+          FROM pemasukan
+        ), dd AS (
+          SELECT * FROM staged
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY id_transaksi_original ORDER BY jumlah ASC NULLS FIRST) = 1
+        )
+        SELECT * FROM dd
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pemasukan e
+          WHERE e."timestamp" < TIMESTAMP '1998-01-01'
+            AND e.id_transaksi_original = dd.id_transaksi_original
+        )
+    """
+
+
+_attach_ops_load_oracle()
+
+
+# ---------------------------------------------------------------------------
 # §2.I — UDF surface demonstration
 # ---------------------------------------------------------------------------
 
