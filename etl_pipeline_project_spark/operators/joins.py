@@ -16,7 +16,7 @@ Reference behaviors re-expressed:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,3 +52,89 @@ def semi_filter(df: DataFrame, other: DataFrame, key: list[str] | str) -> DataFr
     completeness alongside the anti form."""
     keys = [key] if isinstance(key, str) else list(key)
     return df.join(other.select(*keys), keys, "left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the single right row with
+    the greatest ``right_ts <= left_ts`` for the same key (DuckDB/pandas
+    ``ASOF JOIN`` / ``merge_asof`` semantics). Spark has no native as-of
+    join; this is the composition form (SURVEY §2.C "absent" row):
+    range-join → per-left-row ``row_number`` → keep latest → left join back
+    so unmatched left rows survive.
+
+    Exact and oracle-checkable, but the inner range join materializes all
+    (left, earlier-right) pairs per key — fine for bounded key groups. For
+    heavily-skewed keys at 100 TB use `asof_join_grouped` (sort-merge
+    inside each key partition via merge_asof, linear per group).
+    """
+    rc = right_cols or [right_ts]
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"r_{c}") for c in rc],
+    )
+    matched = (
+        left.select(F.col(left_id).alias("__lid"), F.col(key).alias("__k"), F.col(left_ts).alias("__lts"))
+        .join(r, "__k")
+        .filter(F.col("__rts") <= F.col("__lts"))
+    )
+    w = Window.partitionBy("__lid").orderBy(F.col("__rts").desc())
+    best = (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__lid", *[f"r_{c}" for c in rc])
+    )
+    return left.join(best, left[left_id] == best["__lid"], "left").drop("__lid")
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+) -> DataFrame:
+    """As-of join, scale path: cogroup both sides by key and run
+    ``pd.merge_asof`` per group (Arrow-batched, linear after the one
+    shuffle+sort per side). Equivalent to `asof_join` when right timestamps
+    are unique per key — asserted in tests."""
+    import pandas as pd
+
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+        + f", r_{right_value} {dict(right.dtypes)[right_value]}"
+    )
+    # Alias the right side to fresh attribute ids: when right derives from
+    # left (self-as-of), shared expression ids make the analyzer collapse
+    # the conflicting columns in the cogroup, silently dropping the right
+    # timestamp for left-heavy groups.
+    r2 = right.select(
+        F.col(key).alias("__rkey"),
+        F.col(right_ts).alias("__rts_in"),
+        F.col(right_value).alias("__rval_in"),
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts)
+        if rpdf.empty:
+            lpdf[f"r_{right_value}"] = None
+            return lpdf
+        rp = pd.DataFrame(
+            {"__rts": rpdf["__rts_in"].values, f"r_{right_value}": rpdf["__rval_in"].values}
+        ).sort_values("__rts")
+        return pd.merge_asof(
+            lpdf, rp, left_on=left_ts, right_on="__rts", direction="backward"
+        ).drop(columns=["__rts"])
+
+    return left.groupBy(key).cogroup(r2.groupBy("__rkey")).applyInPandas(merge, out_schema)

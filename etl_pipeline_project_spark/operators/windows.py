@@ -35,3 +35,27 @@ def sort_limit(df: DataFrame, order: list[Column | str], n: int) -> DataFrame:
     column for deterministic results (same rule as dedup Q3)."""
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order]
     return df.orderBy(*order_cols).limit(n)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_seconds``. The classic
+    lag + cumulative-sum window pair — one shuffle on the key, then two
+    in-partition window passes over the same sort order (Catalyst fuses
+    them into one Window operator). Session ids are 1-based per key."""
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    prev = F.lag(F.unix_timestamp(F.col(ts))).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.unix_timestamp(F.col(ts)) - prev > gap_seconds), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_id", F.sum(is_new).over(run).cast("long"))

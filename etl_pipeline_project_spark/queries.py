@@ -1202,6 +1202,185 @@ _attach_ops_load_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Engine extensions beyond §2: set ops, cube/pivot, sessionization, as-of
+# join, SQL entry (SURVEY §2.C/§2.E "absent in reference" rows + the common
+# OLAP patterns a mart user needs)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) — nations present on both sides."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@_q(
+    "q_set_except",
+    """
+    SELECT c_custkey AS entity_key FROM customer
+    EXCEPT
+    SELECT s_suppkey FROM supplier
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — customer keys outside the supplier
+    key range."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("entity_key"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("entity_key"))
+    return cust.subtract(supp)
+
+
+@_q(
+    "q_pivot",
+    f"""
+    SELECT l_returnflag,
+           {_msum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE NULL END")} AS "O",
+           {_msum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE NULL END")} AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide conditional aggregation) over explicit values —
+    explicit so the plan is one pass (value discovery would scan twice)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(money_sum(F.col("l_quantity")))
+    )
+
+
+@_q(
+    "q_agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_msum('o_totalprice')} AS total,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_o_orderpriority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping sets over the two dims (rollup's superset)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        money_sum(F.col("o_totalprice")).alias("total"),
+        F.grouping("o_orderstatus").cast("int").alias("g_o_orderstatus"),
+        F.grouping("o_orderpriority").cast("int").alias("g_o_orderpriority"),
+    )
+
+
+@_q(
+    "q_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL
+                    OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): lag + cumulative sum — the
+    batch twin of streaming `session_window`."""
+    from etl_pipeline_project_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak="event_id")
+
+
+@_q(
+    "q_join_asof",
+    """
+    SELECT e.event_id, e.user_id, e.ts, c."r_ts" AS last_click_ts
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, ts AS "r_ts" FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (absent from both the reference and native
+    Spark — SURVEY §2.C): for every event, the latest click of the same
+    user at or before it. Composition form (range join + row_number);
+    DuckDB's native ASOF JOIN is the oracle."""
+    from etl_pipeline_project_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        ev,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_cols=["ts"],
+    )
+    return out.select("event_id", "user_id", "ts", F.col("r_ts").alias("last_click_ts"))
+
+
+@_q(
+    "q_sql_entry",
+    f"""
+    SELECT l_orderkey,
+           {_msum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string entry point (TPC-H-Q3-shaped): register the tables as
+    views and run `spark.sql` — same Catalyst plan as the DataFrame DSL
+    (SURVEY §3 E2 note). The three-way join broadcasts the filtered
+    customer side under AQE."""
+    for t in ["customer", "orders", "lineitem"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.I — UDF surface demonstration
 # ---------------------------------------------------------------------------
 
