@@ -665,6 +665,32 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stream)
 
 
+@_q("q_stream_upsert", "SELECT event_id, ts, user_id, event_type, value, props FROM events")
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed upsert (MERGE-WHEN-NOT-MATCHED emulation on
+    parquet — streaming/upsert.py): stream the events table into a target
+    twice; exactly-once per key means the second pass changes nothing and
+    the read-back equals the source."""
+    import shutil
+
+    from etl_pipeline_project_spark.streaming.ops import read_events_stream
+    from etl_pipeline_project_spark.streaming.upsert import foreach_batch_merge
+
+    target = f"{_SCRATCH}/stream_upsert"
+    shutil.rmtree(target, ignore_errors=True)
+    for _ in range(2):  # idempotence: second run adds zero rows
+        q = (
+            read_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(foreach_batch_merge(target, "event_id"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 @_q(
     "q_stream_window",
     """
