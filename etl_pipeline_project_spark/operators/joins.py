@@ -54,6 +54,32 @@ def semi_filter(df: DataFrame, other: DataFrame, key: list[str] | str) -> DataFr
     return df.join(other.select(*keys), keys, "left_semi")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    salt_parts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys.
+
+    A hot key sends all its rows to one reducer in a plain shuffle join;
+    salting splits the big side's hot key across ``salt_parts`` reducers
+    and replicates the other side's matching rows once per salt value.
+    AQE's skew-join handles moderate skew automatically — this is the
+    explicit form for extreme single-key skew (SURVEY §4.2). The salt is
+    derived from a hash of the whole left row (deterministic across
+    retries — ``rand()`` would break task re-execution).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_parts))
+    l_salted = left.withColumn("__salt", salt)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_parts)]))
+    )
+    return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
