@@ -691,6 +691,21 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("q_stream_stateful", "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState
+    (streaming/stateful.py): per-key running totals; the final state per
+    key equals the batch aggregate (the oracle). The float running sum is
+    excluded from the compare — its accumulation order is batch-dependent."""
+    from etl_pipeline_project_spark.streaming.ops import read_events_stream, run_to_memory
+    from etl_pipeline_project_spark.streaming.stateful import stream_running_totals
+
+    out = run_to_memory(
+        stream_running_totals(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 @_q(
     "q_stream_window",
     """
