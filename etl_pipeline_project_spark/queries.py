@@ -1421,6 +1421,81 @@ def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+           ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡ SQL
+    percentile_cont). Rounded to 4dp: the interpolation arithmetic is the
+    only cross-engine float risk. The one-pass approximate path is
+    `q_quantiles_approx`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@_q("q_quantiles_approx")
+def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) — the one-pass fixed-memory
+    100 TB path; accuracy vs the exact form asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+    )
+
+
+@_q(
+    "q_json_extract",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value,
+           CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid_json
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (SURVEY §2.F: JSON
+    functions are built-in when ingestion needs them) — stays in codegen,
+    no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.when(F.try_parse_json("props").isNotNull(), 1).otherwise(0).alias("is_valid_json"),
+    )
+
+
+@_q(
+    "q_explode_collect",
+    """
+    SELECT word, COUNT(*) AS n, MIN(p_partkey) AS first_part,
+           array_to_string(list_sort(list(p_partkey)), ',') AS part_keys
+    FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def q_explode_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode + grouped collect round-trip: one row per word of the
+    part name, then per-word stats with a deterministic (sorted, joined)
+    key list — collect_list order is nondeterministic, sort_array fixes it."""
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p_partkey").alias("first_part"),
+        F.array_join(F.sort_array(F.collect_list("p_partkey")), ",").alias("part_keys"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.I — UDF surface demonstration
 # ---------------------------------------------------------------------------

@@ -40,3 +40,15 @@ def test_windowed_daily_counts_sum_to_total(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     daily = windowed_daily(ev, "ts", "value")
     assert daily.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= 0.02 * r["exact"], (r["exact"], r["approx"])
