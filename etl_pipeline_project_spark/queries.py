@@ -1422,6 +1422,54 @@ def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_join_semi",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order —
+    the probe side never duplicates rows, unlike an inner-join+distinct."""
+    from etl_pipeline_project_spark.operators.joins import semi_filter
+
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return semi_filter(cust, big, "c_custkey").select("c_custkey", "c_name")
+
+
+@_q(
+    "q_join_range",
+    """
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-predicate join (lineitems shipped within 30 days of
+    their order): the hash join runs on the equi key and the range
+    predicate evaluates as a post-join filter — the scalable shape for
+    key-scoped interval joins (a pure range join with no equi key would
+    need bucketized interval keys; SURVEY §2.C absent-row note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] >= orders["o_orderdate"])
+        & (li["l_shipdate"] < orders["o_orderdate"] + F.expr("INTERVAL 30 DAY"))
+    )
+    return orders.join(li, cond).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@_q(
     "q_quantiles",
     """
     SELECT l_returnflag,

@@ -80,3 +80,19 @@ def test_distinct_values_nonnull(spark, sf_dir):
     vals = [r[0] for r in distinct_values(cust, "c_mktsegment").collect()]
     assert len(vals) == len(set(vals))
     assert None not in vals
+
+
+def test_or_fallback_falls_through_on_empty_string(spark):
+    """The reference's Python-`or` semantics (SURVEY §2.F divergence note):
+    falls through on null AND empty string, unlike SQL coalesce."""
+    from etl_pipeline_project_spark.functions.scalars import coalesce_first, or_fallback
+
+    df = spark.createDataFrame(
+        [("x", "a"), ("", "b"), (None, "c")], "primary string, fallback string"
+    )
+    rows = df.select(
+        or_fallback("primary", "fallback").alias("o"),
+        coalesce_first("primary", "fallback").alias("c"),
+    ).collect()
+    assert [r["o"] for r in rows] == ["x", "b", "c"]
+    assert [r["c"] for r in rows] == ["x", "", "c"]  # coalesce keeps ""

@@ -1,0 +1,73 @@
+"""Executed-plan audit — the scale-property checks, runnable per round.
+
+Asserts the physical-plan properties that survive a 1000× scale-up:
+predicate pushdown reaching parquet scans, column pruning, broadcast join
+selection, TakeOrderedAndProject for sort+limit, partial aggregation.
+Prints one line per check; exits non-zero on regression.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from etl_pipeline_project_spark.queries import REGISTRY  # noqa: E402
+from etl_pipeline_project_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit")
+
+    def plan(key: str) -> str:
+        return REGISTRY[key](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    checks: list[tuple[str, bool, str]] = []
+
+    p = plan("q_filter_predicate")
+    checks.append(
+        ("q_filter_predicate pushes filters to parquet", "PushedFilters: [" in p and "LessThan" in p, p[:200])
+    )
+    m = re.search(r"ReadSchema: (\S+)", plan("q_scan_project_ids"))
+    checks.append(
+        ("q_scan_project_ids prunes to one column", bool(m) and m.group(1) == "struct<o_orderkey:bigint>", str(m))
+    )
+    for key in ["q_join_left_equi", "q_join_anti_incremental", "q_mart_fact_twitter"]:
+        p = plan(key)
+        checks.append((f"{key} uses BroadcastHashJoin", "BroadcastHashJoin" in p, p[:200]))
+    checks.append(
+        ("q_sort_limit plans TakeOrderedAndProject", "TakeOrderedAndProject" in plan("q_sort_limit"), "")
+    )
+    p = plan("q_agg_sum_by_dim")
+    checks.append(
+        (
+            "q_agg_sum_by_dim partial+final agg, single exchange",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:200],
+        )
+    )
+    p = plan("q_time_dimension")
+    checks.append(
+        (
+            "q_time_dimension map-side distinct before single shuffle",
+            len(re.findall(r"HashAggregate", p)) >= 2 and len(re.findall(r"Exchange", p)) == 1,
+            p[:200],
+        )
+    )
+
+    failed = 0
+    for name, ok, detail in checks:
+        print(f"{'PASS' if ok else 'FAIL'}  {name}")
+        if not ok:
+            failed += 1
+            print(f"      {detail}")
+    print(f"\n{len(checks) - failed}/{len(checks)} plan checks passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
