@@ -100,6 +100,59 @@ def cosine_neardup_pairs(
     return pairs.orderBy(F.col("score").desc(), "id_a", "id_b").limit(top_n)
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
+    per-cluster inverted lists → probe the ``nprobe`` nearest cells per
+    query. The 100 TB recipe: the corpus is scanned once to assign cells
+    (then persisted partitioned by cell in production), and each query
+    touches ~nprobe/nlist of the corpus instead of all of it. Exact within
+    probed cells; recall is the only approximation (tested on clustered
+    data; near-uniform corpora defeat any cell-based index).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cid").fit(c)
+    inverted = model.transform(c).select("nid", "nvec", "cid")
+
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cid int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    probed = topk_per_group(
+        q.crossJoin(F.broadcast(cents)).select(
+            "qid", "qvec", "cid", dot_product("qvec", "centroid").alias("cdot")
+        ),
+        "qid",
+        [F.col("cdot").desc(), F.col("cid")],
+        nprobe,
+        rank_col="probe_rank",
+    ).select("qid", "qvec", "cid")
+
+    cand = probed.join(inverted, "cid").filter(F.col("qid") != F.col("nid"))
+    scored = cand.select("qid", "nid", dot_product("qvec", "nvec").alias("score"))
+    return topk_per_group(
+        scored, "qid", [F.col("score").desc(), F.col("nid")], k, rank_col="rank"
+    ).select("qid", "nid", "score", "rank")
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

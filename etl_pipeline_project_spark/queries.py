@@ -984,6 +984,18 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, top_n=20)
 
 
+@_q("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (KMeans coarse quantizer + probed inverted
+    lists — operators/similarity.py). Approximate ⇒ no SQL oracle; recall
+    is asserted on constructed clustered data in tests (the driver's
+    uniform-sphere embeddings defeat any cell index)."""
+    from etl_pipeline_project_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=3)
+
+
 @_q("q_ann_lsh")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH top-k — the sub-linear scale path. Approximate

@@ -123,3 +123,41 @@ def test_multimodal_frame_sample_counts(spark, sf_dir):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_ann_ivf_recall_on_clustered_data(spark):
+    """IVF must recover neighbors on genuinely clustered data (the driver's
+    uniform-sphere embeddings are the worst case for cell indexes, so the
+    recall bar is asserted on constructed clusters)."""
+    import math
+    import random
+
+    from etl_pipeline_project_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    rng = random.Random(7)
+    dim, n_clusters, per_cluster = 16, 5, 24
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in center))
+        center = [x / norm for x in center]
+        for _ in range(per_cluster):
+            v = [c + rng.gauss(0, 0.08) for c in center]
+            nv = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [float(x / nv) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id % 24 = 0")  # one query per cluster
+    exact = {
+        (r["qid"], r["nid"]) for r in ann_bruteforce_topk(df, queries, k=5).collect()
+    }
+    ivf = {
+        (r["qid"], r["nid"])
+        for r in ann_ivf_topk(df, queries, k=5, nlist=5, nprobe=1).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, recall
