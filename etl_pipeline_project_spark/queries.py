@@ -1556,6 +1556,46 @@ def q_explode_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q5_SQL_TEMPLATE = """
+    SELECT n_name,
+           {msum} AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+@_q(
+    "q_sql_q5",
+    _Q5_SQL_TEMPLATE.format(
+        msum=_msum("l_extendedprice * (1 - l_discount)")
+    ),
+)
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped six-table join (region→nation→supplier⋈customer→
+    orders→lineitem): the join-reordering/CBO showcase. Catalyst broadcasts
+    the filtered region/nation/supplier chain and keeps lineitem — the only
+    100 TB-scale table — as the streamed probe side; the date filter pushes
+    to the orders scan."""
+    from etl_pipeline_project_spark.sources.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        _Q5_SQL_TEMPLATE.format(
+            msum="CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE)"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.I — UDF surface demonstration
 # ---------------------------------------------------------------------------

@@ -131,3 +131,26 @@ def test_ensure_table_idempotent(spark, tmp_path):
 def test_register_testdata_views(spark, sf_dir):
     register_testdata_views(spark, sf_dir)
     assert spark.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+
+
+def test_lakehouse_connectors_gate_cleanly(spark):
+    """Delta/JDBC connectors raise actionable NotImplementedError when the
+    deploy-time jars are absent (this container), instead of opaque JVM
+    failures."""
+    import pytest as _pytest
+
+    from etl_pipeline_project_spark.sources.lakehouse import (
+        delta_available,
+        read_jdbc,
+        write_delta,
+    )
+    from etl_pipeline_project_spark.sources.readers import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "region")
+    if delta_available(spark):
+        write_delta(df, "/root/repo/.scratch/delta_gate_test")
+    else:
+        with _pytest.raises(NotImplementedError):
+            write_delta(df, "/root/repo/.scratch/delta_gate_test")
+    with _pytest.raises((NotImplementedError, ValueError)):
+        read_jdbc(spark, "jdbc:postgresql://localhost/none", "t", partition_column="id")
