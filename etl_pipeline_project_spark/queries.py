@@ -1482,6 +1482,100 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q_window_running",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_so_far,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER w AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (rowsBetween): running order count + running revenue
+    per customer. The running sum accumulates in DECIMAL — windowed double
+    sums are association-order-dependent across engines (segment-tree vs
+    sequential evaluation)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_so_far"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+@_q(
+    "q_window_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderdate) OVER w AS prev_orderdate,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+             AS days_since_prev,
+           first_value(o_orderkey) OVER w AS first_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window offset functions: lag + day gap to the previous order +
+    first_value per customer (deterministic total ordering per Q3 rule)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_orderdate"),
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+    )
+
+
+@_q(
+    "q_null_fill",
+    """
+    SELECT place_id,
+           COALESCE(name, '(unknown)') AS name_filled,
+           COALESCE(lat, 0.0e0) AS lat_filled,
+           CASE WHEN name IS NULL THEN 1 ELSE 0 END AS was_null
+    FROM (
+      SELECT 'p_' || p_partkey AS place_id,
+             CASE WHEN p_partkey % 37 = 0 THEN NULL ELSE p_name END AS name,
+             CASE WHEN p_partkey % 41 = 0 THEN NULL ELSE p_size * 1.5e0 - 6.2e0 END AS lat
+      FROM part
+    )
+    """,
+)
+def q_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null defaulting (na.fill) over the adapter's dirty places table —
+    the complement of the NOT-NULL drop filter."""
+    from etl_pipeline_project_spark.plans.adapter import derive_reference_tables
+
+    places = derive_reference_tables(spark, sf_dir)["places"]
+    return (
+        places.select(
+            "place_id", "name", "lat", F.when(F.col("name").isNull(), 1).otherwise(0).alias("was_null")
+        )
+        .na.fill({"name": "(unknown)", "lat": 0.0})
+        .withColumnsRenamed({"name": "name_filled", "lat": "lat_filled"})
+    )
+
+
+@_q(
     "q_quantiles",
     """
     SELECT l_returnflag,
