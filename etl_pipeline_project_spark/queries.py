@@ -1202,6 +1202,58 @@ def _register_mart_queries() -> None:
 _register_mart_queries()
 
 
+def _attach_mart_analytics_oracle() -> None:
+    from etl_pipeline_project_spark.plans.adapter import ADAPTER_CTE
+
+    ORACLE["q_mart_analytics"] = ADAPTER_CTE + f"""
+        , fact AS (
+          SELECT id_transaksi_original AS id_transaksi, "timestamp", id_proyek,
+                 id_penyumbang, jenis_pemasukan,
+                 CAST(jumlah AS DECIMAL(38,9)) AS jumlah_pemasukan,
+                 bukti AS bukti_transaksi
+          FROM pemasukan
+          WHERE id_transaksi_original IS NOT NULL AND "timestamp" IS NOT NULL
+            AND id_proyek IS NOT NULL AND id_penyumbang IS NOT NULL AND jumlah IS NOT NULL
+        ), proyek AS (
+          SELECT id_proyek, nama_proyek, sektor_pariwisata FROM (
+            SELECT id_proyek, nama_proyek, sektor_pariwisata FROM pemasukan
+            UNION ALL
+            SELECT id_proyek, nama_proyek, sektor_pariwisata FROM pengeluaran
+          ) WHERE id_proyek IS NOT NULL
+          QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY id_proyek
+            ORDER BY nama_proyek ASC NULLS FIRST, sektor_pariwisata ASC NULLS FIRST) = 1
+        )
+        SELECT p.sektor_pariwisata, f.id_proyek, p.nama_proyek,
+               {_msum('f.jumlah_pemasukan')} AS total_pemasukan,
+               COUNT(*) AS n_transaksi
+        FROM fact f JOIN proyek p ON f.id_proyek = p.id_proyek
+        GROUP BY p.sektor_pariwisata, f.id_proyek, p.nama_proyek
+    """
+
+
+@_q("q_mart_analytics")
+def q_mart_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytics layer the star schema exists for (SURVEY §2.G intro):
+    income totals by sektor × proyek, computed over the *built* mart —
+    fact_pemasukan ⟕ dim_proyek (broadcast dim) → grouped decimal-exact
+    sum. Exercises builder composition end-to-end with an oracle."""
+    from etl_pipeline_project_spark.plans.adapter import derive_reference_tables
+    from etl_pipeline_project_spark.plans.mart import dim_proyek, fact_pemasukan
+
+    ops = derive_reference_tables(spark, sf_dir)
+    fact = fact_pemasukan(ops)
+    proyek = dim_proyek(ops)
+    joined = left_enrich(fact, proyek, "id_proyek")
+    return joined.groupBy("sektor_pariwisata", "id_proyek", "nama_proyek").agg(
+        money_sum(F.col("jumlah_pemasukan")).alias("total_pemasukan"),
+        F.count(F.lit(1)).alias("n_transaksi"),
+    )
+
+
+_attach_mart_analytics_oracle()
+
+
 @_q(
     "q_ops_load_incremental",
     None,  # oracle attached below (needs ADAPTER_CTE)
