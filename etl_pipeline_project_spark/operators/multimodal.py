@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -94,17 +95,19 @@ def extract_features(df: DataFrame, *, batch_hint: int | None = None) -> DataFra
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
+            n_bytes = []
             for blob in pdf["content"]:
-                b = bytes(blob) if blob is not None else b""
-                hist = [0] * FEATURE_DIM
-                for byte in b:
-                    hist[byte % FEATURE_DIM] += 1
-                total = max(sum(hist), 1)
-                feats.append([h / total for h in hist])
+                # vectorized over the whole payload — this inner loop is the
+                # template a real deployment swaps for decode+embed, so it
+                # must itself be batch-shaped, never per-byte Python
+                arr = np.frombuffer(bytes(blob) if blob is not None else b"", dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                feats.append((hist / max(arr.size, 1)).tolist())
+                n_bytes.append(arr.size)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(b) if b is not None else b"") for b in pdf["content"]],
+                    "n_bytes": n_bytes,
                     "features": feats,
                 }
             )

@@ -1036,15 +1036,51 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_multimodal_features")
+def _features_oracle() -> str:
+    """DuckDB twin of the byte-bucket histogram: extract each UTF-8 byte of
+    the payload via hex-pair decoding (DuckDB blobs have no direct byte
+    indexing), bucket by ``byte % FEATURE_DIM``, L1-normalize. Integer/int
+    → double division is correctly-rounded IEEE in both engines, so values
+    hash identically."""
+    dims = ",\n".join(
+        f"  CAST(len(list_filter(bl, x -> x = {k})) AS DOUBLE)"
+        f" / greatest(n_bytes, 1) AS f{k}"
+        for k in range(8)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, encode(text) AS blob, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), buckets AS (
+      SELECT doc_id, n_bytes,
+        [CAST(('0x' || substr(hex(blob), i*2+1, 2)) AS INTEGER) % 8
+         FOR i IN range(0, CAST(n_bytes AS INTEGER))] AS bl
+      FROM b
+    )
+    SELECT doc_id, n_bytes,
+{dims}
+    FROM buckets
+    """
+
+
+@_q("q_multimodal_features", _features_oracle())
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas (deterministic byte-histogram stand-in for a decoder —
-    codec libs absent in this container; see operators/multimodal.py)."""
-    from etl_pipeline_project_spark.operators.multimodal import extract_features, to_multimodal
+    codec libs absent in this container; see operators/multimodal.py).
+
+    The contract projection explodes the feature vector into per-dimension
+    scalar doubles (f0..f7) — scalar columns are hashable by the driver's
+    row-check and give the query an exact DuckDB twin."""
+    from etl_pipeline_project_spark.operators.multimodal import FEATURE_DIM, extract_features, to_multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(to_multimodal(docs, "doc_id", "text", "text"))
+    feats = extract_features(to_multimodal(docs, "doc_id", "text", "text"))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.col("features")[k].alias(f"f{k}") for k in range(FEATURE_DIM)],
+    )
 
 
 @_q("q_multimodal_frame_sample")

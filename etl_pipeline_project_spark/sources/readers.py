@@ -30,6 +30,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet is self-describing, so no schema is forced — but we validate
     against the registry to fail fast on drift instead of mid-query.
     """
+    # The driver testdata stores `ts` as parquet TIMESTAMP(NANOS); vanilla
+    # Spark sessions reject that type outright (PARQUET_TYPE_ILLEGAL). The
+    # legacy flag is a *runtime-settable* SQL conf, so set it here rather
+    # than relying on the session builder (session.py) — callers (the
+    # correctness driver, notebooks) routinely hand us their own session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp→string renderings (dim_waktu's jam/hari/bulan) must agree
+    # with the UTC-naive DuckDB oracles under any caller session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = TESTDATA_SCHEMAS.get(name)
     if expected is not None:

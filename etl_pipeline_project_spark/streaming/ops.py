@@ -38,6 +38,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §1.2), and the TIMESTAMP(NANOS) column is normalized exactly as
     the batch reader does (sources/readers.py).
     """
+    # runtime-settable: works under any caller-supplied session (the driver
+    # harness does not build its session through session.py)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(static.schema)

@@ -15,9 +15,8 @@ change.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
+from pyspark.errors.exceptions.captured import AnalysisException
 
 from etl_pipeline_project_spark.operators.joins import anti_incremental
 from etl_pipeline_project_spark.operators.setops import union_all
@@ -27,13 +26,17 @@ def merge_batch(batch: DataFrame, target_path: str, key: str) -> None:
     """Insert-if-absent merge of one micro-batch into a parquet target."""
     spark = batch.sparkSession
     batch = batch.dropDuplicates([key])
-    if os.path.exists(target_path):
+    # Probe the target through Spark, not os.path — the target may live on
+    # HDFS/S3 where a local-filesystem check is always false and the
+    # first-batch branch would silently overwrite all previously merged keys.
+    try:
         existing = spark.read.parquet(target_path)
+    except AnalysisException:
+        merged = batch
+    else:
         # keep all existing rows; add only batch rows with unseen keys
         fresh = anti_incremental(batch, existing, key)
         merged = union_all(existing, fresh.select(*existing.columns))
-    else:
-        merged = batch
     # materialize before overwriting the path the plan reads from
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
 

@@ -5,7 +5,11 @@ DuckDB over the same parquet tables, then compares row count, column-name
 set, and order-insensitive values. Run this before every commit so the
 driver's CORRECTNESS_r{N}.json holds no surprises.
 
-Usage: python tools/oracle_check.py [sf_dir] [key ...]
+Usage: python tools/oracle_check.py [--plain] [sf_dir] [key ...]
+
+``--plain`` builds a bare SparkSession (no engine configs) to simulate the
+driver harness's environment — the round-1 nanos regression was invisible
+without this.
 """
 
 from __future__ import annotations
@@ -45,12 +49,24 @@ def _norm_rows(cols, rows):
 
 def main() -> int:
     args = sys.argv[1:]
+    plain = "--plain" in args
+    args = [a for a in args if a != "--plain"]
     sf_dir = args[0] if args and args[0].startswith("/") else DEFAULT_SF
     only = set(a for a in args if not a.startswith("/"))
 
     import __spark_entry__ as contract
 
-    spark = get_spark("oracle_check")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
