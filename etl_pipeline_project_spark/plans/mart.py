@@ -49,22 +49,26 @@ def dim_waktu(ops: dict[str, DataFrame]) -> DataFrame:
 
 
 def dim_place(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:161-179`."""
+    """`data/transformation_dw.py:159-182`: reference names (`types`→
+    `tipe_tempat`, `phone_number`→`kontak`) and the reference's NOT-NULL
+    subset — everything except `kontak`/`jam_operasional` (dw.py:174-177)."""
     out = rename_columns(
         ops["places"],
         {
             "name": "nama_tempat",
             "lat": "latitude",
             "lng": "longitude",
-            "phone_number": "nomor_telepon",
+            "types": "tipe_tempat",
+            "phone_number": "kontak",
             "opening_hours_text": "jam_operasional",
-            "types": "jenis_tempat",
         },
     ).select(
         "place_id", "nama_tempat", "latitude", "longitude",
-        "nomor_telepon", "jam_operasional", "jenis_tempat",
+        "tipe_tempat", "kontak", "jam_operasional",
     )
-    out = drop_null_rows(out, subset=["place_id", "nama_tempat", "latitude", "longitude"])
+    out = drop_null_rows(
+        out, subset=["place_id", "nama_tempat", "latitude", "longitude", "tipe_tempat"]
+    )
     return dedup_keyed(out, "place_id", tiebreak=["nama_tempat", "latitude", "longitude"])
 
 
@@ -79,17 +83,21 @@ def dim_user(ops: dict[str, DataFrame]) -> DataFrame:
 
 
 def dim_vendor(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:201-205`."""
+    """`data/transformation_dw.py:199-208` — NOT-NULL on *both* declared
+    columns (dw.py:204), not just the key."""
     out = drop_null_rows(
-        ops["pengeluaran"].select("id_vendor", "nama_vendor"), subset=["id_vendor"]
+        ops["pengeluaran"].select("id_vendor", "nama_vendor"),
+        subset=["id_vendor", "nama_vendor"],
     )
     return dedup_keyed(out, "id_vendor", tiebreak=["nama_vendor"])
 
 
 def dim_departemen(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:212-216`."""
+    """`data/transformation_dw.py:210-219` — NOT-NULL on both columns
+    (dw.py:215)."""
     out = drop_null_rows(
-        ops["pengeluaran"].select("id_departemen", "nama_departemen"), subset=["id_departemen"]
+        ops["pengeluaran"].select("id_departemen", "nama_departemen"),
+        subset=["id_departemen", "nama_departemen"],
     )
     return dedup_keyed(out, "id_departemen", tiebreak=["nama_departemen"])
 
@@ -99,76 +107,102 @@ def dim_proyek(ops: dict[str, DataFrame]) -> DataFrame:
     both finance tables, dedup on id_proyek."""
     cols = ["id_proyek", "nama_proyek", "sektor_pariwisata"]
     out = union_all(ops["pemasukan"].select(*cols), ops["pengeluaran"].select(*cols))
-    out = drop_null_rows(out, subset=["id_proyek"])
+    out = drop_null_rows(out, subset=cols)  # all three NOT NULL (dw.py:227)
     return dedup_keyed(out, "id_proyek", tiebreak=["nama_proyek", "sektor_pariwisata"])
 
 
 def dim_penyumbang(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:236-240`."""
+    """`data/transformation_dw.py:234-243` — NOT-NULL on all three columns
+    (dw.py:239)."""
     out = drop_null_rows(
         ops["pemasukan"].select("id_penyumbang", "nama_penyumbang", "jenis_penyumbang"),
-        subset=["id_penyumbang"],
+        subset=["id_penyumbang", "nama_penyumbang", "jenis_penyumbang"],
     )
     return dedup_keyed(out, "id_penyumbang", tiebreak=["nama_penyumbang", "jenis_penyumbang"])
 
 
 def fact_maps(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:248-257` — carries `rating` (Q2 fix)."""
+    """`data/transformation_dw.py:246-260`: `timestamp_review`→
+    `timestamp_datetime`, `review_text`→`review_longtext` (dw.py:250-253);
+    NOT-NULL on all six columns incl. `author_url` (dw.py:254-256).
+    Carries `rating` (Q2 fix — the reference's schema drift lost it)."""
     out = ops["reviews"].select(
-        "id_review", "timestamp_review", "place_id", "author_url", "review_text", "rating"
+        "id_review",
+        F.col("timestamp_review").alias("timestamp_datetime"),
+        "place_id",
+        "author_url",
+        F.col("review_text").alias("review_longtext"),
+        "rating",
     )
     return drop_null_rows(
-        out, subset=["id_review", "timestamp_review", "place_id", "review_text", "rating"]
+        out,
+        subset=["id_review", "timestamp_datetime", "place_id",
+                "author_url", "review_longtext", "rating"],
     )
 
 
 def fact_twitter(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:265-285`: tweets ⟕ places for the place
-    name (broadcast dim), rename, NOT-NULL filter drops dangling FKs."""
-    places_dim = ops["places"].select("place_id", F.col("name").alias("nama_tempat"))
+    """`data/transformation_dw.py:262-288`: tweets ⟕ places for the place
+    name (broadcast dim), reference renames (`created_at_tweet`→
+    `created_at_datetime`, places.name→`nama_lokasi`, `id_author_twitter`→
+    `id_user`), the reference's exact five-column final projection
+    (dw.py:276-278), NOT-NULL on all five (dw.py:282-284)."""
+    places_dim = ops["places"].select("place_id", F.col("name").alias("nama_lokasi"))
     joined = left_enrich(
         ops["tweets"],
         places_dim,
         ops["tweets"]["place_id_source"] == places_dim["place_id"],
-    ).drop("place_id")
-    out = rename_columns(
-        joined, {"place_id_source": "place_id", "id_author_twitter": "id_user"}
-    ).select(
-        "id_tweet", "created_at_tweet", "place_id", "nama_tempat",
-        "id_user", "keyword_search", "text_tweet",
+    )
+    out = joined.select(
+        "id_tweet",
+        F.col("created_at_tweet").alias("created_at_datetime"),
+        F.col("id_author_twitter").alias("id_user"),
+        "nama_lokasi",
+        "text_tweet",
     )
     return drop_null_rows(
-        out, subset=["id_tweet", "created_at_tweet", "place_id", "nama_tempat", "id_user"]
+        out, subset=["id_tweet", "created_at_datetime", "id_user", "nama_lokasi", "text_tweet"]
     )
 
 
 def fact_pengeluaran(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:293-307` — money as DECIMAL(38,9)
-    (BigQuery BIGNUMERIC twin, SURVEY §1.2)."""
+    """`data/transformation_dw.py:290-310` — money as DECIMAL(38,9)
+    (BigQuery BIGNUMERIC twin, SURVEY §1.2); reference renames
+    (`timestamp`→`timestamp_datetime`, `bukti`→`bukti_pengeluaran`,
+    dw.py:297-302) and NOT-NULL on everything but the receipt
+    (dw.py:303-306)."""
     out = ops["pengeluaran"].select(
         F.col("id_transaksi_original").alias("id_transaksi"),
-        "timestamp", "id_proyek", "id_vendor", "id_departemen", "jenis_kebutuhan",
+        F.col("timestamp").alias("timestamp_datetime"),
+        "jenis_kebutuhan", "id_vendor", "id_departemen",
         F.col("jumlah").cast("decimal(38,9)").alias("jumlah_pengeluaran"),
-        F.col("bukti").alias("bukti_transaksi"),
+        F.col("bukti").alias("bukti_pengeluaran"),
+        "id_proyek",
     )
     return drop_null_rows(
         out,
-        subset=["id_transaksi", "timestamp", "id_proyek", "id_vendor",
-                "id_departemen", "jumlah_pengeluaran"],
+        subset=["id_transaksi", "timestamp_datetime", "jenis_kebutuhan",
+                "id_vendor", "id_departemen", "jumlah_pengeluaran", "id_proyek"],
     )
 
 
 def fact_pemasukan(ops: dict[str, DataFrame]) -> DataFrame:
-    """`data/transformation_dw.py:315-329`."""
+    """`data/transformation_dw.py:312-332` — reference renames
+    (`id_transaksi_original`→`id_transaksi_income`, `timestamp`→
+    `timestamp_datetime`, `bukti`→`bukti_pemasukan`, dw.py:319-324) and
+    NOT-NULL on everything but the receipt (dw.py:325-328)."""
     out = ops["pemasukan"].select(
-        F.col("id_transaksi_original").alias("id_transaksi"),
-        "timestamp", "id_proyek", "id_penyumbang", "jenis_pemasukan",
+        F.col("id_transaksi_original").alias("id_transaksi_income"),
+        F.col("timestamp").alias("timestamp_datetime"),
+        "jenis_pemasukan", "id_penyumbang",
         F.col("jumlah").cast("decimal(38,9)").alias("jumlah_pemasukan"),
-        F.col("bukti").alias("bukti_transaksi"),
+        F.col("bukti").alias("bukti_pemasukan"),
+        "id_proyek",
     )
     return drop_null_rows(
         out,
-        subset=["id_transaksi", "timestamp", "id_proyek", "id_penyumbang", "jumlah_pemasukan"],
+        subset=["id_transaksi_income", "timestamp_datetime", "jenis_pemasukan",
+                "id_penyumbang", "jumlah_pemasukan", "id_proyek"],
     )
 
 

@@ -1135,11 +1135,11 @@ def _register_mart_queries() -> None:
         "dim_place": """
             , renamed AS (
               SELECT place_id, name AS nama_tempat, lat AS latitude, lng AS longitude,
-                     phone_number AS nomor_telepon, opening_hours_text AS jam_operasional,
-                     types AS jenis_tempat
+                     types AS tipe_tempat, phone_number AS kontak,
+                     opening_hours_text AS jam_operasional
               FROM places
               WHERE place_id IS NOT NULL AND name IS NOT NULL
-                AND lat IS NOT NULL AND lng IS NOT NULL
+                AND lat IS NOT NULL AND lng IS NOT NULL AND types IS NOT NULL
             )
             SELECT * FROM renamed
             QUALIFY ROW_NUMBER() OVER (
@@ -1158,7 +1158,8 @@ def _register_mart_queries() -> None:
         """,
         "dim_vendor": """
             , v AS (
-              SELECT id_vendor, nama_vendor FROM pengeluaran WHERE id_vendor IS NOT NULL
+              SELECT id_vendor, nama_vendor FROM pengeluaran
+              WHERE id_vendor IS NOT NULL AND nama_vendor IS NOT NULL
             )
             SELECT * FROM v
             QUALIFY ROW_NUMBER() OVER (
@@ -1167,7 +1168,7 @@ def _register_mart_queries() -> None:
         "dim_departemen": """
             , d AS (
               SELECT id_departemen, nama_departemen FROM pengeluaran
-              WHERE id_departemen IS NOT NULL
+              WHERE id_departemen IS NOT NULL AND nama_departemen IS NOT NULL
             )
             SELECT * FROM d
             QUALIFY ROW_NUMBER() OVER (
@@ -1179,7 +1180,9 @@ def _register_mart_queries() -> None:
               UNION ALL
               SELECT id_proyek, nama_proyek, sektor_pariwisata FROM pengeluaran
             )
-            SELECT * FROM p WHERE id_proyek IS NOT NULL
+            SELECT * FROM p
+            WHERE id_proyek IS NOT NULL AND nama_proyek IS NOT NULL
+              AND sektor_pariwisata IS NOT NULL
             QUALIFY ROW_NUMBER() OVER (
               PARTITION BY id_proyek
               ORDER BY nama_proyek ASC NULLS FIRST, sektor_pariwisata ASC NULLS FIRST) = 1
@@ -1187,7 +1190,8 @@ def _register_mart_queries() -> None:
         "dim_penyumbang": """
             , p AS (
               SELECT id_penyumbang, nama_penyumbang, jenis_penyumbang FROM pemasukan
-              WHERE id_penyumbang IS NOT NULL
+              WHERE id_penyumbang IS NOT NULL AND nama_penyumbang IS NOT NULL
+                AND jenis_penyumbang IS NOT NULL
             )
             SELECT * FROM p
             QUALIFY ROW_NUMBER() OVER (
@@ -1195,40 +1199,47 @@ def _register_mart_queries() -> None:
               ORDER BY nama_penyumbang ASC NULLS FIRST, jenis_penyumbang ASC NULLS FIRST) = 1
         """,
         "fact_maps": """
-            SELECT id_review, timestamp_review, place_id, author_url, review_text, rating
+            SELECT id_review, timestamp_review AS timestamp_datetime, place_id,
+                   author_url, review_text AS review_longtext, rating
             FROM reviews
             WHERE id_review IS NOT NULL AND timestamp_review IS NOT NULL
-              AND place_id IS NOT NULL AND review_text IS NOT NULL AND rating IS NOT NULL
+              AND place_id IS NOT NULL AND author_url IS NOT NULL
+              AND review_text IS NOT NULL AND rating IS NOT NULL
         """,
         "fact_twitter": """
             , joined AS (
-              SELECT t.id_tweet, t.created_at_tweet, t.place_id_source AS place_id,
-                     p.name AS nama_tempat, t.id_author_twitter AS id_user,
-                     t.keyword_search, t.text_tweet
+              SELECT t.id_tweet, t.created_at_tweet AS created_at_datetime,
+                     t.id_author_twitter AS id_user, p.name AS nama_lokasi,
+                     t.text_tweet
               FROM tweets t LEFT JOIN places p ON t.place_id_source = p.place_id
             )
             SELECT * FROM joined
-            WHERE id_tweet IS NOT NULL AND created_at_tweet IS NOT NULL
-              AND place_id IS NOT NULL AND nama_tempat IS NOT NULL AND id_user IS NOT NULL
+            WHERE id_tweet IS NOT NULL AND created_at_datetime IS NOT NULL
+              AND id_user IS NOT NULL AND nama_lokasi IS NOT NULL
+              AND text_tweet IS NOT NULL
         """,
         "fact_pengeluaran": """
-            SELECT id_transaksi_original AS id_transaksi, "timestamp", id_proyek,
-                   id_vendor, id_departemen, jenis_kebutuhan,
+            SELECT id_transaksi_original AS id_transaksi,
+                   "timestamp" AS timestamp_datetime, jenis_kebutuhan,
+                   id_vendor, id_departemen,
                    CAST(jumlah AS DECIMAL(38,9)) AS jumlah_pengeluaran,
-                   bukti AS bukti_transaksi
+                   bukti AS bukti_pengeluaran, id_proyek
             FROM pengeluaran
             WHERE id_transaksi_original IS NOT NULL AND "timestamp" IS NOT NULL
-              AND id_proyek IS NOT NULL AND id_vendor IS NOT NULL
+              AND jenis_kebutuhan IS NOT NULL AND id_vendor IS NOT NULL
               AND id_departemen IS NOT NULL AND jumlah IS NOT NULL
+              AND id_proyek IS NOT NULL
         """,
         "fact_pemasukan": """
-            SELECT id_transaksi_original AS id_transaksi, "timestamp", id_proyek,
-                   id_penyumbang, jenis_pemasukan,
+            SELECT id_transaksi_original AS id_transaksi_income,
+                   "timestamp" AS timestamp_datetime, jenis_pemasukan,
+                   id_penyumbang,
                    CAST(jumlah AS DECIMAL(38,9)) AS jumlah_pemasukan,
-                   bukti AS bukti_transaksi
+                   bukti AS bukti_pemasukan, id_proyek
             FROM pemasukan
             WHERE id_transaksi_original IS NOT NULL AND "timestamp" IS NOT NULL
-              AND id_proyek IS NOT NULL AND id_penyumbang IS NOT NULL AND jumlah IS NOT NULL
+              AND jenis_pemasukan IS NOT NULL AND id_penyumbang IS NOT NULL
+              AND jumlah IS NOT NULL AND id_proyek IS NOT NULL
         """,
     }
     for table, tail in oracles.items():
@@ -1243,19 +1254,19 @@ def _attach_mart_analytics_oracle() -> None:
 
     ORACLE["q_mart_analytics"] = ADAPTER_CTE + f"""
         , fact AS (
-          SELECT id_transaksi_original AS id_transaksi, "timestamp", id_proyek,
-                 id_penyumbang, jenis_pemasukan,
-                 CAST(jumlah AS DECIMAL(38,9)) AS jumlah_pemasukan,
-                 bukti AS bukti_transaksi
+          SELECT id_transaksi_original AS id_transaksi_income, id_proyek,
+                 CAST(jumlah AS DECIMAL(38,9)) AS jumlah_pemasukan
           FROM pemasukan
           WHERE id_transaksi_original IS NOT NULL AND "timestamp" IS NOT NULL
-            AND id_proyek IS NOT NULL AND id_penyumbang IS NOT NULL AND jumlah IS NOT NULL
+            AND jenis_pemasukan IS NOT NULL AND id_penyumbang IS NOT NULL
+            AND jumlah IS NOT NULL AND id_proyek IS NOT NULL
         ), proyek AS (
           SELECT id_proyek, nama_proyek, sektor_pariwisata FROM (
             SELECT id_proyek, nama_proyek, sektor_pariwisata FROM pemasukan
             UNION ALL
             SELECT id_proyek, nama_proyek, sektor_pariwisata FROM pengeluaran
-          ) WHERE id_proyek IS NOT NULL
+          ) WHERE id_proyek IS NOT NULL AND nama_proyek IS NOT NULL
+              AND sektor_pariwisata IS NOT NULL
           QUALIFY ROW_NUMBER() OVER (
             PARTITION BY id_proyek
             ORDER BY nama_proyek ASC NULLS FIRST, sektor_pariwisata ASC NULLS FIRST) = 1

@@ -212,9 +212,9 @@ MART_SCHEMAS: dict[str, T.StructType] = {
             _s("nama_tempat"),
             _d("latitude"),
             _d("longitude"),
-            _s("nomor_telepon"),
+            _s("tipe_tempat"),
+            _s("kontak"),
             _s("jam_operasional"),
-            _s("jenis_tempat"),
         ]
     ),
     # data/transformation_dw.py:33-39
@@ -231,10 +231,10 @@ MART_SCHEMAS: dict[str, T.StructType] = {
     "fact_maps": T.StructType(
         [
             _s("id_review"),
-            _ts("timestamp_review"),
+            _ts("timestamp_datetime"),
             _s("place_id"),
             _s("author_url"),
-            _s("review_text"),
+            _s("review_longtext"),
             _d("rating"),
         ]
     ),
@@ -242,11 +242,9 @@ MART_SCHEMAS: dict[str, T.StructType] = {
     "fact_twitter": T.StructType(
         [
             _s("id_tweet"),
-            _ts("created_at_tweet"),
-            _s("place_id"),
-            _s("nama_tempat"),
+            _ts("created_at_datetime"),
             _s("id_user"),
-            _s("keyword_search"),
+            _s("nama_lokasi"),
             _s("text_tweet"),
         ]
     ),
@@ -254,25 +252,25 @@ MART_SCHEMAS: dict[str, T.StructType] = {
     "fact_pengeluaran": T.StructType(
         [
             _s("id_transaksi"),
-            _ts("timestamp"),
-            _s("id_proyek"),
+            _ts("timestamp_datetime"),
+            _s("jenis_kebutuhan"),
             _s("id_vendor"),
             _s("id_departemen"),
-            _s("jenis_kebutuhan"),
             T.StructField("jumlah_pengeluaran", _MONEY, True),
-            _s("bukti_transaksi"),
+            _s("bukti_pengeluaran"),
+            _s("id_proyek"),
         ]
     ),
     # data/transformation_dw.py:105-116
     "fact_pemasukan": T.StructType(
         [
-            _s("id_transaksi"),
-            _ts("timestamp"),
-            _s("id_proyek"),
-            _s("id_penyumbang"),
+            _s("id_transaksi_income"),
+            _ts("timestamp_datetime"),
             _s("jenis_pemasukan"),
+            _s("id_penyumbang"),
             T.StructField("jumlah_pemasukan", _MONEY, True),
-            _s("bukti_transaksi"),
+            _s("bukti_pemasukan"),
+            _s("id_proyek"),
         ]
     ),
 }

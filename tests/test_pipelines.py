@@ -36,12 +36,15 @@ def test_fact_maps_carries_rating(spark, sf_dir):
 
 
 def test_fact_twitter_drops_dangling_fks(spark, sf_dir):
-    """Dangling place FKs survive the left join as nulls, then the NOT-NULL
-    filter removes them (`data/transformation_dw.py:266-284`)."""
+    """Dangling place FKs survive the left join as null `nama_lokasi`, then
+    the NOT-NULL filter removes them (`data/transformation_dw.py:266-284`).
+    Tweets pointing at p_missing_* places must not reach the fact."""
     ops = derive_reference_tables(spark, sf_dir)
     ft = build_mart(ops, cache_sources=False)["fact_twitter"]
-    assert ft.filter(F.col("nama_tempat").isNull()).count() == 0
-    assert ft.filter(F.col("place_id").startswith("p_missing_")).count() == 0
+    assert ft.filter(F.col("nama_lokasi").isNull()).count() == 0
+    dangling = ops["tweets"].filter(F.col("place_id_source").startswith("p_missing_"))
+    kept_ids = ft.select("id_tweet")
+    assert dangling.join(kept_ids, "id_tweet", "inner").count() == 0
 
 
 def test_dims_are_unique_on_key(spark, sf_dir):
