@@ -191,9 +191,12 @@ def minhash_lsh_pairs(
     ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # No rounding: 1 − inter/union is correctly-rounded IEEE division in any
+    # engine, so the value is cross-engine bit-identical as-is (a round()
+    # would re-introduce half-up vs half-even drift).
     jd = F.lit(1.0) - inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
     return (
-        verified.withColumn("jaccard_distance", F.round(jd, 6))
+        verified.withColumn("jaccard_distance", jd)
         .filter(F.col("jaccard_distance") < jaccard_distance_threshold)
         .select("id_a", "id_b", "jaccard_distance")
     )
