@@ -935,11 +935,43 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "doc_id", "text", jaccard_distance_threshold=0.4)
 
 
-@_q("q_dedup_simhash")
+@_q(
+    "q_dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS hv FROM toks),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN w > 0 THEN CAST(1 AS HUGEINT) << CAST(j AS INTEGER)
+                 ELSE CAST(0 AS HUGEINT) END) AS u
+      FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN COALESCE(u, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                THEN COALESCE(u, 0) - CAST('18446744073709551616' AS HUGEINT)
+                ELSE COALESCE(u, 0) END AS BIGINT) AS simhash64
+    FROM documents d LEFT JOIN sig USING (doc_id)
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures (md5 token hashes — deterministic across
-    runs/engines, verified in tests). One Arrow-batched UDF pass; banded
-    candidate pairing exercised in tests/test_llm_ops.py."""
+    runs/engines). One Arrow-batched UDF pass; banded candidate pairing
+    exercised in tests/test_llm_ops.py.
+
+    The DuckDB twin rebuilds the signature bit-for-bit: md5-prefix token
+    hashes (big-endian uint64), per-bit ±1 weights, sign bits assembled in
+    HUGEINT with *exact* integer constants for the two's-complement fold
+    (a floating 2**63 would corrupt the low bits). Token split parity
+    holds because the corpus is space-separated printable ASCII."""
     from etl_pipeline_project_spark.operators.dedup_text import simhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1121,10 +1153,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("q_multimodal_frame_sample")
+@_q(
+    "q_multimodal_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    f AS (SELECT doc_id, text, n_bytes, unnest(range(0, 4)) AS frame_no FROM b)
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           sha256(substr(text, CAST(frame_no * 64 + 1 AS INTEGER), 64)) AS frame_checksum
+    FROM f WHERE frame_no * 64 < n_bytes
+    """,
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: explode fixed-stride byte windows of each
-    payload into one row per 'frame' with a checksum."""
+    payload into one row per 'frame' with a checksum.
+
+    DuckDB twin: this build's sha256() only accepts VARCHAR, so the twin
+    slices the *string* — byte-identical to Spark's binary substring
+    because the corpus is printable ASCII (1 byte/char, every slice valid
+    UTF-8); checked for all scale factors."""
     from etl_pipeline_project_spark.operators.multimodal import frame_sample, to_multimodal
 
     docs = load_table(spark, sf_dir, "documents")
