@@ -78,6 +78,17 @@ def jaccard_pairs(
     # O(pairs × |shingles|) array-intersect version.
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     ex = sh.select(F.col(id_col), "block", F.explode("shingles").alias("tok"))
+    # Document-frequency pruning: a shingle occurring in exactly one doc of
+    # its block can never contribute to an intersection (union sizes come
+    # from `sizes`, not the index), so drop it before the self-join. On
+    # natural-text corpora singleton shingles dominate the index — this
+    # halves the join input here and shrinks it far more at scale. The
+    # window's (block, tok) sort-shuffle is the same partitioning the
+    # self-join needs, so the extra exchange is reused, not added.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("block", "tok")
+    ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1).drop("df_")
     a = ex.select(F.col(id_col).alias("id_a"), "block", "tok")
     b = ex.select(F.col(id_col).alias("id_b"), "block", "tok")
     inter = (
