@@ -213,6 +213,61 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, group_id)
+    with group_id = the smallest doc_id in the component. This is the step
+    that turns pairwise similarity into actionable dedup: keep
+    ``doc_id == group_id``, drop the rest (or aggregate per group).
+
+    Iterative min-label propagation: every node starts labeled with itself;
+    each round every node takes the min label in its closed neighborhood;
+    stop when a round changes nothing (checked with a 1-row count action —
+    the only driver-side value; labels themselves never leave executors).
+    Rounds needed = graph diameter, and near-dup components are shallow
+    (dozens of docs, diameter ≲ 5), so this converges in a handful of
+    shuffles. A pathological 100 TB graph with long chains would switch to
+    the large-star/small-star contraction of Kiveris et al. — same
+    DataFrame skeleton, different neighborhood rule.
+
+    ``pairs`` must have columns (id_a, id_b); isolated documents are not
+    emitted (they are their own group by definition).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # cut the lineage once; reused every round
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        # materialize the round so the convergence check and the next
+        # iteration don't re-run the whole chain of prior rounds
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
 _SIMHASH_BITS = 64
 
 

@@ -91,6 +91,48 @@ def quality_score(col: Column | str) -> Column:
     return (length_term + punct_term + stop_term) / 3
 
 
+# PII scrubbing patterns — dialect shared by Java regex and RE2 so the
+# DuckDB twin matches. Emails, URLs, and long digit runs (phone/account
+# numbers); extend per deployment.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+]
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace PII-shaped spans with typed placeholders — the standard
+    pre-training scrub. Pure Catalyst regexp_replace chain: JVM-side,
+    codegen'd, no shuffle; a 100 TB corpus pass stays map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, placeholder in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, placeholder)
+    return c
+
+
+def pii_hit_count(col: Column | str) -> Column:
+    """Number of PII-shaped spans (before redaction) — the audit metric a
+    scrubbing pipeline reports per document."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pattern, _ in PII_PATTERNS:
+        total = total + F.regexp_count(c, F.lit(pattern))
+    return total.cast("long")
+
+
+def hash_bucket(col: Column | str, buckets: int) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of the value —
+    engine-portable (md5 hex is identical everywhere, unlike xxhash64 /
+    DuckDB hash()). The basis for reproducible stratified sampling and
+    train/val/test splits: the assignment is a pure function of the id,
+    stable across runs, engines, and cluster sizes."""
+    c = F.col(col) if isinstance(col, str) else col
+    # first 8 hex chars → 32-bit int → mod buckets; conv() returns a
+    # base-10 string, cast to long before the mod
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+
 def lang_id(col: Column | str) -> Column:
     """n-gram/stopword-hit language heuristic: CJK characters ⇒ zh, else
     argmax of per-language stopword hits (precedence en>de>fr>es on ties),

@@ -161,3 +161,56 @@ def test_ann_ivf_recall_on_clustered_data(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_pii_redact_patterns(spark):
+    from etl_pipeline_project_spark.operators.text_analysis import pii_hit_count, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk today"),
+            (2, "see https://example.com/a?b=1 and call 12345678"),
+            (3, "clean text, short 123 stays"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["red"], r["n"])
+        for r in df.select(
+            "doc_id", pii_redact("text").alias("red"), pii_hit_count("text").alias("n")
+        ).collect()
+    }
+    assert out[1] == ("mail me at <EMAIL> today", 1)
+    assert out[2] == ("see <URL> and call <NUM>", 2)
+    assert out[3] == ("clean text, short 123 stays", 0)
+
+
+def test_hash_bucket_is_stable_and_uniform(spark, sf_dir):
+    """Bucket assignment is a pure function of the id (same result twice)
+    and roughly uniform — the properties a train/val/test split needs."""
+    from etl_pipeline_project_spark.operators.text_analysis import hash_bucket
+    from etl_pipeline_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.select("doc_id", hash_bucket("doc_id", 10).alias("b"))
+    counts = {r["b"]: r["n"] for r in b1.groupBy("b").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    assert set(counts) <= set(range(10))
+    for n in counts.values():  # 500 docs over 10 buckets: loose uniformity
+        assert n > total * 0.04
+    b2 = {tuple(r) for r in b1.collect()}
+    assert b2 == {tuple(r) for r in b1.collect()}
+
+
+def test_neardup_groups_connected_components(spark):
+    """A chain a-b, b-c, plus an isolated pair d-e: {a,b,c} get group a,
+    {d,e} get group d — transitivity across pairs that LSH emits
+    separately."""
+    from etl_pipeline_project_spark.operators.dedup_text import neardup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (4, 5), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["group_id"] for r in neardup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
