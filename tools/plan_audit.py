@@ -59,6 +59,23 @@ def main() -> int:
         )
     )
 
+    p = plan("q_text_pii_redact")
+    checks.append(
+        (
+            "q_text_pii_redact is map-only (no Exchange — 100 TB scrub is one codegen'd pass)",
+            "Exchange" not in p and "*(" in p,  # "*(n)" = whole-stage codegen span
+            p[:200],
+        )
+    )
+    p = plan("q_token_stats_by_source")
+    checks.append(
+        (
+            "q_token_stats_by_source partial+final agg, single exchange",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:200],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
