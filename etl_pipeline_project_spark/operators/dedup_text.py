@@ -148,6 +148,11 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("shingles")
     ).filter(F.size("shingles") > 0)
+    # The shingle sets feed both the signature pass and the exact-verify
+    # join; checkpoint them once (lazy — materialized on first use) so the
+    # shingling/tokenize work isn't executed twice. At cluster scale this
+    # is the "persist the shingle table" step of a staged dedup pipeline.
+    sh = sh.localCheckpoint(eager=False)
 
     # One string-hash pass per shingle, then the i-th hash function is the
     # affine map a_i*h + b_i over int64 (wrapping overflow — a standard
