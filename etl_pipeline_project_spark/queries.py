@@ -2001,15 +2001,18 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_GROUPS_ORACLE = f"""
-    WITH RECURSIVE sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
-    pairs AS (
+    WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE 1.0 - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / CAST(GREATEST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS DOUBLE)
             < 0.4
     ),
-    edges AS (
+    edges AS MATERIALIZED (
+      -- MATERIALIZED: the recursive closure references edges every
+      -- iteration; without the hint DuckDB re-evaluates the O(n²) pair
+      -- computation per round (14.9s -> 4.9s at sf0.01)
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ),
