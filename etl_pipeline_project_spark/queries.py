@@ -2041,6 +2041,95 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_groups(pairs)
 
 
+@_q(
+    "q_join_full_outer",
+    """
+    WITH l AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0),
+    r AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, o_custkey, n_orders,
+           COALESCE(c_custkey, o_custkey) AS entity_key
+    FROM l FULL OUTER JOIN r ON c_custkey = o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join — both-sides-preserved reconciliation (the
+    join type the reference's pandas merges never used). Unmatched rows
+    surface from both inputs; COALESCE re-derives the unified key."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    left = cust.filter(F.col("c_custkey") % 3 == 0).select("c_custkey", "c_name")
+    right = (
+        orders.filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return left.join(right, left.c_custkey == right.o_custkey, "full_outer").select(
+        "c_custkey",
+        "c_name",
+        "o_custkey",
+        "n_orders",
+        F.coalesce("c_custkey", "o_custkey").alias("entity_key"),
+    )
+
+
+@_q(
+    "q_window_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile) —
+    the ranking complement to q_window_rank. The window orders by a total
+    key (totalprice, orderkey) so every function is deterministic."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_q(
+    "q_agg_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube, §2.G) with
+    GROUPING() disambiguating aggregate nulls from data nulls — via the
+    SQL surface, the same Catalyst Expand node as q_agg_rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
