@@ -36,6 +36,20 @@ def money_sum(col: Column) -> Column:
     return F.round(F.sum(col.cast(_ACC)), 2).cast("decimal(38,2)").cast("double")
 
 
+def exact_sum(col: Column, scale: int = 2) -> Column:
+    """``money_sum`` generalized to any narrowing scale — exact decimal
+    accumulation (order-independent under distributed partial
+    aggregation), rounded and narrowed to ``decimal(38,scale)`` before
+    the final double cast so the conversion is a single correctly-rounded
+    division (engine-portable). scale=4 serves squared/product terms
+    (2dp × 2dp inputs) in moment-based statistics."""
+    return (
+        F.round(F.sum(col.cast(_ACC)), scale)
+        .cast(f"decimal(38,{scale})")
+        .cast("double")
+    )
+
+
 def sum_by_dim(
     df: DataFrame,
     dims: list[str],

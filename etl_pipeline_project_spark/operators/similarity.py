@@ -191,3 +191,48 @@ def ann_lsh_topk(
     return topk_per_group(
         cand, "qid", [F.col("dist").asc(), F.col("nid")], k, rank_col="rank"
     ).select("qid", "nid", F.round("dist", 6).alias("dist"), "rank")
+
+
+def centroid_fixed_point(
+    embeddings: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group embedding centroid with **order-independent exact
+    accumulation**: each component is floored to fixed-point micros
+    (``floor(v * scale)`` — IEEE-exact and engine-portable, unlike
+    float/decimal rounding), summed as int64, and divided back out in
+    one final double op. Distributed float summation is
+    order-dependent (per-partition order varies run to run); fixed-point
+    int sums are associative/commutative, so a 1000-executor partial
+    aggregate is bit-identical to a single-node one — the property the
+    cross-engine oracle certifies. One shuffle on (group, dim) after a
+    map-side posexplode; partial aggregation halves what moves.
+
+    int64 headroom: |v| ≤ 1 (unit-norm) ⇒ per-row ≤ scale; overflow
+    needs > 9.2e12 rows per (group, dim) at scale=1e6 — not reachable
+    even at 100 TB per-group cardinalities.
+
+    Returns (group, dim, n_vecs, centroid) with ``dim`` 0-based.
+    """
+    exploded = embeddings.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select(
+        "grp",
+        "dim",
+        F.floor(F.col("v").cast("double") * scale).cast("long").alias("v_fp"),
+    )
+    return (
+        exploded.groupBy("grp", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("v_fp").alias("s_fp"))
+        .select(
+            F.col("grp").alias(group_col),
+            "dim",
+            "n_vecs",
+            (
+                F.col("s_fp").cast("double") / F.lit(float(scale)) / F.col("n_vecs").cast("double")
+            ).alias("centroid"),
+        )
+    )

@@ -150,3 +150,51 @@ def lang_id(col: Column | str) -> Column:
     for lang in ["en", "de", "fr", "es"]:
         expr = expr.when(hits[lang] == best, F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+def chunk_text(
+    text_col: Column | str,
+    size: int,
+    stride: int,
+) -> Column:
+    """Overlapping fixed-size character windows over a document — the
+    context-window chunking step of a training/RAG pipeline. Returns an
+    ``array<struct<chunk_id:int, chunk:string>>``; callers ``inline`` it
+    to one row per chunk. Pure Catalyst (``sequence`` + ``transform`` +
+    ``substring``) — at 100 TB this is a map-only pass with no shuffle
+    and no Python; the output explodes ~len/stride× rows, which is the
+    unavoidable payload growth of overlapped chunking, not an engine
+    cost. Empty documents produce a single empty chunk so no document is
+    silently dropped (auditable row-count: sum(ceil(len/stride)) + empties).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # last window head: largest multiple of stride strictly below length
+    # (so a doc of exactly `size` chars yields one chunk, not two)
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest((F.length(c) - 1), F.lit(0)),
+        F.lit(stride),
+    )
+    return F.transform(
+        offsets,
+        lambda off, i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.substring(c, off + 1, size).alias("chunk"),
+        ),
+    )
+
+
+def ngram_pairs(text_col: Column | str) -> Column:
+    """Adjacent whitespace-token bigrams as an ``array<string>`` — the
+    vocabulary-building primitive. Guarded to an empty array below two
+    tokens (Spark's ``sequence`` would otherwise run descending)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(c), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat(F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)),
+    )
+    return F.when(F.size(toks) >= 2, bigrams).otherwise(
+        F.array().cast("array<string>")
+    )

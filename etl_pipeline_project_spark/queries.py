@@ -31,12 +31,15 @@ from etl_pipeline_project_spark.functions.timefn import (
 )
 from etl_pipeline_project_spark.operators.aggregates import (
     count_distinct_by,
+    exact_sum,
     money_sum,
     rollup_by,
     windowed_daily,
 )
 from etl_pipeline_project_spark.operators.dedup import dedup_keyed, distinct_values
-from etl_pipeline_project_spark.operators.joins import anti_incremental, left_enrich
+from etl_pipeline_project_spark.operators.history import cdc_latest, scd2_versions
+from etl_pipeline_project_spark.operators.joins import anti_incremental, fuzzy_match, left_enrich
+from etl_pipeline_project_spark.operators.profiling import profile_columns
 from etl_pipeline_project_spark.operators.relational import (
     drop_null_rows,
     rename_columns,
@@ -2128,6 +2131,328 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Change history / CDC — the incremental-warehouse operators the
+# reference's full-reload design lacks (SURVEY §1.4 Q5).
+# ---------------------------------------------------------------------------
+
+
+def _msum6(expr: str) -> str:
+    """Scale-6 twin of `_msum` for pre-normalized moment terms (values
+    O(1), so a scale-6 sum's unscaled form stays far below 2^53)."""
+    return f"CAST(CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), 6) AS DECIMAL(38,6)) AS DOUBLE)"
+
+
+@_q(
+    "q_scd2_dim",
+    """
+    SELECT o_custkey, o_orderpriority, o_totalprice,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w AS effective_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+    """,
+)
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioning: each customer's order stream becomes
+    effective-dated dimension rows (version / effective_from /
+    effective_to / is_current). One window pass = one shuffle on the
+    entity key; no self-join, no iteration. The reference reloads dims
+    wholesale and loses history (`data/transformation_dw.py:122-334`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_versions(
+        orders,
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        ["o_orderpriority", "o_totalprice"],
+    ).select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "version",
+        "effective_from",
+        "effective_to",
+        "is_current",
+    )
+
+
+@_q(
+    "q_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_type, value, op FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction: latest record per key wins, keys whose
+    final op is a delete drop out — the standard snapshot-serving step.
+    Single shuffle (row_number over the key), map-side prunable; total
+    order (ts, event_id) makes the survivor deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    return cdc_latest(ev, "user_id", ["ts", "event_id"], op, delete_op="D").select(
+        "user_id", "ts", "event_type", "value", "op"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiling / statistics — the data-quality gate surface.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_profile_stats",
+    """
+    SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_custkey) AS n_null, COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_value, CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name), COUNT(DISTINCT c_name),
+           CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment),
+           CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM customer
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column profile (rows / nulls / distincts /
+    min / max) in ONE scan: a single aggregate row unpivoted with
+    ``stack`` — vs the oracle's 4 scans. The reference eyeballs quality
+    manually (`data/transformation_db.py:87-96` drops nulls blind)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_columns(cust, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
+@_q(
+    "q_corr_exact",
+    f"""
+    WITH sc AS (
+      SELECT l_returnflag,
+             l_quantity * 1e-2 AS x, l_extendedprice * 1e-5 AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             {_msum6('x')} AS sx, {_msum6('y')} AS sy,
+             {_msum6('x*x')} AS sxx,
+             {_msum6('x*y')} AS sxy,
+             {_msum6('y*y')} AS syy
+      FROM sc GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE)*sxy - sx*sy)
+             / sqrt((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy))
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moment sums. Native
+    corr()/covar() accumulate in doubles (order-dependent ⇒ run-to-run
+    drift under distributed partials AND engine-to-engine drift); here
+    the five moments accumulate exactly, and only the final closed-form
+    combination runs in (deterministic, identical-expression) double
+    arithmetic. Correlation is scale-invariant, so both variables are
+    pre-normalized (x·1e-2, y·1e-5 — the same IEEE multiply on both
+    engines) to keep every moment's unscaled decimal below 2^53: the
+    final decimal(38,6)→double narrowing is then a single
+    correctly-rounded conversion on both engines (a wide unscaled
+    int128 would convert with engine-dependent 1-ULP drift). Same
+    single-shuffle cost as any grouped aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity") * F.lit(1e-2)
+    y = F.col("l_extendedprice") * F.lit(1e-5)
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(x, 6).alias("sx"),
+        exact_sum(y, 6).alias("sy"),
+        exact_sum(x * x, 6).alias("sxx"),
+        exact_sum(x * y, 6).alias("sxy"),
+        exact_sum(y * y, 6).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return g.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@_q(
+    "q_array_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS arr_len,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS v_min,
+           CAST(list_sort(embedding)[len(embedding)] AS DOUBLE) AS v_max,
+           CAST(list_sort(embedding)[1] AS DOUBLE)
+             + CAST(list_sort(embedding)[2] AS DOUBLE)
+             + CAST(list_sort(embedding)[3] AS DOUBLE) AS low3_sum,
+           CAST(len(list_distinct(embedding)) AS INTEGER) AS n_distinct_vals
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (sort / index / distinct / size) over the
+    embedding column — all Catalyst built-ins, map-only, no shuffle.
+    Scalars (not raw arrays) come back so results are hashable and
+    engine-comparable; float→double widening is exact on both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = F.sort_array(F.col("embedding"))
+    first3 = (
+        F.element_at(s, 1).cast("double")
+        + F.element_at(s, 2).cast("double")
+        + F.element_at(s, 3).cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("arr_len"),
+        F.element_at(s, 1).cast("double").alias("v_min"),
+        F.element_at(s, F.size("embedding")).cast("double").alias("v_max"),
+        first3.alias("low3_sum"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct_vals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline additions: chunking, vocabulary, fuzzy matching, centroids.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_doc_chunk",
+    """
+    SELECT doc_id,
+           CAST(off // 150 AS INTEGER) AS chunk_id,
+           substr(text, CAST(off AS INTEGER) + 1, 200) AS chunk,
+           CAST(length(substr(text, CAST(off AS INTEGER) + 1, 200)) AS INTEGER) AS chunk_len
+    FROM documents,
+         UNNEST(generate_series(0, greatest(length(text) - 1, 0), 150)) AS t(off)
+    """,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (size 200 chars, stride 150)
+    — the document→training-sample expansion step. Pure Catalyst
+    (sequence/transform/substring + inline): a 100 TB corpus chunks in
+    one map-only pass, no Python, no shuffle; row growth is the
+    intended ~len/stride× payload. Empty docs yield one empty chunk
+    (nothing silently dropped)."""
+    from etl_pipeline_project_spark.operators.text_analysis import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.inline(chunk_text("text", 200, 150))
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk",
+        F.length("chunk").alias("chunk_len"),
+    )
+
+
+@_q(
+    "q_text_ngram_freq",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(CASE WHEN len(t) >= 2
+             THEN list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])
+             ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC LIMIT 100
+    """,
+)
+def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram vocabulary, top-100 by frequency — the
+    vocabulary-building primitive (BPE seeding, phrase mining). Map-side
+    bigram explode → one shuffle on the bigram key with partial
+    aggregation → TakeOrdered(100). Tie-break (cnt DESC, bigram ASC) is
+    total, so the truncated set is deterministic cross-engine."""
+    from etl_pipeline_project_spark.operators.text_analysis import ngram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(ngram_pairs("text")).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(100)
+    )
+
+
+@_q(
+    "q_fuzzy_match",
+    """
+    WITH q AS (
+      SELECT p_partkey AS q_id, p_name AS q_text, p_brand AS blk
+      FROM part WHERE p_partkey % 100 = 0
+    )
+    SELECT q.q_id, c.p_partkey AS c_id,
+           CAST(levenshtein(q.q_text, c.p_name) AS INTEGER) AS edit_distance
+    FROM q JOIN part c
+      ON q.blk = c.p_brand
+     AND q.q_id <> c.p_partkey
+     AND abs(length(q.q_text) - length(c.p_name)) <= 4
+    WHERE levenshtein(q.q_text, c.p_name) <= 4
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: levenshtein ≤ 4 between a probe set
+    (every 100th part) and the catalog, blocked by brand + length band.
+    The probe side broadcasts, so the 100 TB side never shuffles; the
+    length band (necessary condition for edit distance) prunes
+    candidates before any levenshtein evaluates."""
+    part = load_table(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") % 100 == 0)
+    return fuzzy_match(
+        probes, part, "p_partkey", "p_partkey", "p_name", 4, block_col="p_brand"
+    )
+
+
+@_q(
+    "q_embed_centroid",
+    """
+    WITH ex AS (
+      SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v_fp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT label, dim, COUNT(*) AS n_vecs,
+           CAST(SUM(v_fp) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS centroid
+    FROM ex GROUP BY label, dim
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding centroid with order-independent exact
+    accumulation: components floor to fixed-point micros (IEEE-exact,
+    engine-portable), sum as int64 (associative ⇒ 1000-executor partials
+    == single-node), divide back out in one final double op. The
+    k-means-update / class-prototype primitive. One shuffle on
+    (label, dim) after map-side posexplode + partial aggregation."""
+    from etl_pipeline_project_spark.operators.similarity import centroid_fixed_point
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_fixed_point(emb, "label")
 
 
 # ---------------------------------------------------------------------------
