@@ -198,3 +198,50 @@ def ngram_pairs(text_col: Column | str) -> Column:
     return F.when(F.size(toks) >= 2, bigrams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    min_len: int = 3,
+):
+    """Corpus-level TF-IDF vocabulary: the ``k`` most *distinctive* terms,
+    scored ``total_tf * ln(N / df)`` (raw term frequency summed over the
+    corpus, unsmoothed IDF; terms present in every document score 0).
+
+    Scale shape: one map-side tokenize+explode, then a single shuffle on
+    the term key computing ``total_tf`` (sum of per-doc counts) and ``df``
+    (distinct docs) in the same partial+final aggregate, then
+    TakeOrdered(k). No all-pairs, no second scan: N comes from a scalar
+    subquery-style broadcast count. All aggregates are integer-exact, so
+    1000-executor partials equal the single-node result; the only float op
+    is the final per-term ``tf * ln(N/df)``, rounded to 6 dp for a stable
+    cross-engine ordering (ties broken by term).
+    """
+    c = F.lower(F.col(text_col))
+    terms = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.regexp_extract_all(c, F.lit("[a-z]+"), 0)).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    per_term = (
+        terms.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("total_tf"),
+            F.countDistinct("__doc").alias("df"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    scored = per_term.select(
+        "term",
+        "total_tf",
+        "df",
+        F.round(
+            F.col("total_tf").cast("double")
+            * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    return scored.orderBy(F.col("tfidf").desc(), F.col("term").asc()).limit(k)

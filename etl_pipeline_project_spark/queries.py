@@ -2456,6 +2456,400 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 2: corpus statistics, robust aggregation, runtime-filter
+# and skew-join techniques as contract keys, the composed cleaning pass,
+# stream-static enrichment, and unpivot.
+# ---------------------------------------------------------------------------
+
+_CATEGORY_SQL = (
+    "CASE WHEN event_type IN ('click', 'view') THEN 'engagement' ELSE 'system' END"
+)
+
+
+def _event_category() -> F.Column:
+    return (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("engagement"))
+        .otherwise(F.lit("system"))
+        .alias("category")
+    )
+
+
+@_q(
+    "q_tfidf_top_terms",
+    """
+    WITH t AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+      ) WHERE length(term) >= 3
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pt AS (
+      SELECT term, COUNT(*) AS total_tf, COUNT(DISTINCT doc_id) AS df
+      FROM t GROUP BY term
+    )
+    SELECT term, total_tf, df,
+           ROUND(CAST(total_tf AS DOUBLE)
+                 * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+    FROM pt, n
+    ORDER BY tfidf DESC, term ASC
+    LIMIT 100
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF vocabulary: top-100 distinctive terms. Map-side
+    tokenize+explode, ONE shuffle on the term key (total_tf and df in the
+    same partial+final aggregate), broadcast scalar N, TakeOrdered(100).
+    Integer aggregates ⇒ partials are exact; the single float op
+    (tf·ln(N/df)) rounds to 6 dp for a stable cross-engine ordering."""
+    from etl_pipeline_project_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=100)
+
+
+def _msum4(expr: str) -> str:
+    return (
+        f"CAST(CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), 4) "
+        "AS DECIMAL(38,4)) AS DOUBLE)"
+    )
+
+
+@_q(
+    "q_winsorized_agg",
+    f"""
+    WITH th AS (
+      SELECT event_type,
+             ROUND(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 4) AS lo,
+             ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           {_msum4('LEAST(GREATEST(value, lo), hi)')} AS winsorized_sum
+    FROM events e JOIN th USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) aggregation: per-type p05/p95 fences
+    from exact percentiles, values clipped into the fences, then an exact
+    decimal sum — the robust-metrics primitive. Two aggregates over the
+    same grouping key: the tiny fences table (one row per type)
+    broadcasts back onto the fact scan, so the big side shuffles once.
+    Fences round to 4 dp so the clip comparisons are engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(fences), on="event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("clipped"), 1).otherwise(0)).cast("long").alias("n_clipped"),
+        exact_sum(F.col("w"), 4).alias("winsorized_sum"),
+    )
+
+
+@_q(
+    "q_outlier_zscore",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100, 0) AS HUGEINT) AS x,
+             CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)) OVER w AS s1,
+             SUM(CAST(ROUND(value * 100, 0) AS HUGEINT)
+                 * CAST(ROUND(value * 100, 0) AS HUGEINT)) OVER w AS s2
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (n * x - s1) * (n * x - s1) > 9 * (n * s2 - s1 * s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM s GROUP BY user_id
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score outlier counts (|z| > 3, population σ) computed
+    entirely in exact integer arithmetic: values scale to cents, the
+    per-key moments S1/S2 come from one window pass, and the z test
+    rewrites to (n·x−S1)² > 9·(n·S2−S1²) — no float division, so
+    1000-executor partials and any accumulation order give the identical
+    answer. One shuffle on user_id, reused by the window and the final
+    aggregate (Catalyst sees the same partitioning — no second exchange)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.round(F.col("value") * 100, 0).cast("decimal(38,0)")
+    w = Window.partitionBy("user_id")
+    s = ev.select(
+        "user_id",
+        x.alias("x"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        F.sum(x).over(w).cast("decimal(38,0)").alias("s1"),
+        F.sum(x * x).over(w).cast("decimal(38,0)").alias("s2"),
+    )
+    # no ** (it routes through double): explicit decimal multiplies stay exact
+    d = F.col("n") * F.col("x") - F.col("s1")
+    rhs = F.lit(9).cast("decimal(38,0)") * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return s.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(F.when(d * d > rhs, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )
+
+
+@_q(
+    "q_interval_months",
+    f"""
+    WITH m AS (
+      SELECT o_orderkey, o_totalprice,
+             unnest(generate_series(date_trunc('month', o_orderdate),
+                                    date_trunc('month', o_orderdate + INTERVAL 29 DAY),
+                                    INTERVAL 1 MONTH)) AS month
+      FROM orders
+    )
+    SELECT CAST(month AS TIMESTAMP) AS month,
+           COUNT(*) AS n_active,
+           {{MSUM}} AS active_value
+    FROM m GROUP BY 1
+    """.replace("{MSUM}", _msum("o_totalprice")),
+)
+def q_interval_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap aggregation — "how many orders are active in each
+    calendar month", each order active for 30 days. Instead of a range
+    join (every month × every order, O(n·m) comparisons), each interval
+    explodes to the ≤2 month buckets it covers and the overlap becomes a
+    plain equi-aggregate: map-only expansion, one shuffle on the month
+    key. This bucketed decomposition is how interval joins stay linear at
+    100 TB; the generic range-join fallback is q_join_range."""
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col("o_orderdate")),
+                F.date_trunc(
+                    "month", F.col("o_orderdate") + F.expr("INTERVAL 29 DAYS")
+                ),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    return months.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        money_sum(F.col("o_totalprice")).alias("active_value"),
+    )
+
+
+@_q(
+    "q_bloom_prune_semi",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {{MSUM}} AS total_value
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """.replace("{MSUM}", _msum("o_totalprice")),
+)
+def q_bloom_prune_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi join: the dim keys hash into a 4096-slot
+    membership array (~32 KB) that broadcasts and prunes the fact scan
+    *before* the exact semi join (operators/joins.py
+    `coarse_bucket_semi_join`) — Spark's bloom-filter join rewrite made
+    explicit. The pre-filter passes a superset, the exact join refines,
+    so the answer never depends on the filter; at 100 TB the shuffle
+    volume drops by ≈ the dim filter's selectivity."""
+    from etl_pipeline_project_spark.operators.joins import coarse_bucket_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    hits = coarse_bucket_semi_join(orders, dim, "o_custkey", "c_custkey")
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total_value"),
+    )
+
+
+@_q(
+    "q_join_skew_salted",
+    f"""
+    WITH d AS (
+      SELECT event_type, {_CATEGORY_SQL} AS category
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT d.category, COUNT(*) AS n_events,
+           {{MSUM}} AS total_value
+    FROM events e JOIN d USING (event_type)
+    GROUP BY d.category
+    """.replace("{MSUM}", _msum("value")),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe dimension join as a contract key: the fact side's join
+    key has 5 distinct values (extreme skew — a hash join would put ~20%
+    of 100 TB on each of 5 reducers), so the join salts the hot keys
+    across 8 sub-partitions and replicates the 5-row dim once per salt
+    (operators/joins.py `salted_join`). The oracle is the plain join —
+    salting must be invisible in the result."""
+    from etl_pipeline_project_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().select("event_type", _event_category())
+    joined = salted_join(ev, dim, "event_type", salt_parts=8)
+    return joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value")).alias("total_value"),
+    )
+
+
+_CLEAN_QUALITY_SQL = f"""
+    (LEAST(CAST({_WC_SQL} AS DOUBLE) / 50.0, 1.0)
+     + (1.0 - LEAST(({_PUNCT_SQL}) * 4, 1.0))
+     + LEAST((CAST({_STOP_SQL} AS DOUBLE) / CAST(GREATEST({_WC_SQL}, 1) AS DOUBLE)) * 5, 1.0)
+    ) / 3
+"""
+
+
+@_q(
+    "q_clean_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_BPE_SQL} AS n_tokens, {_FP_SQL} AS fp
+      FROM documents
+      WHERE lang = 'en' AND length(text) BETWEEN 100 AND 20000
+        AND {_CLEAN_QUALITY_SQL} >= 0.5
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style cleaning pass — language filter → length
+    bounds → quality threshold → exact near-identity dedup (keep lowest
+    doc_id per fingerprint) → corpus-mix report. All filters are map-only
+    Catalyst expressions evaluated in one scan pass; the only shuffles
+    are the fingerprint dedup and the final per-source aggregate. This is
+    the end-to-end recipe the individual q_text_* / q_dedup_* keys
+    exist to serve."""
+    from etl_pipeline_project_spark.operators.text_analysis import (
+        doc_fingerprint,
+        quality_score,
+        token_count_bpe,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.filter(F.col("lang") == "en")
+        .filter(F.length("text").between(100, 20000))
+        .filter(quality_score("text") >= 0.5)
+        .select(
+            "doc_id",
+            "source",
+            token_count_bpe("text").alias("n_tokens"),
+            doc_fingerprint("text").alias("fp"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@_q(
+    "q_stream_join",
+    f"""
+    WITH d AS (
+      SELECT event_type, {_CATEGORY_SQL} AS category
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, category,
+           COUNT(*) AS n_events
+    FROM events e JOIN d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins the unbounded
+    events stream to a broadcast static dimension (stateless — no join
+    state store), then a watermarked tumbling-day aggregate by the
+    enriched attribute. The final availableNow state equals the batch
+    join+aggregate (the oracle)."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    static_ev = load_table(spark, sf_dir, "events")
+    dim = static_ev.select("event_type").distinct().select(
+        "event_type", _event_category()
+    )
+    enriched = stream_static_enrich(read_events_stream(spark, sf_dir), dim, "event_type")
+    out = (
+        enriched.groupBy(F.window(F.col("ts"), "1 day"), "category")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("day_start"), "category", "n_events")
+    )
+    return run_to_memory(out, output_mode="complete")
+
+
+@_q(
+    "q_unpivot",
+    f"""
+    WITH u AS (
+      SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+    )
+    SELECT measure, COUNT(*) AS n_rows, {{MSUM}} AS total
+    FROM u GROUP BY measure
+    """.replace("{MSUM}", _msum("val")),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the lineitem measures, then a grouped
+    exact sum per measure. Spark's native `unpivot` expands map-side
+    (no shuffle for the reshape itself — the only exchange is the final
+    3-group aggregate); the DuckDB twin is the UNION ALL formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(F.col("val")).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver

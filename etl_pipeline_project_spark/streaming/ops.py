@@ -96,3 +96,22 @@ def run_to_memory(df: DataFrame, *, output_mode: str = "append") -> DataFrame:
     q.awaitTermination()
     spark = df.sparkSession
     return spark.table(name)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    ts: str = "ts",
+) -> DataFrame:
+    """Stream-static enrichment join (`q_stream_join`): each micro-batch
+    joins against a static dimension — the streaming twin of the
+    reference's per-batch lookup joins. The dim side broadcasts, so the
+    unbounded side is never shuffled for the join; state is only held for
+    the downstream watermarked aggregate, not the join itself (stream ⋈
+    static is stateless in Structured Streaming).
+    """
+    return (
+        stream.withWatermark(ts, "1 day")
+        .join(F.broadcast(dim), on=on, how="inner")
+    )

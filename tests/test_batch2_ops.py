@@ -1,0 +1,122 @@
+"""Round-2 batch-2 operators: TF-IDF vocabulary, robust aggregation,
+runtime-filter semi join, interval bucketing, the composed cleaning pass,
+and unpivot. Oracle parity is covered by tools/oracle_check.py; these
+tests pin the *semantic* properties the oracles can't see (pruning
+behavior, clip bounds, plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_project_spark.operators.joins import coarse_bucket_semi_join
+from etl_pipeline_project_spark.operators.text_analysis import tfidf_top_terms
+from etl_pipeline_project_spark.queries import REGISTRY
+from etl_pipeline_project_spark.sources.readers import load_table
+
+
+def test_coarse_semi_join_equals_plain_semi(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    plain = orders.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "leftsemi"
+    )
+    coarse = coarse_bucket_semi_join(orders, dim, "o_custkey", "c_custkey")
+    assert coarse.count() == plain.count()
+    assert (
+        coarse.select(F.sum("o_orderkey")).first()[0]
+        == plain.select(F.sum("o_orderkey")).first()[0]
+    )
+
+
+def test_coarse_semi_join_prunes_before_join(spark, sf_dir):
+    """With a tiny bucket space, the pre-filter itself must already cut the
+    fact side to a superset of the true matches (collision-bounded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 == 0
+    ).select("c_custkey")
+    true_n = orders.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "leftsemi"
+    ).count()
+    out = coarse_bucket_semi_join(orders, dim, "o_custkey", "c_custkey", n_buckets=4096)
+    assert out.count() == true_n
+
+
+def test_tfidf_terms_ordered_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = tfidf_top_terms(docs, k=20).collect()
+    assert len(rows) <= 20
+    scores = [r["tfidf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a term appearing in every doc is maximally non-distinctive: score 0
+    n = docs.count()
+    for r in rows:
+        assert r["df"] <= n
+        if r["df"] == n:
+            assert r["tfidf"] == 0.0
+
+
+def test_winsorized_sum_within_fence_bounds(spark, sf_dir):
+    out = {r["event_type"]: r for r in REGISTRY["q_winsorized_agg"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    raw = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    for et, r in out.items():
+        assert r["n_events"] == raw[et]["n"]
+        # clipping strictly shrinks the tails' contribution
+        assert r["n_clipped"] >= 0
+        assert r["winsorized_sum"] <= raw[et]["s"] * 1.05 + 1e-6
+
+
+def test_outlier_zscore_counts_bounded(spark, sf_dir):
+    rows = REGISTRY["q_outlier_zscore"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # |z|>3 ⇒ Chebyshev bounds the share at 1/9 of the population
+        assert r["n_outliers"] <= max(1, r["n_events"] // 9 + 1)
+
+
+def test_interval_months_expansion_factor(spark, sf_dir):
+    """A 30-day interval covers exactly 1 or 2 calendar-month buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    total_assignments = (
+        REGISTRY["q_interval_months"](spark, sf_dir)
+        .agg(F.sum("n_active"))
+        .first()[0]
+    )
+    assert n_orders <= total_assignments <= 2 * n_orders
+
+
+def test_unpivot_is_three_way_expansion(spark, sf_dir):
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    rows = {r["measure"]: r["n_rows"] for r in REGISTRY["q_unpivot"](spark, sf_dir).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount"}
+    assert all(v == li_n for v in rows.values())
+
+
+def test_clean_pipeline_is_subset_of_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = dict(
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    out = REGISTRY["q_clean_pipeline"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 < r["n_docs"] <= per_source[r["source"]]
+
+
+def test_salted_skew_key_plan_has_salt_column(spark, sf_dir):
+    """The salted contract query must actually salt: its plan carries the
+    __salt join key (8-way spread of the 5 hot event_type keys)."""
+    df = REGISTRY["q_join_skew_salted"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "__salt" in plan
