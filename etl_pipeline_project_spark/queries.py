@@ -2850,6 +2850,242 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 3: product-analytics surface (funnel, retention, rolling
+# time windows, calendar gap-fill) and lakehouse small-file compaction.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ),
+    u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM s3 GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(t1) AS n_signup,
+           COUNT(t2) AS n_click_after_signup,
+           COUNT(t3) AS n_purchase_after_click
+    FROM u
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → later click → later purchase): per-user
+    stage timestamps via three chained min-over-partition windows, then
+    one global rollup. All three Window operators share the user_id
+    partitioning, so Catalyst plans ONE exchange for the whole funnel —
+    the chained-window formulation avoids the classic 3-self-join funnel
+    (3 shuffles of the full fact table) entirely."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w).alias("t1"),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after_signup"),
+        F.count("t3").alias("n_purchase_after_click"),
+    )
+
+
+@_q(
+    "q_retention_cohort",
+    """
+    WITH f AS (
+      SELECT user_id, ts,
+             MIN(date_trunc('month', ts)) OVER (PARTITION BY user_id) AS cohort
+      FROM events
+    )
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort_month,
+           CAST(datediff('month', cohort, date_trunc('month', ts)) AS INTEGER)
+             AS months_since,
+           COUNT(DISTINCT user_id) AS n_active_users
+    FROM f
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity month,
+    counted distinct in each subsequent month offset — the
+    product-analytics staple. One window pass for the cohort assignment
+    (shuffle on user_id) + one distinct aggregate on (cohort, offset).
+    months_between on month-truncated timestamps is integral, so the
+    offset is exact cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    f = ev.select(
+        "user_id",
+        F.min(F.date_trunc("month", F.col("ts"))).over(w).alias("cohort_month"),
+        F.date_trunc("month", F.col("ts")).alias("activity_month"),
+    )
+    return (
+        f.select(
+            "user_id",
+            "cohort_month",
+            F.months_between("activity_month", "cohort_month")
+            .cast("int")
+            .alias("months_since"),
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@_q(
+    "q_window_range_time",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 2)
+                AS DECIMAL(38,2)) AS DOUBLE) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day per-user event count and exact sum via a TIME-RANGE
+    window frame (not row-count): the frame key is unix microseconds, so
+    `RANGE 604800000000 PRECEDING` is exactly "the last 7 days" at full
+    timestamp precision on both engines, duplicate-timestamp peers
+    included. One shuffle on user_id + one sort per partition; the
+    decimal accumulator keeps the rolling sum order-independent."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604_800_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.round(F.sum(F.col("value").cast("decimal(38,10)")).over(w), 2)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_7d"),
+    )
+
+
+@_q(
+    "q_gap_fill",
+    """
+    WITH span AS (
+      SELECT user_id,
+             date_trunc('day', MIN(ts)) AS d0,
+             date_trunc('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    cal AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cal.user_id, CAST(cal.day AS TIMESTAMP) AS day,
+           COALESCE(daily.n, 0) AS n_events
+    FROM cal LEFT JOIN daily USING (user_id, day)
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: densify each user's activity to a contiguous
+    daily series (zero-filled) between their first and last event — the
+    prerequisite for any rolling/365-day metric downstream. The calendar
+    side generates from the per-user span (two tiny aggregates), so the
+    join is (users × days) against the daily rollup, both pre-shrunk —
+    the raw fact table is never joined row-level."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cal.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@_q(
+    "q_compact_files",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {{MSUM}} AS total_value
+    FROM events GROUP BY event_type
+    """.replace("{MSUM}", _msum("value")),
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every streaming
+    ingest needs: a fragmented landing zone (64 shards here, standing in
+    for per-micro-batch files) is rewritten into size-targeted files in
+    one distributed pass (`repartition` + `maxRecordsPerFile`), then read
+    back. Content must be byte-for-byte the same table (the oracle); the
+    file-count collapse is asserted in tests. At 100 TB this is the
+    difference between a scan planning 10M splits and 10k."""
+    from etl_pipeline_project_spark.sources.sinks import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    landing = f"{_SCRATCH}/compact_landing"
+    compacted = f"{_SCRATCH}/compact_out"
+    ev.repartition(64).write.mode("overwrite").parquet(landing)
+    compact_parquet(spark, landing, compacted, target_partitions=4)
+    out = spark.read.parquet(compacted)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value")).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver

@@ -45,3 +45,30 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", partition_by
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_parquet(
+    spark,
+    source_path: str,
+    target_path: str,
+    *,
+    target_partitions: int | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Small-file compaction: rewrite a fragmented parquet prefix into
+    size-targeted files. One distributed read → ``repartition`` (a single
+    round-robin shuffle, the only way to *merge* undersized splits —
+    ``coalesce`` would also narrow the read parallelism) → write with
+    ``maxRecordsPerFile`` as the upper bound so no output file overshoots.
+
+    At scale, run per partition-directory with ``target_partitions ≈
+    bytes/128MB``; the op is idempotent (overwrite) and safe to re-run
+    after every streaming ingest window."""
+    df = spark.read.parquet(source_path)
+    if target_partitions is not None:
+        df = df.repartition(target_partitions)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(target_path)
+    )

@@ -120,3 +120,65 @@ def test_salted_skew_key_plan_has_salt_column(spark, sf_dir):
     df = REGISTRY["q_join_skew_salted"](spark, sf_dir)
     plan = df._jdf.queryExecution().toString()
     assert "__salt" in plan
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    r = REGISTRY["q_funnel"](spark, sf_dir).first()
+    assert r["n_users"] >= r["n_signup"] >= r["n_click_after_signup"] >= r["n_purchase_after_click"]
+    assert r["n_signup"] > 0
+
+
+def test_funnel_plans_single_exchange(spark, sf_dir):
+    """The three chained windows share the user_id partitioning; the plan
+    must contain exactly one Exchange below the final rollup."""
+    df = REGISTRY["q_funnel"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_exchanges == 1, plan
+
+
+def test_retention_cohort_month_zero_covers_all_users(spark, sf_dir):
+    from etl_pipeline_project_spark.sources.readers import load_table as lt
+
+    rows = REGISTRY["q_retention_cohort"](spark, sf_dir).collect()
+    month0 = sum(r["n_active_users"] for r in rows if r["months_since"] == 0)
+    n_users = lt(spark, sf_dir, "events").select("user_id").distinct().count()
+    # every user is active in their own cohort month
+    assert month0 == n_users
+    assert all(r["months_since"] >= 0 for r in rows)
+
+
+def test_window_range_time_bounds(spark, sf_dir):
+    rows = REGISTRY["q_window_range_time"](spark, sf_dir).collect()
+    by_user_total = {}
+    for r in rows:
+        by_user_total.setdefault(r["user_id"], 0)
+        by_user_total[r["user_id"]] += 1
+    for r in rows:
+        assert 1 <= r["n_7d"] <= by_user_total[r["user_id"]]
+
+
+def test_gap_fill_is_contiguous_per_user(spark, sf_dir):
+    import datetime
+
+    rows = REGISTRY["q_gap_fill"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["day"])
+    for days in by_user.values():
+        days.sort()
+        span = (days[-1] - days[0]).days + 1
+        assert len(days) == span  # no holes, no duplicates
+        assert all(
+            (b - a) == datetime.timedelta(days=1) for a, b in zip(days, days[1:])
+        )
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob
+
+    REGISTRY["q_compact_files"](spark, sf_dir).collect()
+    landing = glob.glob("/root/repo/.scratch/compact_landing/*.parquet")
+    compacted = glob.glob("/root/repo/.scratch/compact_out/*.parquet")
+    assert len(landing) == 64
+    assert len(compacted) <= 4
