@@ -3086,6 +3086,200 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 4: CSV staging round-trip, balanced per-class sampling,
+# corpus length histogram, bag-semantics EXCEPT ALL, null-safe join, and
+# schema-evolution reads.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_scan_csv_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV staging round-trip as a contract key (reference staging tier,
+    `data/utils.py:6-45`): events → partitioned CSV prefix → glob read
+    with the explicit schema (no inference, SURVEY §1.4 Q2) → aggregate.
+    Timestamps cross CSV as ISO strings; the aggregate projects only
+    engine-portable columns (cents as integers — CSV carries no float
+    precision contract)."""
+    import pyspark.sql.types as T
+
+    from etl_pipeline_project_spark.sources.readers import read_csv_glob
+    from etl_pipeline_project_spark.sources.sinks import write_csv
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = f"{_SCRATCH}/csv_stage"
+    write_csv(ev, out, partition_by=["event_type"])
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # partition column event_type comes back from the directory layout
+    back = read_csv_glob(spark, out, schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("value_cents"),
+    )
+
+
+@_q(
+    "q_balanced_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, rn FROM ranked WHERE rn <= 50
+    """,
+)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class sampling: exactly ≤N docs per source, chosen by
+    rank over a hash of the id — the class-rebalancing primitive for
+    training mixes. Hash-ordering makes the pick pseudo-random yet a pure
+    function of the id: stable across runs, engines and cluster sizes
+    (rand() would be none of those). One shuffle on the class key; at
+    100 TB per-class TopK pushes partial limits map-side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@_q(
+    "q_length_histogram",
+    f"""
+    WITH t AS (SELECT {_BPE_SQL} AS n_tokens FROM documents)
+    SELECT CAST(n_tokens // 64 AS BIGINT) AS bucket,
+           CAST(n_tokens // 64 * 64 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (64-token buckets) — the sequence-length
+    distribution every packing/truncation decision reads. Map-side
+    tokenize + integer bucketing, one tiny aggregate; nothing but the
+    histogram leaves the executors."""
+    from etl_pipeline_project_spark.operators.text_analysis import token_count_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(token_count_bpe("text").alias("n_tokens"))
+    b = F.floor(F.col("n_tokens") / 64).cast("long")
+    return t.groupBy(
+        b.alias("bucket"), (b * 64).cast("long").alias("bucket_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@_q(
+    "q_set_except_all",
+    """
+    SELECT l_orderkey AS order_key FROM lineitem WHERE l_linestatus = 'O'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each occurrence on the right cancels
+    ONE occurrence on the left (multiplicity arithmetic, not membership).
+    The distinct-semantics variant is q_set_except; both plan as one
+    shuffle on the full row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_linestatus") == "O").select(
+        F.col("l_orderkey").alias("order_key")
+    )
+    right = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("order_key")
+    )
+    return left.exceptAll(right)
+
+
+@_q(
+    "q_join_null_safe",
+    """
+    WITH l AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+      FROM events
+    ),
+    d AS (
+      SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+      FROM events
+    )
+    SELECT d.k AS event_kind, COUNT(*) AS n_events
+    FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of silently dropping — the semantics a plain equi
+    join gets wrong when the join key is nullable. Catalyst plans `<=>`
+    as a hash join key (not a cartesian + filter), so it broadcasts and
+    scales exactly like `=`."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    left = ev.select("event_id", k.alias("k"))
+    dim = ev.select(k.alias("dk")).distinct()
+    return (
+        left.join(F.broadcast(dim), left["k"].eqNullSafe(dim["dk"]))
+        .groupBy(F.col("dk").alias("event_kind"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_q(
+    "q_schema_evolution",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different
+    schemas (the second adds o_orderpriority) unify under
+    ``mergeSchema`` — old files surface NULL for the added column, no
+    rewrite of historical data. This is how a 100 TB table takes a new
+    column for free; the oracle synthesizes the same null pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = f"{_SCRATCH}/schema_evo"
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{out}/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
