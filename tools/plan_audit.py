@@ -76,6 +76,63 @@ def main() -> int:
         )
     )
 
+    p = plan("q_bloom_prune_semi")
+    checks.append(
+        (
+            "q_bloom_prune_semi filters with the broadcast bucket array before the semi join",
+            "array_contains" in p and "BroadcastHashJoin" in p and "LeftSemi" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_outlier_zscore")
+    checks.append(
+        (
+            "q_outlier_zscore reuses one user_id exchange for window + final agg",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_window_range_time")
+    checks.append(
+        (
+            "q_window_range_time single exchange for the time-RANGE frame",
+            len(re.findall(r"Exchange", p)) == 1 and "RangeFrame" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_funnel")
+    checks.append(
+        (
+            "q_funnel chains 3 windows + rollup on ONE user_id exchange",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_balanced_sample")
+    checks.append(
+        (
+            "q_balanced_sample pushes the per-class limit into the window (WindowGroupLimit)",
+            "WindowGroupLimit" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_tfidf_top_terms")
+    checks.append(
+        (
+            "q_tfidf_top_terms ends in TakeOrderedAndProject (top-k never centralizes)",
+            "TakeOrderedAndProject" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_length_histogram")
+    checks.append(
+        (
+            "q_length_histogram partial+final agg, single exchange",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
