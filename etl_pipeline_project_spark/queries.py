@@ -3307,6 +3307,14 @@ _CHECK_PRIORITY = [
     "q_join_asof", "q_sql_entry", "q_join_semi", "q_join_range",
     "q_window_running", "q_window_lag", "q_null_fill", "q_quantiles",
     "q_json_extract", "q_explode_collect", "q_sql_q5", "q_udf_pandas_scalar",
+    # round-2 batches 2-4 — no driver evidence exists yet for these
+    "q_tfidf_top_terms", "q_winsorized_agg", "q_outlier_zscore",
+    "q_interval_months", "q_bloom_prune_semi", "q_join_skew_salted",
+    "q_clean_pipeline", "q_stream_join", "q_unpivot", "q_funnel",
+    "q_retention_cohort", "q_window_range_time", "q_gap_fill",
+    "q_compact_files", "q_scan_csv_roundtrip", "q_balanced_sample",
+    "q_length_histogram", "q_set_except_all", "q_join_null_safe",
+    "q_schema_evolution",
 ]
 
 
