@@ -3280,6 +3280,172 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 5: training-batch assembly (sequence packing), tokenizer
+# evaluation (vocabulary coverage / OOV rate), and corpus entropy.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_BPE_SQL} AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-capacity (2048-token)
+    training bins by contiguous fill in doc_id order per source: bin_id =
+    floor(preceding-cumsum / capacity). Unlike first-fit-decreasing
+    (inherently sequential, driver-bound), contiguous fill is one window
+    cumsum — a single shuffle on source + per-partition sort, fully
+    distributed, and a pure function of the corpus (stable across runs and
+    cluster sizes). Docs longer than the capacity simply span bins, which
+    is exactly how packed pre-training batches treat overlong documents."""
+    from pyspark.sql import Window
+
+    from etl_pipeline_project_spark.operators.text_analysis import token_count_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", token_count_bpe("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / 2048).cast("long").alias("bin_id"),
+        (start % 2048).cast("long").alias("bin_offset"),
+    )
+
+
+@_q(
+    "q_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+      )
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+        ORDER BY cnt DESC, term ASC LIMIT 64
+      )
+    ),
+    marked AS (
+      SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS hit
+      FROM toks t LEFT JOIN vocab v USING (term)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(hit) AS BIGINT) AS n_in_vocab,
+           CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_oov
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report: build the top-64 corpus
+    vocabulary (frequency-ranked, term tie-break), then mark every token
+    in-vocab or OOV per document — the tokenizer-evaluation loop. The
+    vocabulary is two aggregates + TakeOrdered (tiny), then broadcasts
+    into a map-side LEFT join against the exploded token stream: the
+    100 TB side shuffles once (the per-doc rollup), never for the probe."""
+    c = F.lower(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(c, F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(64)
+        .select("term", F.lit(1).alias("hit"))
+    )
+    marked = toks.join(F.broadcast(vocab), on="term", how="left").select(
+        "doc_id", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("hit").cast("long").alias("n_in_vocab"),
+        (F.count(F.lit(1)) - F.sum("hit")).cast("long").alias("n_oov"),
+    )
+
+
+@_q(
+    "q_source_entropy",
+    """
+    WITH tc AS (
+      SELECT source, term, COUNT(*) AS c FROM (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+      ) GROUP BY source, term
+    ),
+    tot AS (SELECT source, SUM(c) AS n, COUNT(*) AS n_terms FROM tc GROUP BY source)
+    SELECT tc.source,
+           CAST(MAX(tot.n) AS BIGINT) AS n_tokens,
+           CAST(MAX(tot.n_terms) AS BIGINT) AS n_distinct_terms,
+           ROUND(ln(CAST(MAX(tot.n) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(MAX(tot.n) AS DOUBLE), 4) AS token_entropy_nats
+    FROM tc JOIN tot USING (source)
+    GROUP BY tc.source
+    """,
+)
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token Shannon entropy (nats) — the corpus-diversity
+    metric a data-mix dashboard tracks (low entropy = repetitive/templated
+    source). Uses H = ln(N) − Σc·ln(c)/N so the only cross-engine float
+    work is one ln per distinct term and one final sum, rounded to 4 dp;
+    counts stay integer-exact through both shuffles (term rollup → source
+    rollup)."""
+    c = F.lower(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(F.regexp_extract_all(c, F.lit("[a-z]+"), 0)).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_terms")
+    )
+    joined = tc.join(F.broadcast(tot), on="source")
+    return joined.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.max("n_terms").cast("long").alias("n_distinct_terms"),
+        F.round(
+            F.log(F.max("n").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.max("n").cast("double"),
+            4,
+        ).alias("token_entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -3314,7 +3480,8 @@ _CHECK_PRIORITY = [
     "q_retention_cohort", "q_window_range_time", "q_gap_fill",
     "q_compact_files", "q_scan_csv_roundtrip", "q_balanced_sample",
     "q_length_histogram", "q_set_except_all", "q_join_null_safe",
-    "q_schema_evolution",
+    "q_schema_evolution", "q_pack_sequences", "q_vocab_coverage",
+    "q_source_entropy",
 ]
 
 

@@ -229,3 +229,39 @@ def test_csv_roundtrip_preserves_counts(spark, sf_dir):
     out = REGISTRY["q_scan_csv_roundtrip"](spark, sf_dir)
     total = out.agg(F.sum("n_events")).first()[0]
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
+    rows = REGISTRY["q_pack_sequences"](spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for rs in by_source.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["bin_id"] == cum // 2048
+            assert r["bin_offset"] == cum % 2048
+            cum += r["n_tokens"]
+
+
+def test_vocab_coverage_accounting(spark, sf_dir):
+    rows = REGISTRY["q_vocab_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_in_vocab"] + r["n_oov"] == r["n_tokens"]
+        assert r["n_in_vocab"] >= 0 and r["n_oov"] >= 0
+    # a frequency-top-64 vocab must cover a majority of token mass
+    tot = sum(r["n_tokens"] for r in rows)
+    hit = sum(r["n_in_vocab"] for r in rows)
+    assert hit / tot > 0.3
+
+
+def test_source_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = REGISTRY["q_source_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 ≤ H ≤ ln(number of distinct terms)
+        assert -1e-9 <= r["token_entropy_nats"] <= math.log(r["n_distinct_terms"]) + 1e-9
