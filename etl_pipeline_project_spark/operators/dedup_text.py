@@ -45,11 +45,19 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(c, " ")
     n = F.size(words)
-    make = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
-    )
-    return F.array_distinct(F.when(n >= k, make).otherwise(F.array().cast("array<string>")))
+    m = n - (k - 1)
+    # k-1 chained zip_with over shifted slices — one linear pass. The
+    # transform(sequence, i -> slice(words, i, k)) formulation re-inlines
+    # the split into every lambda call (one re-tokenize per shingle =
+    # quadratic; the same pathology measured 11× on ngram_pairs).
+    acc = F.slice(words, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(F.when(n >= k, acc).otherwise(F.array().cast("array<string>")))
 
 
 def jaccard_pairs(
