@@ -3446,6 +3446,83 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 6: lakehouse maintenance — batch MERGE (upsert) and
+# incremental aggregate maintenance (associative partial-state merge).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_merge_upsert",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderdate >= TIMESTAMP '1996-06-01'
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: load the full orders table as the target, then merge a
+    change set (every order from 1996-06 on, with doubled totalprice) —
+    matched keys take the change row, unmatched rows survive, and the
+    read-back equals the oracle's CASE projection. ×2 is an exact IEEE
+    op, so the updated values are engine-portable."""
+    from etl_pipeline_project_spark.sources.sinks import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = f"{_SCRATCH}/merge_upsert"
+    base = orders.select("o_orderkey", "o_totalprice")
+    base.write.mode("overwrite").parquet(out)
+    changes = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-06-01").cast("timestamp")
+    ).select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    merge_upsert(spark, out, changes, "o_orderkey")
+    return spark.read.parquet(out)
+
+
+@_q(
+    "q_incr_agg_maintenance",
+    f"""
+    SELECT event_type, COUNT(*) AS n_events, {{MSUM}} AS total_value
+    FROM events GROUP BY event_type
+    """.replace("{MSUM}", _msum("value")),
+)
+def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh): the
+    standing aggregate state is kept as mergeable partials (count +
+    DECIMAL sum — both associative and commutative), a new batch produces
+    its own partials, and refresh is partial ⊎ partial — the new batch is
+    touched once and the base table never re-scanned. The oracle is the
+    full recompute, which must be indistinguishable. Decimal partials are
+    what make this sound: float partials would make the refreshed state
+    depend on merge order."""
+    ev = load_table(spark, sf_dir, "events")
+    state_path = f"{_SCRATCH}/agg_state"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("s"),
+        )
+
+    # standing state from the "old" half, new batch = the other half
+    partials(ev.filter(F.col("event_id") % 2 == 0)).write.mode("overwrite").parquet(
+        state_path
+    )
+    state = spark.read.parquet(state_path)
+    delta = partials(ev.filter(F.col("event_id") % 2 == 1))
+    refreshed = (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return refreshed.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("s"), 2).cast("decimal(38,2)").cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -3481,7 +3558,7 @@ _CHECK_PRIORITY = [
     "q_compact_files", "q_scan_csv_roundtrip", "q_balanced_sample",
     "q_length_histogram", "q_set_except_all", "q_join_null_safe",
     "q_schema_evolution", "q_pack_sequences", "q_vocab_coverage",
-    "q_source_entropy",
+    "q_source_entropy", "q_merge_upsert", "q_incr_agg_maintenance",
 ]
 
 

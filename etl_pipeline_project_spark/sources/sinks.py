@@ -72,3 +72,31 @@ def compact_parquet(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(target_path)
     )
+
+
+def merge_upsert(spark, target_path: str, changes: DataFrame, key: str) -> None:
+    """Batch MERGE (upsert) into a parquet target: rows whose key appears
+    in ``changes`` are replaced by the change row, unmatched target rows
+    are kept, never-seen keys are inserted — the UPDATE+INSERT half of
+    SQL MERGE, expressed as anti-join ∪ changes (Spark has no in-place
+    update; a lakehouse rewrite is the physical form of MERGE anyway).
+
+    At 100 TB the full-table rewrite is wrong: partition the target (by
+    day/bucket), derive the touched partitions from ``changes``' keys,
+    and rewrite only those via dynamic partition overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``) — the plan
+    here is unchanged, only the write scope narrows."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from etl_pipeline_project_spark.operators.joins import anti_incremental
+    from etl_pipeline_project_spark.operators.setops import union_all
+
+    changes = changes.dropDuplicates([key])
+    try:
+        existing = spark.read.parquet(target_path)
+    except AnalysisException:
+        merged = changes
+    else:
+        kept = anti_incremental(existing, changes, key)
+        merged = union_all(kept, changes.select(*existing.columns))
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)

@@ -265,3 +265,34 @@ def test_source_entropy_bounds(spark, sf_dir):
     for r in rows:
         # 0 ≤ H ≤ ln(number of distinct terms)
         assert -1e-9 <= r["token_entropy_nats"] <= math.log(r["n_distinct_terms"]) + 1e-9
+
+
+def test_merge_upsert_is_idempotent(spark, sf_dir):
+    from etl_pipeline_project_spark.sources.sinks import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = "/root/repo/.scratch/merge_idem"
+    orders.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(out)
+    changes = orders.limit(10).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    ).localCheckpoint(eager=True)
+    merge_upsert(spark, out, changes, "o_orderkey")
+    once = spark.read.parquet(out)
+    n1, s1 = once.count(), once.agg(F.sum("o_totalprice")).first()[0]
+    merge_upsert(spark, out, changes, "o_orderkey")
+    twice = spark.read.parquet(out)
+    assert twice.count() == n1 == orders.count()
+    assert twice.agg(F.sum("o_totalprice")).first()[0] == s1
+
+
+def test_incr_agg_matches_full_recompute(spark, sf_dir):
+    out = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in REGISTRY["q_incr_agg_maintenance"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    full = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == full
