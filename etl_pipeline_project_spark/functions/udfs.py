@@ -20,3 +20,35 @@ def concat3_udf(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
     columns (reference `data/extraction.py:46`) — exists to demonstrate and
     test the Arrow UDF path against the built-in expression."""
     return a.astype("string") + "_" + b.astype("string") + "_" + c.astype("string")
+
+
+@F.pandas_udf(T.DoubleType())
+def median_udaf(v: pd.Series) -> float:
+    """Grouped-aggregate Pandas UDF (Series → scalar): exact median per
+    group. The UDAF half of the extension surface — Arrow ships each
+    group's column batch to Python once; the sort is per-group, never
+    global. np.median's even-count midpoint average is the same
+    interpolation as SQL percentile_cont(0.5)."""
+    import numpy as np
+
+    return float(np.median(v.to_numpy()))
+
+
+try:  # Python UDTFs need Spark 4.x / arrow-enabled builds
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitWordsUDTF:
+        """Python UDTF (table function): text → one row per token of the
+        first ``limit`` space-separated tokens. The UDTF half of §2.I —
+        lateral-joinable from SQL. Row-at-a-time Python is the slow path
+        by design (the built-in explode/split covers the fast path);
+        this exists to exercise the extension surface."""
+
+        def eval(self, text: str, limit: int):  # noqa: ANN001
+            toks = (text or "").split(" ")
+            for i, tok in enumerate(toks[: limit or 0]):
+                yield i, tok
+
+except ImportError:  # pragma: no cover - older runtimes
+    SplitWordsUDTF = None

@@ -3523,6 +3523,99 @@ def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 7: the rest of the §2.I extension surface (grouped-agg
+# pandas UDF, Python UDTF) and the cogroup/merge_asof scale path as a
+# contract key.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_join_asof_grouped",
+    """
+    SELECT e.event_id, e.user_id, c."r_value"
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS "r_value" FROM events
+                    WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q_join_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, cogroup scale path: both sides shuffle once on the key,
+    then ``pd.merge_asof`` runs per group (Arrow-batched, linear in group
+    size) — the shape for dense per-key timelines where the composition
+    form's range-join candidate set explodes. Same semantics as
+    q_join_asof (asserted equivalent in tests); DuckDB's native ASOF JOIN
+    is the oracle."""
+    from etl_pipeline_project_spark.operators.joins import asof_join_grouped
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+    )
+    out = asof_join_grouped(
+        ev, clicks, key="user_id", left_ts="ts", right_ts="ts", right_value="value"
+    )
+    return out.select("event_id", "user_id", "r_value")
+
+
+@_q(
+    "q_udaf_grouped_median",
+    """
+    SELECT event_type,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+             AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via grouped-agg Pandas UDF: exact per-group
+    median computed in Arrow-shipped numpy. Each group's sort stays
+    inside its executor; only (group, scalar) leaves. The built-in
+    percentile path is q_quantiles — this key exists to exercise the
+    UDAF extension surface against the same oracle semantics."""
+    from etl_pipeline_project_spark.functions.udfs import median_udaf
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(median_udaf("value"), 4).alias("median_value")
+    )
+
+
+@_q(
+    "q_udtf_split",
+    """
+    SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, toks[t.i] AS token
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE n_chars > 0
+    ), UNNEST(generate_series(1, LEAST(len(toks), 5))) AS t(i)
+    """,
+)
+def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) via LATERAL join: one output row per
+    token of each document's first 5 space-split tokens. Row-at-a-time
+    Python — deliberately the slow path (explode/split is the fast
+    path, q_doc_chunk/q_text_token_count); registered and invoked
+    through SQL to exercise the full UDTF surface."""
+    from etl_pipeline_project_spark.functions.udfs import SplitWordsUDTF
+    from etl_pipeline_project_spark.sources.catalog import register_testdata_views
+
+    if SplitWordsUDTF is None:  # pragma: no cover
+        raise NotImplementedError("Python UDTFs need Spark 4.x")
+    register_testdata_views(spark, sf_dir)
+    spark.udtf.register("split_words", SplitWordsUDTF)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM documents d, LATERAL split_words(d.text, 5) s
+        WHERE d.n_chars > 0
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -3559,6 +3652,7 @@ _CHECK_PRIORITY = [
     "q_length_histogram", "q_set_except_all", "q_join_null_safe",
     "q_schema_evolution", "q_pack_sequences", "q_vocab_coverage",
     "q_source_entropy", "q_merge_upsert", "q_incr_agg_maintenance",
+    "q_join_asof_grouped", "q_udaf_grouped_median", "q_udtf_split",
 ]
 
 

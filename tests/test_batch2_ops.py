@@ -296,3 +296,48 @@ def test_incr_agg_matches_full_recompute(spark, sf_dir):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert {k: v[0] for k, v in out.items()} == full
+
+
+def test_asof_grouped_matches_composition_form(spark, sf_dir):
+    from etl_pipeline_project_spark.operators.joins import asof_join, asof_join_grouped
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "value")
+    )
+    comp = asof_join(
+        ev, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", right_cols=["value"],
+    ).select("event_id", "r_value")
+    cog = asof_join_grouped(
+        ev, clicks, key="user_id", left_ts="ts", right_ts="ts", right_value="value"
+    ).select("event_id", "r_value")
+    a = {r["event_id"]: r["r_value"] for r in comp.collect()}
+    b = {r["event_id"]: r["r_value"] for r in cog.collect()}
+    assert a == b
+
+
+def test_udtf_split_row_counts(spark, sf_dir):
+    out = REGISTRY["q_udtf_split"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    n_docs = docs.count()
+    n_rows = out.count()
+    assert n_docs <= n_rows <= 5 * n_docs
+    assert out.filter(F.col("pos") > 4).count() == 0
+
+
+def test_udaf_median_matches_builtin(spark, sf_dir):
+    udaf = {
+        r["event_type"]: r["median_value"]
+        for r in REGISTRY["q_udaf_grouped_median"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    builtin = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("m"))
+        .collect()
+    }
+    assert udaf == builtin
