@@ -3548,7 +3548,8 @@ def q_join_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle."""
     from etl_pipeline_project_spark.operators.joins import asof_join_grouped
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    # project before the cogroup: every column here crosses Arrow twice
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     clicks = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
