@@ -351,3 +351,51 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, *, band_bits: 
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Directed shingle containment |A∩B| / |A| over blocked pairs — the
+    near-SUPERSET detector exact Jaccard misses: a short doc wholly
+    embedded in a long one has high containment but low Jaccard (the
+    union is dominated by the long side). Classic use: drop quoted /
+    excerpted / boilerplate-wrapped duplicates from a training corpus.
+
+    Same inverted-index plan as ``jaccard_pairs`` (explode → count
+    co-occurrence per pair, shuffle on (block, shingle)); directed, so
+    both (a,b) and (b,a) emit when both clear the threshold."""
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        word_shingles(text_col, k).alias("shingles"),
+    )
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
+    ex = sh.select(F.col(id_col), "block", F.explode("shingles").alias("tok"))
+    w = Window.partitionBy("block", "tok")
+    ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1).drop("df_")
+    a = ex.select(F.col(id_col).alias("id_a"), "block", "tok")
+    b = ex.select(F.col(id_col).alias("id_b"), "block", "tok")
+    inter = (
+        a.join(b, ["block", "tok"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    containment = F.col("n_inter").cast("double") / F.greatest(
+        F.col("sz_a"), F.lit(1)
+    ).cast("double")
+    return (
+        inter.join(sz_a, "id_a")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

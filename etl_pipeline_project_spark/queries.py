@@ -3617,6 +3617,179 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 8: retrieval & classification — BM25 full-text scoring,
+# k-NN majority-vote classification, shingle containment dedup.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "scan")
+
+
+@_q(
+    "q_search_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  * CAST(n_docs AS DOUBLE) / CAST(total_toks AS DOUBLE)))
+               * 1e6, 0) AS BIGINT) AS s_fp
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_hit, CAST(SUM(s_fp) AS BIGINT) AS bm25_micros
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micros DESC, doc_id LIMIT 20
+    """,
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: BM25 top-20 for the query {join, hash, scan}
+    (k1=1.2, b=0.75, Lucene-style idf). The per-(doc,term) score is one
+    deterministic float expression over integer stats (tf, df, dl, N,
+    Σdl), then ROUNDS TO MICRO-UNITS and sums as int64 — so the per-doc
+    score is order-independent (float partial sums would drift across
+    engines/partitionings) and the top-20 ordering is pure integer.
+    Plan: tokenize once, doc-length + tf + df from the same exploded
+    stream, tiny df/stats broadcast back, TakeOrdered(20)."""
+    c = F.lower(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(c, F.lit("[a-z]+"), 0)).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    norm = F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * F.col("dl").cast("double")
+        * nd
+        / F.col("total_toks").cast("double")
+    )
+    s_fp = F.round(idf * (tfd * F.lit(2.2)) / (tfd + norm) * F.lit(1e6), 0).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_fp.alias("s_fp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum("s_fp").cast("long").alias("bm25_micros"),
+        )
+        .orderBy(F.col("bm25_micros").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q_knn_classify",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT q.qid, e.vec_id AS nid, e.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {_DOT_SQL.format(a='q.qvec', b='e.embedding')} DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    votes AS (SELECT qid, label, COUNT(*) AS votes FROM s WHERE rk <= 5 GROUP BY qid, label),
+    best AS (
+      SELECT qid, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rr
+      FROM votes
+    )
+    SELECT qid, label AS predicted_label, votes FROM best WHERE rr = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5, majority vote, ties → lowest label): the
+    label-propagation / weak-annotation primitive over the embedding
+    corpus. Same broadcast-queries map-side-scored plan as
+    q_ann_bruteforce (the corpus never shuffles), plus two tiny
+    aggregates over the 10×5 neighbor rows. Vote counts are integers, the
+    dot-product ordering is bit-identical cross-engine."""
+    from etl_pipeline_project_spark.operators.similarity import dot_product
+    from etl_pipeline_project_spark.operators.windows import topk_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("nid"), F.col("label"), F.col("embedding"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid", "nid", "label", dot_product("qvec", "embedding").alias("score")
+        )
+    )
+    top = topk_per_group(
+        scored, "qid", [F.col("score").desc(), F.col("nid")], 5, rank_col="rk"
+    )
+    votes = top.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
+    best = topk_per_group(
+        votes, "qid", [F.col("votes").desc(), F.col("label")], 1, rank_col="rr"
+    )
+    return best.select("qid", F.col("label").alias("predicted_label"), "votes")
+
+
+@_q(
+    "q_dedup_containment",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLE_SQL} AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(GREATEST(len(a.s), 1) AS DOUBLE) AS containment
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(GREATEST(len(a.s), 1) AS DOUBLE) >= 0.15
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |A∩B|/|A| — catches near-SUPERSET
+    duplicates (a short doc quoted inside a long one) that Jaccard
+    misses because the union is dominated by the long side. Same
+    inverted-index plan as q_ngram_jaccard; directed pairs."""
+    from etl_pipeline_project_spark.operators.dedup_text import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", "source", k=3, threshold=0.15)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -3654,6 +3827,7 @@ _CHECK_PRIORITY = [
     "q_schema_evolution", "q_pack_sequences", "q_vocab_coverage",
     "q_source_entropy", "q_merge_upsert", "q_incr_agg_maintenance",
     "q_join_asof_grouped", "q_udaf_grouped_median", "q_udtf_split",
+    "q_search_bm25", "q_knn_classify", "q_dedup_containment",
 ]
 
 

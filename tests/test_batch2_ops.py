@@ -341,3 +341,40 @@ def test_udaf_median_matches_builtin(spark, sf_dir):
         .collect()
     }
     assert udaf == builtin
+
+
+def test_bm25_scores_positive_and_capped(spark, sf_dir):
+    rows = REGISTRY["q_search_bm25"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25_micros"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_hit"] <= 3 for r in rows)
+    assert all(s > 0 for s in scores)
+
+
+def test_knn_classify_every_query_labeled(spark, sf_dir):
+    rows = REGISTRY["q_knn_classify"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= r["votes"] <= 5
+
+
+def test_containment_detects_planted_superset(spark, sf_dir):
+    """A doc whose text embeds another doc verbatim must show containment
+    ≈ 1.0 for the short side."""
+    from etl_pipeline_project_spark.operators.dedup_text import containment_pairs
+
+    base = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven", "b"),
+            (2, "intro words one two three four five six seven trailing text", "b"),
+            (3, "totally different content here nothing shared at all", "b"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(base, "doc_id", "text", "source", threshold=0.5).collect()
+    }
+    assert out.get((1, 2)) == 1.0
+    assert (3, 1) not in out and (3, 2) not in out
