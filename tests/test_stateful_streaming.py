@@ -24,3 +24,17 @@ def test_running_totals_match_batch_aggregate(spark, sf_dir):
     joined = final.join(batch, "user_id")
     assert joined.count() == batch.count()
     assert joined.filter(F.col("n_events") != F.col("n_expected")).count() == 0
+
+
+def test_stream_session_counts_cover_all_events(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_spark.queries import REGISTRY
+    from etl_pipeline_project_spark.sources.readers import load_table
+
+    out = REGISTRY["q_stream_session"](spark, sf_dir)
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == load_table(spark, sf_dir, "events").count()
+    # every session has at least one event and a real start
+    assert out.filter(F.col("n_events") < 1).count() == 0
+    assert out.filter(F.col("session_start").isNull()).count() == 0
