@@ -3840,6 +3840,65 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 10: geo-spatial radius join over the reference's
+# places domain (tourism lat/lng).
+# ---------------------------------------------------------------------------
+
+_GEO_PROBES = [(0.5, 95.0), (30.0, 130.0), (55.0, 180.0)]
+
+
+@_q(
+    "q_geo_radius_join",
+    __import__('etl_pipeline_project_spark.plans.adapter', fromlist=['ADAPTER_CTE']).ADAPTER_CTE
+    + """
+    , probes(probe_id, qlat, qlng) AS (
+      SELECT * FROM (VALUES (0, 0.5e0, 95.0e0), (1, 30.0e0, 130.0e0),
+                            (2, 55.0e0, 180.0e0)) t
+    )
+    SELECT probe_id, place_id,
+           sqrt((lat - qlat) * (lat - qlat) + (lng - qlng) * (lng - qlng))
+             AS degree_dist
+    FROM places, probes
+    WHERE lat IS NOT NULL
+      AND lat BETWEEN qlat - 40.0e0 AND qlat + 40.0e0
+      AND lng BETWEEN qlng - 40.0e0 AND qlng + 40.0e0
+      AND sqrt((lat - qlat) * (lat - qlat) + (lng - qlng) * (lng - qlng)) <= 40.0e0
+    """,
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo radius join over the reference's places domain: all places
+    within distance R of each probe point. The bounding-box prefilter
+    (pure comparisons, pushable to the scan) prunes before the distance
+    evaluates — the standard spatial-join shape; at 100 TB the box becomes
+    a geohash-cell equi-join (same decomposition as q_interval_months).
+    Distance is degree-space euclidean: -, ×, +, sqrt are all IEEE
+    correctly-rounded, so the values and the radius cut are bit-identical
+    cross-engine (haversine's libm trig would not be)."""
+    from etl_pipeline_project_spark.plans.adapter import derive_reference_tables
+
+    places = derive_reference_tables(spark, sf_dir)["places"].filter(
+        F.col("lat").isNotNull()
+    )
+    probes = spark.createDataFrame(
+        [(i, la, ln) for i, (la, ln) in enumerate(_GEO_PROBES)],
+        ["probe_id", "qlat", "qlng"],
+    )
+    r = F.lit(40.0)
+    boxed = (
+        places.crossJoin(F.broadcast(probes))
+        .filter(F.col("lat").between(F.col("qlat") - r, F.col("qlat") + r))
+        .filter(F.col("lng").between(F.col("qlng") - r, F.col("qlng") + r))
+    )
+    dist = F.sqrt(
+        (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat"))
+        + (F.col("lng") - F.col("qlng")) * (F.col("lng") - F.col("qlng"))
+    )
+    return boxed.select(
+        "probe_id", "place_id", dist.alias("degree_dist")
+    ).filter(F.col("degree_dist") <= r)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -3878,7 +3937,7 @@ _CHECK_PRIORITY = [
     "q_source_entropy", "q_merge_upsert", "q_incr_agg_maintenance",
     "q_join_asof_grouped", "q_udaf_grouped_median", "q_udtf_split",
     "q_search_bm25", "q_knn_classify", "q_dedup_containment",
-    "q_stream_session",
+    "q_stream_session", "q_geo_radius_join",
 ]
 
 

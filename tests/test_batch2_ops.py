@@ -378,3 +378,10 @@ def test_containment_detects_planted_superset(spark, sf_dir):
     }
     assert out.get((1, 2)) == 1.0
     assert (3, 1) not in out and (3, 2) not in out
+
+
+def test_geo_radius_join_within_radius(spark, sf_dir):
+    rows = REGISTRY["q_geo_radius_join"](spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r["degree_dist"] <= 40.0 for r in rows)
+    assert {r["probe_id"] for r in rows} <= {0, 1, 2}
