@@ -3846,10 +3846,12 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GEO_PROBES = [(0.5, 95.0), (30.0, 130.0), (55.0, 180.0)]
 
+from etl_pipeline_project_spark.plans.adapter import ADAPTER_CTE as _ADAPTER_CTE  # noqa: E402
+
 
 @_q(
     "q_geo_radius_join",
-    __import__('etl_pipeline_project_spark.plans.adapter', fromlist=['ADAPTER_CTE']).ADAPTER_CTE
+    _ADAPTER_CTE
     + """
     , probes(probe_id, qlat, qlng) AS (
       SELECT * FROM (VALUES (0, 0.5e0, 95.0e0), (1, 30.0e0, 130.0e0),
