@@ -3901,6 +3901,109 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 batch 11: bucketed co-located join as a contract key, and two
+# null-semantics showcases (anti join vs NOT IN, explode_outer).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_join_bucketed",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           {{MSUM}} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """.replace("{MSUM}", _msum("l_extendedprice * (1 - l_discount)")),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both tables are written
+    bucketed+sorted on the join key, so the join plans SortMergeJoin with
+    ZERO exchange — the bucket layout IS the shuffle, paid once at write
+    time and amortized over every subsequent join. This is the core
+    technique for a repeatedly-joined 100 TB fact pair; the plan property
+    (no Exchange) is asserted in tests/test_scale_techniques.py and the
+    result must equal the plain join (the oracle)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    spark.sql("DROP TABLE IF EXISTS bq_orders")
+    spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+    # explicit paths: saveAsTable would otherwise land in $PWD/spark-warehouse,
+    # which under a caller-supplied session may be outside the repo
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).option("path", f"{_SCRATCH}/bq_orders").saveAsTable("bq_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).option("path", f"{_SCRATCH}/bq_lineitem").saveAsTable("bq_lineitem")
+    joined = spark.table("bq_orders").join(
+        spark.table("bq_lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@_q(
+    "q_anti_null_semantics",
+    """
+    WITH keys AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c_custkey)
+    """,
+)
+def q_anti_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join against a key set CONTAINING NULLS — the classic NOT IN
+    trap: `NOT IN (…, NULL)` is three-valued and returns zero rows, while
+    left_anti / NOT EXISTS ignores the nulls and answers the question
+    actually asked. The engine's anti-join operator deliberately has
+    NOT-EXISTS semantics (SURVEY §1.4 discipline); this key pins that
+    choice cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(
+        F.when(F.col("o_orderkey") % 1000 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return cust.join(keys, on="c_custkey", how="left_anti")
+
+
+@_q(
+    "q_explode_outer",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{12,}') AS long_words
+      FROM documents
+    )
+    SELECT doc_id, CASE WHEN len(long_words) = 0 THEN NULL ELSE w END AS long_word
+    FROM toks LEFT JOIN LATERAL (SELECT unnest(long_words) AS w) u ON TRUE
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — array flattening that PRESERVES rows with empty
+    arrays (NULL element) instead of silently dropping them. The
+    difference between "docs and their rare long words" and "only docs
+    that have long words" — an audit query needs the former; plain
+    explode quietly gives the latter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{12,}"), 0).alias(
+            "long_words"
+        ),
+    )
+    return toks.select("doc_id", F.explode_outer("long_words").alias("long_word"))
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -3939,7 +4042,8 @@ _CHECK_PRIORITY = [
     "q_source_entropy", "q_merge_upsert", "q_incr_agg_maintenance",
     "q_join_asof_grouped", "q_udaf_grouped_median", "q_udtf_split",
     "q_search_bm25", "q_knn_classify", "q_dedup_containment",
-    "q_stream_session", "q_geo_radius_join",
+    "q_stream_session", "q_geo_radius_join", "q_join_bucketed",
+    "q_anti_null_semantics", "q_explode_outer",
 ]
 
 

@@ -385,3 +385,42 @@ def test_geo_radius_join_within_radius(spark, sf_dir):
     assert rows
     assert all(0 <= r["degree_dist"] <= 40.0 for r in rows)
     assert {r["probe_id"] for r in rows} <= {0, 1, 2}
+
+
+def test_bucketed_contract_join_has_no_exchange(spark, sf_dir):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["q_join_bucketed"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the join itself is exchange-free; the only exchange allowed is the
+        # final 5-group aggregate
+        assert plan.count("Exchange") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_anti_null_semantics_matches_not_exists(spark, sf_dir):
+    """The anti join must equal NOT-EXISTS semantics (nulls in the key set
+    ignored) — NOT IN three-valued logic would return 0 rows whenever the
+    set contains a null."""
+    out_n = REGISTRY["q_anti_null_semantics"](spark, sf_dir).count()
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seen = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .filter(F.col("o_orderkey") % 1000 != 0)
+        .select("o_custkey")
+        .distinct()
+    )
+    expected = cust.count() - cust.join(
+        seen.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey", "leftsemi"
+    ).count()
+    assert out_n == expected
+
+
+def test_explode_outer_preserves_empty_docs(spark, sf_dir):
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    out = REGISTRY["q_explode_outer"](spark, sf_dir)
+    assert out.select("doc_id").distinct().count() == docs_n
