@@ -3951,7 +3951,8 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH keys AS (
       SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL ELSE o_custkey END AS k
-      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderpriority = '1-URGENT'
     )
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c_custkey)
@@ -3966,7 +3967,8 @@ def q_anti_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice cross-engine."""
     orders = load_table(spark, sf_dir, "orders")
     keys = orders.filter(
-        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderpriority") == "1-URGENT")
     ).select(
         F.when(F.col("o_orderkey") % 1000 == 0, F.lit(None))
         .otherwise(F.col("o_custkey"))
