@@ -53,3 +53,30 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def dq_violations(df: DataFrame, rules: Sequence[tuple[str, "F.Column"]]) -> DataFrame:
+    """Rule-based data-quality gate: one row per rule with its violation
+    count, computed in ONE pass over the table.
+
+    The reference's only quality mechanism is a blind ``dropna`` before
+    load (`data/transformation_db.py:87-96`, `data/transformation_dw.py`
+    NOT-NULL subsets) — it destroys evidence instead of reporting it. A
+    pipeline gate wants the opposite: keep the data, surface per-rule
+    violation counts, let the operator downstream decide. All rules fold
+    into a single aggregate row (map-side partial aggregation — one scan,
+    one single-row shuffle regardless of rule count), then ``stack`` to
+    (rule, n_violations, n_rows). A row violates a rule when the predicate
+    is not TRUE (i.e. FALSE *or* NULL — a null check-input is a failure,
+    not a free pass).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.count(F.when(~F.coalesce(pred, F.lit(False)), 1)).alias(f"_v_{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    one = df.agg(*aggs)
+    parts = ", ".join(f"'{name}', `_v_{i}`" for i, (name, _) in enumerate(rules))
+    return one.select(
+        F.expr(f"stack({len(rules)}, {parts}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    )

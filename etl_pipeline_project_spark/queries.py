@@ -39,7 +39,7 @@ from etl_pipeline_project_spark.operators.aggregates import (
 from etl_pipeline_project_spark.operators.dedup import dedup_keyed, distinct_values
 from etl_pipeline_project_spark.operators.history import cdc_latest, scd2_versions
 from etl_pipeline_project_spark.operators.joins import anti_incremental, fuzzy_match, left_enrich
-from etl_pipeline_project_spark.operators.profiling import profile_columns
+from etl_pipeline_project_spark.operators.profiling import dq_violations, profile_columns
 from etl_pipeline_project_spark.operators.relational import (
     drop_null_rows,
     rename_columns,
@@ -4006,6 +4006,286 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 12 — partition-pruned sink, argmax/conditional aggregates, a
+# data-quality gate, lexical repetition, string/date function suites, and
+# zero-filled dimension grids.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_sink_partitioned",
+    """
+    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+           count(*) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1, 2
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-PRUNED read-back: the
+    layout that makes a 100 TB fact table queryable. Writing with
+    ``partitionBy(year)`` turns the year predicate into directory pruning —
+    the 1997 query never opens a non-1997 file (PartitionFilters in the
+    scan node, asserted in tests/test_scale_techniques.py). The reference
+    rewrites whole tables per load (`data/transformation_dw.py`
+    ``if_exists='replace'``); partitioned overwrite is the scalable form —
+    each load replaces only its own partition."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = f"{_SCRATCH}/orders_by_year"
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
+    return back.groupBy("o_year", F.month("o_orderdate").alias("o_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@_q(
+    "q_agg_argmax",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+        row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rd = 1 THEN o_orderkey END) AS top_orderkey,
+           max(CASE WHEN ra = 1 THEN o_orderkey END) AS bottom_orderkey,
+           max(o_totalprice) AS top_price,
+           min(o_totalprice) AS bottom_price
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin as a single aggregate (``max_by``/``min_by`` with a
+    struct tie-break) — the "which row achieved the extreme" question
+    answered WITHOUT a window sort: one partial-aggregable pass instead of
+    a per-group ordering, which at 100 TB is the difference between a
+    map-side combine and a full shuffle-sort. The oracle pins identical
+    semantics through DuckDB window functions (DuckDB's arg_max cannot
+    express the composite tie-break)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "top_orderkey"
+        ),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "bottom_orderkey"
+        ),
+        F.max("o_totalprice").alias("top_price"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+@_q(
+    "q_agg_conditional",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (l_quantity > 25) AS n_bulk,
+           count(*) FILTER (l_discount > 0.05) AS n_discounted,
+           bool_and(l_tax >= 0) AS all_taxed,
+           bool_or(l_quantity >= 49) AS has_jumbo
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — COUNT ... FILTER and boolean AND/OR
+    aggregates in one grouped pass. The reference computes per-condition
+    counts with separate filtered dataframes (one scan per condition);
+    folding every condition into a single aggregate reads the table once
+    regardless of condition count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.expr("bool_and(l_tax >= 0)").alias("all_taxed"),
+        F.expr("bool_or(l_quantity >= 49)").alias("has_jumbo"),
+    )
+
+
+@_q(
+    "q_dq_checks",
+    """
+    SELECT 'positive_total' AS rule,
+           count(*) FILTER (NOT COALESCE(o_totalprice > 0, FALSE)) AS n_violations,
+           count(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'known_status',
+           count(*) FILTER (NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE)),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'has_custkey', count(*) FILTER (o_custkey IS NULL), count(*) FROM orders
+    UNION ALL
+    SELECT 'urgent_not_pending',
+           count(*) FILTER (NOT COALESCE(o_orderpriority <> '1-URGENT'
+                                         OR o_orderstatus <> 'P', FALSE)),
+           count(*)
+    FROM orders
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/profiling.py
+    ``dq_violations``): per-rule violation counts in ONE scan. Replaces
+    the reference's blind ``dropna`` quality policy
+    (`data/transformation_db.py:87-96`) with evidence: nothing is
+    destroyed, every rule reports, downstream decides."""
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_violations(
+        orders,
+        [
+            ("positive_total", F.col("o_totalprice") > 0),
+            ("known_status", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("has_custkey", F.col("o_custkey").isNotNull()),
+            (
+                "urgent_not_pending",
+                (F.col("o_orderpriority") != "1-URGENT")
+                | (F.col("o_orderstatus") != "P"),
+            ),
+        ],
+    )
+
+
+@_q(
+    "q_text_ttr",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id, len(words) AS n_tokens, len(list_distinct(words)) AS n_types,
+           1 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS rep_ratio
+    FROM toks
+    """,
+)
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical repetition (1 − type/token ratio) — the C4-style
+    within-document repetition signal used to drop template/boilerplate
+    pages from training corpora. Pure Catalyst array expressions, map-only:
+    no shuffle, no Python, scales linearly with corpus bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        (
+            1
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("rep_ratio"),
+    )
+
+
+@_q(
+    "q_string_suite",
+    """
+    SELECT c_custkey,
+           split_part(c_name, '#', 2) AS cust_num,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_folded,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (§2.F): split_part / lpad / translate /
+    substring / length — the reference's pandas ``.str`` pipeline
+    (`data/transformation_db.py:133-139`) re-expressed as JVM-side
+    Catalyst expressions inside whole-stage codegen; no Python touches the
+    hot path."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("cust_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_folded"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("c_name")).alias("name_len"),
+    )
+
+
+@_q(
+    "q_date_suite",
+    """
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_trunc('week', o_orderdate) AS week_start,
+           dayofyear(o_orderdate) AS doy,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           quarter(o_orderdate) AS qtr
+    FROM orders
+    """,
+)
+def q_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface (§2.F): last_day / week truncation /
+    day-of-year / day arithmetic / quarter — the calendar derivations the
+    reference hand-rolls in Python per-row (`data/transformation_dw.py`
+    dim_waktu fields), as vectorized JVM expressions. Both engines
+    truncate weeks to Monday; the week column is cast to date because
+    DuckDB's week-trunc yields DATE while Spark's yields TIMESTAMP."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_95"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+@_q(
+    "q_grid_zero_fill",
+    """
+    WITH pri AS (SELECT DISTINCT o_orderpriority FROM orders),
+         st  AS (SELECT DISTINCT o_orderstatus FROM orders),
+         agg AS (
+           SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                  CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1, 2
+         )
+    SELECT pri.o_orderpriority, st.o_orderstatus,
+           COALESCE(agg.n_orders, 0) AS n_orders,
+           COALESCE(agg.revenue, 0.0) AS revenue
+    FROM pri CROSS JOIN st
+    LEFT JOIN agg ON agg.o_orderpriority = pri.o_orderpriority
+                 AND agg.o_orderstatus = st.o_orderstatus
+    """,
+)
+def q_grid_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense dimension grid with zero-fill: cross join of the (tiny)
+    distinct dimension sets, left-joined to the sparse aggregate — the
+    report shape where absent combinations must show 0, not vanish. The
+    cartesian side is 5×3 rows (BroadcastNestedLoopJoin over broadcast
+    singleton dims — the only join shape where a cross join is the right
+    plan); the aggregate side is one shuffle on the grouping key."""
+    orders = load_table(spark, sf_dir, "orders")
+    pri = orders.select("o_orderpriority").distinct()
+    st = orders.select("o_orderstatus").distinct()
+    agg = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+    grid = pri.crossJoin(st)
+    return grid.join(agg, ["o_orderpriority", "o_orderstatus"], "left").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -4046,6 +4326,9 @@ _CHECK_PRIORITY = [
     "q_search_bm25", "q_knn_classify", "q_dedup_containment",
     "q_stream_session", "q_geo_radius_join", "q_join_bucketed",
     "q_anti_null_semantics", "q_explode_outer",
+    # batch 12 — no driver evidence yet
+    "q_sink_partitioned", "q_agg_argmax", "q_agg_conditional", "q_dq_checks",
+    "q_text_ttr", "q_string_suite", "q_date_suite", "q_grid_zero_fill",
 ]
 
 
