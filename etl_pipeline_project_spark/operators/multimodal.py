@@ -133,3 +133,49 @@ def frame_sample(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 4)
         F.col("frame_no").cast("integer").alias("frame_no"),
         F.sha2(frame, 256).alias("frame_checksum"),
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("out_bytes", T.LongType()),
+        T.StructField("resized_checksum", T.StringType()),
+    ]
+)
+
+
+def resize_payload(df: DataFrame, *, target_bytes: int = 64) -> DataFrame:
+    """'Resize' over an opaque payload: stride-decimate each blob to at
+    most ``target_bytes`` bytes — the 1-D analog of nearest-neighbor image
+    downsampling, carrying the exact Spark plumbing of a real resize
+    (Arrow-batched ``mapInPandas``, binary in → binary-derived out, new
+    size metadata). A deployment swaps the decimation for decode → resize
+    → re-encode and keeps everything else. Stride is computed per blob
+    (``ceil(n/target)``), so output size is bounded regardless of input
+    skew — no single giant payload can blow an executor's batch memory
+    by more than the Arrow batch it arrived in."""
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, out_bytes, checksums = [], [], []
+            for blob in pdf["content"]:
+                arr = np.frombuffer(
+                    bytes(blob) if blob is not None else b"", dtype=np.uint8
+                )
+                stride = max((arr.size + target_bytes - 1) // target_bytes, 1)
+                dec = arr[::stride]
+                n_bytes.append(arr.size)
+                out_bytes.append(dec.size)
+                checksums.append(hashlib.sha256(dec.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "out_bytes": out_bytes,
+                    "resized_checksum": checksums,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=_RESIZE_SCHEMA)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_project_spark.functions.keys import concat_key, hash_key
@@ -4286,6 +4286,738 @@ def q_grid_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 13 — multimodal resize plumbing, event-sequence analytics,
+# adoption curves, week-over-week deltas, bitwise aggregates, map-typed
+# column operations.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_multimodal_resize",
+    """
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+             greatest(CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT), 1) AS stride
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, text, n_bytes, unnest(range(0, n_bytes, stride)) AS p FROM b
+    ),
+    agg AS (
+      SELECT doc_id, n_bytes,
+             string_agg(substr(text, CAST(p + 1 AS INTEGER), 1), '' ORDER BY p) AS resized
+      FROM pos GROUP BY doc_id, n_bytes
+    )
+    SELECT doc_id, n_bytes, CAST(length(resized) AS BIGINT) AS out_bytes,
+           sha256(resized) AS resized_checksum
+    FROM agg
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize plumbing (operators/multimodal.py ``resize_payload``):
+    Arrow-batched stride decimation of each blob to ≤64 bytes — the
+    mapInPandas shape of a real image/audio resize with the codec swapped
+    for deterministic byte decimation (codec libs absent in-container).
+    DuckDB twin decimates the *string* at the same stride positions —
+    byte-identical on the printable-ASCII corpus (1 byte/char), same
+    argument as q_multimodal_frame_sample's twin."""
+    from etl_pipeline_project_spark.operators.multimodal import (
+        resize_payload,
+        to_multimodal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_payload(to_multimodal(docs, "doc_id", "text", "text"))
+
+
+@_q(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (Markov first-order counts): each user's
+    clickstream ordered by (ts, event_id) — a total order, so lead() is
+    deterministic — then grouped by (from, to). One shuffle on user_id for
+    the window, one map-side-combinable aggregate; the 25-cell output is
+    driver-safe at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q_adoption_curve",
+    """
+    WITH firsts AS (
+      SELECT user_id, event_type, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT event_type, first_day AS day, count(*) AS n_new
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_new,
+           CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS n_cum
+    FROM daily
+    """,
+)
+def q_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption curve: per event type, how many users performed it
+    for the FIRST time each day, plus the cumulative total. The exact
+    distributed form of 'cumulative distinct users over time' — a naive
+    COUNT(DISTINCT) per day rescans all history per day; reducing each
+    (user, type) to its min-date first makes the cumulative sum a tiny
+    per-type window over daily rows."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = (
+        firsts.withColumnRenamed("first_day", "day")
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("n_cum"),
+    )
+
+
+@_q(
+    "q_wow_change",
+    """
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS week_start, count(*) AS n_orders,
+             CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT week_start, n_orders, revenue,
+           revenue / lag(revenue) OVER (ORDER BY week_start) - 1 AS wow_change
+    FROM wk
+    """,
+)
+def q_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly rollup, then lag() for the relative
+    delta (NULL on the first week, as SQL semantics dictate). The
+    unpartitioned window runs over the weekly AGGREGATE — a few hundred
+    rows regardless of fact-table size, so the single-partition sort that
+    would be a scale-killer on raw data is free here. Both revenues are
+    exact decimal-rounded doubles, so the division is bit-identical
+    cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    wk = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w = Window.orderBy("week_start")
+    return wk.select(
+        "week_start",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") / F.lag("revenue").over(w) - 1).alias("wow_change"),
+    )
+
+
+@_q(
+    "q_agg_bitwise",
+    """
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS flags_and,
+           bit_or(l_linenumber) AS flags_or,
+           bit_xor(l_linenumber) AS flags_xor
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates (§2.F) — the flag-mask rollup shape
+    (permission masks, feature bitsets). Fully associative/commutative, so
+    partial aggregation is map-side and engine-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("bit_and(l_linenumber)").alias("flags_and"),
+        F.expr("bit_or(l_linenumber)").alias("flags_or"),
+        F.expr("bit_xor(l_linenumber)").alias("flags_xor"),
+    )
+
+
+@_q(
+    "q_map_ops",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS INTEGER) AS k_value,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+           json_extract(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§2.F): parse the JSON props column into a typed
+    ``map<string,int>`` once, then operate with native map expressions —
+    element_at, sorted map_keys, map_contains_key — all inside codegen.
+    The map parse is the schema-on-read pattern for semi-structured
+    columns: downstream operators see typed fields, not JSON strings."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+        F.map_contains_key(m, "k").alias("has_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 14 — stream-stream join, percent-of-total, referential-integrity
+# DQ, time-weighted average.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join (§2.H): view→purchase attribution within 1 hour,
+    both sides live streams (streaming/ops.py
+    ``stream_stream_attribution``). The event-time range condition bounds
+    the state store to watermark + horizon; the inner join's final
+    availableNow state equals the batch join, hence the full oracle."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_attribution,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    # State-store parallelism is fixed at stream start by
+    # spark.sql.shuffle.partitions. A dual-sided join keeps 2 stores per
+    # partition; at contract scale 8 partitions cuts per-batch store setup
+    # ~4× (14s→4s) with zero semantic change. A production deployment
+    # sizes this to stream throughput instead (state partitions ≈
+    # cores × small factor), exactly like any shuffle sizing call.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(
+            stream_stream_attribution(
+                ev.filter(F.col("event_type") == "view"),
+                ev.filter(F.col("event_type") == "purchase"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
+
+
+@_q(
+    "q_pct_of_total",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS total
+      FROM orders
+    )
+    SELECT o_orderpriority, n_orders, revenue,
+           revenue / total AS revenue_share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total report: grouped rollup joined to the grand total,
+    each group's share = revenue / total. The total comes from a second
+    EXACT decimal aggregate (broadcast single row), not from window-summing
+    the per-group doubles — float re-summation order would differ between
+    engines, while the decimal path is order-independent; the share then
+    divides two exactly-agreed doubles, bit-stable cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+    )
+    tot = orders.agg(money_sum(F.col("o_totalprice")).alias("total"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") / F.col("total")).alias("revenue_share"),
+    )
+
+
+@_q(
+    "q_dq_referential",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           count(*) FILTER (NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           count(*) AS n_rows
+    FROM lineitem l
+    UNION ALL
+    SELECT 'orders->customer',
+           count(*) FILTER (NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           count(*)
+    FROM orders o
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate: orphan counts per foreign-key edge via
+    left-anti joins, unioned into one report. Each edge is one
+    broadcast/shuffle anti join + a count — no row ever leaves the
+    executors; the report is O(edges) rows. Complements q_dq_checks
+    (single-table rules) with the cross-table rules a star schema needs
+    before a mart build (the reference loads facts with no FK check at
+    all — transformation_dw.py writes blind)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def edge(name: str, child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(F.col(parent_key).alias(child_key)), child_key, "left_anti"
+        )
+        return (
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(child.agg(F.count(F.lit(1)).alias("n_rows")))
+            .select(F.lit(name).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    return union_all(
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+    )
+
+
+@_q(
+    "q_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_micro, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(CAST(v_micro AS DECIMAL(38,0)) * date_diff('microsecond', ts, next_ts)) AS DECIMAL(24,0)) AS s,
+             SUM(date_diff('microsecond', ts, next_ts)) AS total_us
+      FROM seq WHERE next_ts IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(CAST(ROUND(s * CAST(0.000000000001 AS DECIMAL(13,12)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS weighted_sum,
+           total_us,
+           CAST(CAST(ROUND(s * CAST(0.000000000001 AS DECIMAL(13,12)), 4) AS DECIMAL(38,4)) AS DOUBLE)
+             * 1000000 / total_us AS time_weighted_avg
+    FROM agg
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average — the TSDB aggregate where each reading is
+    weighted by how long it was current (interval to the next reading),
+    not by sample count. lead() over the (ts, event_id) total order gives
+    each reading's holding interval.
+
+    Determinism recipe (fixed-point, same as q_search_bm25): the reading
+    is quantized to integer micro-units with ``floor(value·1e6)`` — floor
+    is rounding-MODE-free, unlike a double→decimal cast, whose half-up vs
+    half-even tie-breaks differ between engines and get amplified ~2.6e9×
+    by the µs weight. Each v_micro × µs product fits int64 exactly; the
+    sum accumulates in decimal(38,0) (order-independent), is rescaled by
+    an exact decimal 1e-12 (micro-value·µs → value·seconds), and narrows
+    through the _msum-safe decimal(38,4)→double path. The final average is
+    two IEEE ops on identically-derived operands."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "v_micro", F.floor(F.col("value") * 1000000).cast("long")
+    ).withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dur_us = F.unix_micros("next_ts") - F.unix_micros("ts")
+    # decimal BEFORE the multiply: a µs gap can span days (~1e11), so the
+    # int64 product v_micro × dur overflows; decimal × long is exact
+    # s narrows to decimal(24,0) (≥100× headroom over the sf0.1 magnitude):
+    # at (38,0) the ×1e-12 rescale product would exceed precision 38 and
+    # Spark would clip it to scale 6 with an intermediate half-up round —
+    # double rounding that flips the 4th decimal vs DuckDB's exact scale-12
+    # product. (24,0)×(13,12) = precision 38: exact in both engines.
+    agg = seq.groupBy("user_id").agg(
+        F.sum(F.col("v_micro").cast("decimal(38,0)") * dur_us).cast(
+            "decimal(24,0)"
+        ).alias("s"),
+        F.sum(dur_us).alias("total_us"),
+    )
+    weighted = (
+        F.round(F.col("s") * F.lit("0.000000000001").cast("decimal(13,12)"), 4)
+        .cast("decimal(38,4)")
+        .cast("double")
+    )
+    return agg.select(
+        "user_id",
+        weighted.alias("weighted_sum"),
+        "total_us",
+        (weighted * 1000000 / F.col("total_us")).alias("time_weighted_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 15 — OHLC downsampling, discrete derivative, ORC format
+# round-trip.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_ohlc_downsample",
+    """
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts, event_id) AS rf,
+        row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT user_id, day,
+           max(CASE WHEN rf = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rl = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the TSDB/finance rollup: per (series, bucket),
+    first/last/extreme readings. open/close are ``min_by``/``max_by`` over
+    the (ts, event_id) total order — single-pass, partial-aggregable, NO
+    window sort over the raw series (the DuckDB twin uses row_number
+    windows because its arg_min can't take a composite key; the Spark plan
+    is one grouped aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+@_q(
+    "q_derivative",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events
+    )
+    SELECT user_id, event_id,
+           (nv - value) / date_diff('microsecond', ts, nts) * 1000000 AS rate_per_sec
+    FROM seq WHERE nts IS NOT NULL
+    """,
+)
+def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete derivative (rate of change per second) between consecutive
+    readings of each series — the TSDB ``rate()`` primitive. Every operand
+    pair is identical in both engines and the three IEEE ops are applied
+    in the same association order, so the doubles hash identically without
+    any rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("nv", F.lead("value").over(w))
+        .withColumn("nts", F.lead("ts").over(w))
+        .filter(F.col("nts").isNotNull())
+    )
+    dur_us = F.unix_micros("nts") - F.unix_micros("ts")
+    return seq.select(
+        "user_id",
+        "event_id",
+        ((F.col("nv") - F.col("value")) / dur_us * 1000000).alias("rate_per_sec"),
+    )
+
+
+@_q(
+    "q_scan_orc_roundtrip",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders, min(o_orderkey) AS first_key
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip (§2.A format coverage beyond
+    parquet/CSV): columnar write with predicate-pushdown-capable read-back.
+    The aggregate runs over the ORC copy; the oracle runs over the
+    original parquet — equality proves the round-trip is lossless."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    path = f"{_SCRATCH}/orders_orc"
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 16 — linear-interpolation resampling, SCD2 point-in-time join.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_interp_linear",
+    """
+    WITH bounds AS (
+      SELECT user_id, CAST(min(CAST(ts AS DATE)) AS TIMESTAMP) AS d0,
+             CAST(max(CAST(ts AS DATE)) AS TIMESTAMP) AS d1
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g FROM bounds
+    ),
+    unioned AS (
+      SELECT user_id, epoch_us(ts) AS t, value AS v, 0 AS is_grid,
+             CAST(NULL AS DATE) AS g_day
+      FROM events
+      UNION ALL
+      SELECT user_id, epoch_us(g), NULL, 1, CAST(g AS DATE) FROM grid
+    ),
+    w AS (
+      SELECT user_id, t, is_grid, g_day,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM unioned
+    )
+    SELECT user_id, g_day,
+           CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                WHEN nt = pt THEN pv
+                ELSE pv + (nv - pv) * ((t - pt) / CAST(nt - pt AS DOUBLE)) END
+             AS interp_value
+    FROM w WHERE is_grid = 1
+    """,
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling to a regular daily grid — the TSDB
+    ``interpolate``/gap-fill primitive. Grid points union into the reading
+    stream, then two directional ignore-nulls windows carry the bracketing
+    readings to each grid row and one lerp fills the value (NULL outside
+    the observed range — no extrapolation). One shuffle on the series key;
+    grid density is a constant factor, never a join blow-up. The lerp's
+    IEEE ops run in the same association order in both engines on
+    identical operands — no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).cast("timestamp").alias("d0"),
+        F.max(F.col("ts").cast("date")).cast("timestamp").alias("d1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("g"),
+    )
+    readings = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("value").alias("v"),
+        F.lit(0).alias("is_grid"),
+        F.lit(None).cast("date").alias("g_day"),
+    )
+    grid_rows = grid.select(
+        "user_id",
+        F.unix_micros("g").alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+        F.col("g").cast("date").alias("g_day"),
+    )
+    u = readings.unionByName(grid_rows)
+    base = Window.partitionBy("user_id").orderBy("t", "is_grid")
+    wprev = base.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = base.rowsBetween(0, Window.unboundedFollowing)
+    t_of_v = F.when(F.col("v").isNotNull(), F.col("t"))
+    marked = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        "g_day",
+        F.last("v", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(t_of_v, ignorenulls=True).over(wprev).alias("pt"),
+        F.first("v", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(t_of_v, ignorenulls=True).over(wnext).alias("nt"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("t") - F.col("pt")) / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return marked.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        "g_day",
+        F.when(F.col("pt").isNull() | F.col("nt").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(lerp)
+        .alias("interp_value"),
+    )
+
+
+@_q(
+    "q_scd2_pit_join",
+    """
+    WITH dim AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(row_number() OVER w AS INTEGER) AS version,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER w AS effective_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    fact AS (
+      SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+             l.l_shipdate, o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_partkey, f.l_suppkey, f.l_linenumber, f.o_custkey,
+           d.o_orderpriority AS priority_at_ship, d.version
+    FROM fact f JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND d.effective_from <= f.l_shipdate
+     AND (d.effective_to IS NULL OR f.l_shipdate < d.effective_to)
+    """,
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: each fact row picks
+    the dimension VERSION that was effective at its own timestamp
+    (from ≤ t < to, half-open so versions never overlap) — the temporal
+    correctness rule that prevents training-data leakage from
+    future-dated attributes. Physically an equi join on the entity key
+    with a range residual: the shuffle is on custkey, each key's few
+    versions prune the residual to exactly one match. Facts before the
+    entity's first version drop (inner semantics, pinned by the oracle
+    row count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = scd2_versions(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], ["o_orderpriority"]
+    ).select(
+        "o_custkey",
+        "o_orderpriority",
+        "version",
+        F.col("effective_from"),
+        F.col("effective_to"),
+    )
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_shipdate", "o_custkey")
+    joined = fact.join(dim, "o_custkey").filter(
+        (F.col("effective_from") <= F.col("l_shipdate"))
+        & (F.col("effective_to").isNull() | (F.col("l_shipdate") < F.col("effective_to")))
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority_at_ship"),
+        "version",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 17 — benchmark decontamination screen.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_decontaminate",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(CASE WHEN len(string_split(text, ' ')) >= 5
+          THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+                              i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))
+          ELSE [] END) AS s
+      FROM documents
+    ),
+    ev AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id,
+           count(DISTINCT ev.doc_id) AS n_eval_docs,
+           count(DISTINCT tok) AS n_shared_shingles
+    FROM tr JOIN ev USING (tok)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen — the training-corpus hygiene step:
+    flag every training document sharing a 5-gram with the held-out eval
+    set (here: doc_id % 20, standing in for an external benchmark). Same
+    inverted-index shape as the dedup tier: explode 5-gram shingles on
+    both sides, equi-join on the shingle (shuffle on the token, never
+    all-pairs), group by the flagged doc. 5-grams are long enough that
+    only genuine near-copies collide — word-frequency noise dies out, as
+    n-gram-overlap decontamination assumes. At 100 TB the eval side is
+    tiny and could broadcast, but the token-shuffle plan also survives an
+    eval set too big for memory."""
+    from etl_pipeline_project_spark.operators.dedup_text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles("text", 5).alias("s"))
+    ev = sh.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("eval_id"), F.explode("s").alias("tok")
+    )
+    tr = sh.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.explode("s").alias("tok")
+    )
+    return tr.join(ev, "tok").groupBy("doc_id").agg(
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+        F.countDistinct("tok").alias("n_shared_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -4329,6 +5061,18 @@ _CHECK_PRIORITY = [
     # batch 12 — no driver evidence yet
     "q_sink_partitioned", "q_agg_argmax", "q_agg_conditional", "q_dq_checks",
     "q_text_ttr", "q_string_suite", "q_date_suite", "q_grid_zero_fill",
+    # batch 13 — no driver evidence yet
+    "q_multimodal_resize", "q_event_transitions", "q_adoption_curve",
+    "q_wow_change", "q_agg_bitwise", "q_map_ops",
+    # batch 14 — no driver evidence yet
+    "q_stream_stream_join", "q_pct_of_total", "q_dq_referential",
+    "q_time_weighted_avg",
+    # batch 15 — no driver evidence yet
+    "q_ohlc_downsample", "q_derivative", "q_scan_orc_roundtrip",
+    # batch 16 — no driver evidence yet
+    "q_interp_linear", "q_scd2_pit_join",
+    # batch 17 — no driver evidence yet
+    "q_decontaminate",
 ]
 
 

@@ -115,3 +115,41 @@ def stream_static_enrich(
         stream.withWatermark(ts, "1 day")
         .join(F.broadcast(dim), on=on, how="inner")
     )
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join (`q_stream_stream_join`): attribute each
+    purchase to the views that preceded it within ``horizon``, both sides
+    unbounded.
+
+    This is the join shape batch systems cannot run incrementally and the
+    reference cannot express at all: two live streams, each buffering
+    state only inside the watermark × horizon band. The event-time range
+    condition is what BOUNDS the state store — without it Spark would
+    (rightly) refuse the join as unbounded-state. Inner stream-stream
+    joins emit exactly the batch join's pairs once both sides arrive, so
+    the availableNow final state is deterministic and carries a full
+    DuckDB oracle.
+    """
+    v = views.withWatermark("ts", "1 day").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", "1 day").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND purchase_ts >= view_ts "
+            f"AND purchase_ts <= view_ts + interval {horizon}"
+        ),
+    )

@@ -410,6 +410,7 @@ def test_anti_null_semantics_matches_not_exists(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     seen = (
         orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .filter(F.col("o_orderpriority") == "1-URGENT")
         .filter(F.col("o_orderkey") % 1000 != 0)
         .select("o_custkey")
         .distinct()
