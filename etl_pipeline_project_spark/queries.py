@@ -5018,6 +5018,107 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 18 — deterministic grouped mode, exact-moment linear regression.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_agg_mode",
+    """
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_returnflag, l_quantity, c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, l_quantity DESC) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, c AS n_occurrences
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode with a DETERMINISTIC tie-break — the built-in mode()
+    returns an arbitrary value on frequency ties (SURVEY §1.4 Q3
+    discipline: no arbitrary survivors), so the engine's form is
+    count-then-argmax with (count, value) as the composite ordering: two
+    partial-aggregable passes, no window over raw data. The DuckDB twin
+    uses row_number because its arg_max can't take the composite key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("l_returnflag").agg(
+        F.expr("max_by(l_quantity, struct(c, l_quantity))").alias("mode_qty"),
+        F.max("c").alias("n_occurrences"),
+    )
+
+
+@_q(
+    "q_linreg_trend",
+    f"""
+    WITH pts AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) * 1e-3 AS x,
+             o_totalprice * 1e-5 AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             {{sx}} AS sx, {{sy}} AS sy, {{sxx}} AS sxx, {{sxy}} AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) * 100
+             AS slope_per_day,
+           (sy / CAST(n AS DOUBLE)
+             - (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)
+               * (sx / CAST(n AS DOUBLE))) * 1e5 AS intercept
+    FROM m
+    """.format(
+        sx=_msum6("x"), sy=_msum6("y"), sxx=_msum6("x*x"), sxy=_msum6("x*y")
+    ),
+)
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend line per group from exact decimal moments —
+    distributed linear regression as one grouped aggregate (the ML-adjacent
+    analytics primitive: drift/trend detection per segment). Same recipe as
+    q_corr_exact: pre-normalize both variables so every moment's unscaled
+    decimal stays below 2^53 (x = days·1e-3, y = price·1e-5), accumulate
+    the four moments exactly, then run the closed-form slope/intercept in
+    identically-written IEEE double arithmetic; the final ×100 / ×1e5
+    un-scalings are exact-power-of-ten multiplies."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        * F.lit(1e-3)
+    )
+    y = F.col("o_totalprice") * F.lit(1e-5)
+    pts = orders.select("o_orderpriority", x.alias("x"), y.alias("y"))
+    m = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("x"), 6).alias("sx"),
+        exact_sum(F.col("y"), 6).alias("sy"),
+        exact_sum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        exact_sum(F.col("x") * F.col("y"), 6).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope_scaled = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (
+        F.col("sy") / nd - slope_scaled * (F.col("sx") / nd)
+    ) * F.lit(1e5)
+    return m.select(
+        "o_orderpriority",
+        "n",
+        (slope_scaled * 100).alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -5073,6 +5174,8 @@ _CHECK_PRIORITY = [
     "q_interp_linear", "q_scd2_pit_join",
     # batch 17 — no driver evidence yet
     "q_decontaminate",
+    # batch 18 — no driver evidence yet
+    "q_agg_mode", "q_linreg_trend",
 ]
 
 
