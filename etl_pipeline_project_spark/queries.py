@@ -5119,6 +5119,75 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 19 — discrete percentiles, ranking-semantics matrix.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_percentile_disc",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cd
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(l_extendedprice) FILTER (cd >= 0.5) AS p50_disc,
+           min(l_extendedprice) FILTER (cd >= 0.95) AS p95_disc
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles — the SQL-standard percentile_disc: the
+    smallest actual value whose cumulative distribution reaches p. Unlike
+    the interpolating q_quantiles, the result is always a real data value
+    (no float blending), so it needs no rounding to hash identically. The
+    twin spells out the cume_dist ≥ p definition, pinning Spark's
+    percentile_disc to the standard semantics."""
+    ev = load_table(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("li_pdisc")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_disc
+        FROM li_pdisc GROUP BY l_returnflag
+        """
+    )
+
+
+@_q(
+    "q_window_rank_semantics",
+    """
+    SELECT DISTINCT l_returnflag, l_quantity,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    """,
+)
+def q_window_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() on real ties, side by side: rank leaves gaps
+    after tie groups, dense_rank doesn't — the difference that silently
+    corrupts 'top N' reports built with the wrong one. Every row of a tie
+    group carries identical outputs, so DISTINCT collapses to one row per
+    (group, value): fully deterministic without a row-level tie-break
+    (row_number is deliberately absent — it IS arbitrary on ties)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_quantity",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -5176,6 +5245,8 @@ _CHECK_PRIORITY = [
     "q_decontaminate",
     # batch 18 — no driver evidence yet
     "q_agg_mode", "q_linreg_trend",
+    # batch 19 — no driver evidence yet
+    "q_percentile_disc", "q_window_rank_semantics",
 ]
 
 
