@@ -5188,6 +5188,277 @@ def q_window_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 20 — skyline, running distinct, robust-stats outliers, quartile
+# buckets, heavy-hitter skew diagnosis, Gini concentration.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_skyline",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders q
+      WHERE q.o_totalprice < o.o_totalprice
+        AND q.o_orderdate > o.o_orderdate)
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not strictly dominated on
+    (cheaper price, later date). The oracle states the declarative
+    NOT-EXISTS dominance definition (an O(n^2) inequality join); the
+    engine plan is the O(n log n) sweep — max order date per distinct
+    price level, running max over strictly-cheaper levels, keep rows whose
+    date reaches that running max. The global window ranges over DISTINCT
+    price levels only (cardinality << rows), so at 100 TB the sort input
+    is the aggregated level table, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_price = orders.groupBy("o_totalprice").agg(
+        F.max("o_orderdate").alias("grp_max_date")
+    )
+    w = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, -1)
+    levels = per_price.select(
+        "o_totalprice", F.max("grp_max_date").over(w).alias("prior_max_date")
+    )
+    return (
+        orders.join(F.broadcast(levels), "o_totalprice")
+        .where(
+            F.col("prior_max_date").isNull()
+            | (F.col("prior_max_date") <= F.col("o_orderdate"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@_q(
+    "q_running_distinct",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS first_date FROM orders GROUP BY 1),
+    daily AS (
+      SELECT first_date AS o_orderdate, CAST(count(*) AS BIGINT) AS new_customers
+      FROM firsts GROUP BY 1)
+    SELECT o_orderdate, new_customers,
+           CAST(sum(new_customers) OVER (ORDER BY o_orderdate) AS BIGINT)
+             AS cum_customers
+    FROM daily
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT) over time — the window neither engine
+    supports natively (COUNT(DISTINCT) OVER is illegal in both). The
+    scalable rewrite: a customer contributes on its first-seen date only
+    (min-date per key = one shuffle), then a running sum over the tiny
+    per-day series. State is O(days), never O(customers), so the plan
+    holds when the distinct key set itself no longer fits one node."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_date"))
+    daily = firsts.groupBy(F.col("first_date").alias("o_orderdate")).agg(
+        F.count("*").alias("new_customers")
+    )
+    w = Window.orderBy("o_orderdate").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.withColumn("cum_customers", F.sum("new_customers").over(w))
+
+
+@_q(
+    "q_iqr_outliers",
+    """
+    WITH fences AS (
+      SELECT l_returnflag,
+             percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
+             percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
+      FROM lineitem GROUP BY 1)
+    SELECT f.l_returnflag, f.q1, f.q3,
+           CAST(count(*) FILTER (
+             l.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+             OR l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM fences f JOIN lineitem l USING (l_returnflag)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection from DISCRETE quartiles. percentile_
+    disc returns actual data values (no interpolation), and the 1.5x-IQR
+    fence arithmetic is a fixed scalar double expression — IEEE-identical
+    across engines — so the whole check is exact without any rounding.
+    Two passes over the fact table (quartiles, then a broadcast-joined
+    fence filter with map-side conditional count); no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_iqr")
+    return spark.sql(
+        """
+        WITH fences AS (
+          SELECT l_returnflag,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
+          FROM li_iqr GROUP BY l_returnflag)
+        SELECT f.l_returnflag, f.q1, f.q3,
+               count(*) FILTER (WHERE
+                 l.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
+                 OR l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS n_outliers,
+               count(*) AS n_rows
+        FROM fences f JOIN li_iqr l USING (l_returnflag)
+        GROUP BY f.l_returnflag, f.q1, f.q3
+        """
+    )
+
+
+@_q(
+    "q_ntile_quartiles",
+    f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders)
+    SELECT quartile, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           {_msum('o_totalprice')} AS bucket_total
+    FROM t GROUP BY 1
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) equi-height bucketing with per-bucket profile. ntile
+    assigns by row position, so ties MUST be broken by a total order —
+    (o_totalprice, o_orderkey) — or the bucket boundaries are
+    run-dependent; this key pins that discipline. Bucket totals use the
+    exact decimal accumulator. Scale note: a global ntile is a
+    range-partitioned sort (Spark's Exchange rangepartitioning), the same
+    machinery as orderBy — linear shuffle, no single-node bottleneck."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+    return t.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        money_sum(F.col("o_totalprice")).alias("bucket_total"),
+    )
+
+
+@_q(
+    "q_heavy_hitters",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts)
+    SELECT c.l_suppkey, c.cnt,
+           CAST(c.cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(c.cnt * t.n_keys * 1000 // t.total AS BIGINT) AS skew_x1000
+    FROM counts c, tot t
+    ORDER BY c.cnt DESC, c.l_suppkey
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis — the profile you run BEFORE picking a join or
+    shuffle strategy at 100 TB: top-20 hottest keys with parts-per-million
+    share and x1000 skew ratio vs the mean key load (skew_x1000 >> 1000
+    means salting / AQE skew-join territory). All-integer arithmetic
+    (floor division both engines) — no float, no rounding. Plan: one
+    groupBy shuffle, a broadcast single-row total, TakeOrdered(20)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            F.expr("cnt * n_keys * 1000 div total").alias("skew_x1000"),
+        )
+        .orderBy(F.col("cnt").desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q_gini",
+    """
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
+                  AS DECIMAL(18,2)) AS spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT c_nationkey, spend,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY spend, o_custkey)
+                  AS DECIMAL(10,0)) AS i
+      FROM spend),
+    moms AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(spend) AS DECIMAL(30,2)) AS s,
+             CAST(SUM(i * spend) AS DECIMAL(32,2)) AS s1
+      FROM ranked GROUP BY 1)
+    SELECT c_nationkey, n,
+           ROUND(CAST(2 * s1 - CAST(n + 1 AS DECIMAL(6,0)) * s AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(6,0)) * s AS DOUBLE), 6) AS gini
+    FROM moms
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer spend per nation, via the exact
+    rank formulation G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    spend sorted ascending with a custkey tie-break. Every moment stays
+    in decimal (i narrowed to DECIMAL(10,0) so the product precision
+    10+18+1 <= 38 stays exact — Spark clips the scale past 38; n+1
+    narrowed to DECIMAL(6,0) for the same reason); only the final ratio
+    goes through double, rounded to 6 dp. The per-nation window sorts
+    customers-per-nation, not order rows — fine at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")), 2)
+            .cast("decimal(18,2)")
+            .alias("spend")
+        )
+    )
+    wi = Window.partitionBy("c_nationkey").orderBy("spend", "o_custkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "spend",
+        F.row_number().over(wi).cast("decimal(10,0)").alias("i"),
+    )
+    moms = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("spend").cast("decimal(30,2)").alias("s"),
+        F.sum(F.col("i") * F.col("spend")).cast("decimal(32,2)").alias("s1"),
+    )
+    return moms.select(
+        "c_nationkey",
+        "n",
+        F.round(
+            (
+                F.lit(2) * F.col("s1")
+                - (F.col("n") + F.lit(1)).cast("decimal(6,0)") * F.col("s")
+            ).cast("double")
+            / (F.col("n").cast("decimal(6,0)") * F.col("s")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -5247,6 +5518,9 @@ _CHECK_PRIORITY = [
     "q_agg_mode", "q_linreg_trend",
     # batch 19 — no driver evidence yet
     "q_percentile_disc", "q_window_rank_semantics",
+    # batch 20 — no driver evidence yet
+    "q_skyline", "q_running_distinct", "q_iqr_outliers",
+    "q_ntile_quartiles", "q_heavy_hitters", "q_gini",
 ]
 
 
