@@ -5459,6 +5459,335 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 21 — repetition filters, concentration indices, interval overlap,
+# rolling robust statistics, rollup-cascade reuse.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, len(t) AS n_words,
+             unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS bigram
+      FROM toks
+    ),
+    counts AS (
+      SELECT doc_id, n_words, bigram, count(*) AS cnt
+      FROM bg GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY cnt DESC, bigram ASC) AS rn
+      FROM counts
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, bigram AS top_bigram,
+           CAST(cnt AS BIGINT) AS top_cnt,
+           CAST(cnt * 1000000 // (n_words - 1) AS BIGINT) AS rep_ppm,
+           cnt * 1000000 // (n_words - 1) >= 60000 AS flag_repetitive
+    FROM top WHERE rn = 1
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filter: per document, the
+    most-frequent word bigram and the fraction of bigram slots it
+    occupies (parts-per-million, all-integer floor arithmetic — no float
+    anywhere). Docs whose top bigram exceeds 6% of slots are flagged as
+    repetitive boilerplate. Plan: map-side bigram explode, one shuffle on
+    (doc_id, bigram), per-doc argmax window — the same inverted-index
+    shape as the dedup tier, never a per-doc O(n^2) HOF scan."""
+    from etl_pipeline_project_spark.operators.text_analysis import ngram_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_words"),
+        F.explode(ngram_pairs("text")).alias("bigram"),
+    )
+    counts = bg.groupBy("doc_id", "n_words", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").alias("top_cnt"),
+            F.expr("cnt * 1000000 div (n_words - 1)").alias("rep_ppm"),
+            (F.expr("cnt * 1000000 div (n_words - 1)") >= 60000).alias(
+                "flag_repetitive"
+            ),
+        )
+    )
+
+
+@_q(
+    "q_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey,
+             l.l_suppkey,
+             CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                      AS DECIMAL(38,10))), 2)
+                       AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    shares AS (
+      SELECT s_nationkey, l_suppkey,
+             cents * 1000000 // CAST(sum(cents) OVER (PARTITION BY s_nationkey)
+                                     AS BIGINT) AS share_ppm
+      FROM rev)
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(share_ppm * share_ppm) // 10000 AS BIGINT) AS hhi_x100
+    FROM shares GROUP BY 1
+    """,
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within each
+    nation, fully integer-deterministic: exact-decimal revenue -> cents
+    (bigint), floor-division ppm shares, HHI = sum(share^2)/1e4 (so
+    hhi_x100 = 1_000_000 means monopoly). No double ever enters — the
+    cross-engine recipe when a ratio-of-sums must hash identically.
+    Plan: one shuffle to (nation, supplier), a nation-partitioned window
+    for the denominator, one tiny final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == sup.s_suppkey,
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ),
+                2,
+            )
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        .select(
+            "s_nationkey",
+            "l_suppkey",
+            (F.col("rev") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    wn = Window.partitionBy("s_nationkey")
+    shares = rev.select(
+        "s_nationkey",
+        "l_suppkey",
+        F.expr("cents * 1000000 div sum(cents) OVER (PARTITION BY s_nationkey)")
+        .alias("share_ppm"),
+    )
+    return shares.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr("sum(share_ppm * share_ppm) div 10000").alias("hhi_x100"),
+    )
+
+
+@_q(
+    "q_interval_overlap",
+    """
+    WITH w AS (
+      SELECT o_orderkey, o_custkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 7 DAY AS e
+      FROM orders)
+    SELECT a.o_custkey, CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    GROUP BY 1
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self join: pairs of 7-day order windows of the
+    same customer that intersect (half-open [start, start+7d)
+    semantics, a.key < b.key to count each unordered pair once). The
+    equi key (customer) carries the hash join; the interval predicate is
+    a post-join filter — the scalable shape for key-scoped interval
+    joins, since per-key cardinality is bounded while a keyless interval
+    join would need bucketized interval banding."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+
+
+@_q(
+    "q_rolling_median",
+    f"""
+    WITH daily AS (
+      SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+             {_msum('l_extendedprice * (1 - l_discount)')} AS rev
+      FROM lineitem WHERE l_suppkey <= 10 GROUP BY 1, 2)
+    SELECT l_suppkey, d, rev,
+           median(rev) OVER (PARTITION BY l_suppkey ORDER BY d
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM daily
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-observation median of daily supplier revenue — a
+    windowed ORDER-STATISTIC, not a windowed sum: the frame re-sorts its
+    7 values at every row. Daily revenues are exact-decimal-rounded
+    doubles, and both engines interpolate even-count medians as the mean
+    of the two middles ((a+b)/2 is a single IEEE op — bit-identical), so
+    no output rounding is needed. Spark refuses aggregate `median` over
+    a frame (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the engine
+    collects the <=7-value frame and takes the order statistic with
+    array_sort — O(1) per row because the frame is bounded, and the
+    partition key bounds window state. ORDER BY d is unique per
+    supplier, making frames deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 10)
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.withColumn(
+        "frame", F.array_sort(F.collect_list("rev").over(w))
+    ).select(
+        "l_suppkey",
+        "d",
+        "rev",
+        F.expr(
+            """
+            CASE WHEN size(frame) % 2 = 1
+                 THEN element_at(frame, CAST((size(frame) + 1) DIV 2 AS INT))
+                 ELSE (element_at(frame, CAST(size(frame) DIV 2 AS INT))
+                       + element_at(frame, CAST(size(frame) DIV 2 + 1 AS INT)))
+                      / 2
+            END
+            """
+        ).alias("med7"),
+    )
+
+
+@_q(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.event_type,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+               AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY 1)
+    SELECT m.event_type, m.med, a.mad,
+           CAST(count(*) FILTER (abs(e.value - m.med) > 3 * a.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events e JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flagging per event type — the
+    robust alternative to z-scores (the median/MAD pair is immune to the
+    outliers it hunts). Both medians are DISCRETE order statistics
+    (actual data values), and |x - med| > 3*MAD is a fixed scalar double
+    expression, so the whole check is exact with zero rounding. Three
+    passes over events, each a broadcast-joined aggregate; no sort of
+    the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("ev_mad")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+          FROM ev_mad GROUP BY event_type),
+        mad AS (
+          SELECT e.event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.value - m.med))
+                   AS mad
+          FROM ev_mad e JOIN med m USING (event_type) GROUP BY e.event_type)
+        SELECT m.event_type, m.med, a.mad,
+               count(*) FILTER (WHERE abs(e.value - m.med) > 3 * a.mad)
+                 AS n_outliers,
+               count(*) AS n_rows
+        FROM ev_mad e JOIN med m USING (event_type) JOIN mad a USING (event_type)
+        GROUP BY m.event_type, m.med, a.mad
+        """
+    )
+
+
+@_q(
+    "q_rollup_cascade",
+    f"""
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {_msum('value')} AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: the monthly aggregate is computed
+    FROM the daily pre-aggregate, not by re-scanning raw events — the
+    incremental-maintenance pattern where each granularity feeds the
+    next (hour->day->month), so a 100 TB event store aggregates once and
+    every coarser rollup reads only rollup rows. The oracle aggregates
+    raw events directly: cascade == direct holds exactly because the
+    day level keeps the unrounded DECIMAL(38,10) accumulator, rounding
+    only at the final month projection."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.groupBy(F.date_trunc("day", "ts").alias("day_ts")).agg(
+        F.sum(F.col("value").cast("decimal(38,10)")).alias("day_dec"),
+        F.count(F.lit(1)).alias("day_n"),
+    )
+    return day.groupBy(
+        F.date_trunc("month", "day_ts").cast("date").alias("month")
+    ).agg(
+        F.sum("day_n").alias("n_events"),
+        F.round(F.sum("day_dec"), 2)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -5521,6 +5850,9 @@ _CHECK_PRIORITY = [
     # batch 20 — no driver evidence yet
     "q_skyline", "q_running_distinct", "q_iqr_outliers",
     "q_ntile_quartiles", "q_heavy_hitters", "q_gini",
+    # batch 21 — no driver evidence yet
+    "q_text_repetition", "q_hhi", "q_interval_overlap",
+    "q_rolling_median", "q_mad_outliers", "q_rollup_cascade",
 ]
 
 
