@@ -5788,6 +5788,393 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 22 — TPC-H classics, co-occurrence mining, exact higher moments,
+# privacy suppression, regex surface, deterministic splits, JSON staging
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_sql_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           {_msum('l_extendedprice')} AS sum_base_price,
+           {_msum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_msum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           {_msum('l_discount')} AS sum_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical scan-heavy report the
+    reference's summary tier approximates with pandas groupbys
+    (`data/transformation_dw.py` aggregate marts). One full scan, one
+    hash aggregate on a 6-value grouping key: map-side partial
+    aggregation collapses 600k rows to 6 per partition before the
+    shuffle, so network cost is O(partitions), not O(rows) — the shape
+    that holds at 100 TB. Money sums accumulate in DECIMAL(38,10)
+    (exact, order-independent); averages are a final double division of
+    exact sums, so both engines compute bit-identical results."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
+        money_sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("sum_charge"),
+        money_sum(F.col("l_discount")).alias("sum_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        "sum_disc",
+        "count_order",
+    )
+
+
+@_q(
+    "q_sql_q3",
+    f"""
+    SELECT l.l_orderkey,
+           {_msum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: top-10 open BUILDING-segment orders
+    by outstanding revenue. The segment filter prunes customer BEFORE
+    the join (predicate pushdown to the scan), the filtered customer
+    side broadcasts (small by selectivity), and the top-10 is a
+    TakeOrdered — no global sort materializes. revenue ties break on
+    l_orderkey so the limit is deterministic (SURVEY §1.4 Q3)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q_sql_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds 250. The HAVING filter runs on the aggregate BEFORE any
+    join — the surviving set is tiny (~0.3% of orders), so it
+    broadcasts into orders and customer rather than shuffling either
+    fact table a second time. Quantity sums are integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+    )
+
+
+@_q(
+    "q_market_basket",
+    """
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-purchased in the same order,
+    kept at support >= 2. The self-join carries the equi key
+    (l_orderkey), so the shuffle is one hash partition of lineitem and
+    the pair blow-up is per-order local — O(k^2) for k lines per order,
+    with k bounded (~7), never a global cross product. This is the
+    a-priori candidate-generation step shaped for 100 TB: support
+    counting is a map-side-combinable aggregate on the pair key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+
+
+_MOMENTS_SQL = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+      FROM {table} GROUP BY l_returnflag),
+    r AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+      FROM s),
+    c AS (
+      SELECT l_returnflag, n, mean,
+             r2 - mean * mean AS m2,
+             r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+             r4 - 4 * mean * r3 + 6 * mean * mean * r2
+                - 3 * mean * mean * mean * mean AS m4
+      FROM r)
+    SELECT l_returnflag, n, mean, m2 AS variance,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3 AS kurtosis_excess
+    FROM c
+"""
+
+
+@_q("q_moments_skew_kurt", _MOMENTS_SQL.format(table="lineitem"))
+def q_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness and excess kurtosis per return flag. Built-in
+    skewness()/kurtosis() accumulate running doubles whose value depends
+    on partition order; here the power sums are INTEGER-exact (quantity
+    is integral <= 50, so q^4 <= 6.25e6 is exact in int64 and sums are
+    associative), and the central-moment formula is a fixed scalar
+    double expression evaluated once per group — identical text on both
+    engines, so the doubles match bit-for-bit. Distributed cost: one
+    map-side-combinable aggregate, no second pass (vs the naive
+    mean-subtract-rescan two-pass formulation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("moments_src")
+    return spark.sql(_MOMENTS_SQL.format(table="moments_src"))
+
+
+@_q(
+    "q_k_anonymize",
+    """
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(count(*) FILTER (WHERE n >= 5) AS BIGINT) AS released_cells,
+           CAST(COALESCE(SUM(CASE WHEN n >= 5 THEN n END), 0) AS BIGINT) AS released_rows,
+           CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS suppressed_rows
+    FROM cells GROUP BY c_nationkey
+    """,
+)
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression audit (k=5) over the quasi-identifier
+    pair (nation, market segment): cells smaller than k are suppressed,
+    and the audit reports per-nation how many rows survive release —
+    the privacy gate a training-data pipeline runs before exporting
+    user-derived records. Two cheap aggregates; the cell table is
+    bounded by the QI domain product, not by row count, so the second
+    aggregate is trivially small at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cells.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count(F.when(F.col("n") >= 5, 1)).alias("released_cells"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") >= 5, F.col("n"))), F.lit(0)
+        ).alias("released_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0)
+        ).alias("suppressed_rows"),
+    )
+
+
+@_q(
+    "q_regex_suite",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+           (text LIKE '%the%') AS has_the,
+           CAST(length(regexp_replace(text, '[0-9]+', '', 'g')) AS BIGINT) AS len_no_digits
+    FROM documents
+    """,
+)
+def q_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface (reference's pandas `.str` tier,
+    `data/transformation_dw.py` text cleanups): extract / count-all /
+    LIKE / strip-replace, all JVM-side Catalyst expressions inside one
+    whole-stage-codegen span — no Python, no shuffle, embarrassingly
+    parallel at any scale. Spark's regexp_replace is replace-all by
+    default; the DuckDB twin needs the explicit 'g' flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.expr("regexp_extract_all(text, '[0-9]+')"))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.col("text").like("%the%").alias("has_the"),
+        F.length(F.regexp_replace("text", r"[0-9]+", "")).cast("long").alias(
+            "len_no_digits"
+        ),
+    )
+
+
+@_q(
+    "q_hash_split",
+    """
+    WITH b AS (
+      SELECT n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-stable hash —
+    THE way to split 100 TB of training data: no global shuffle, no
+    random() (which is neither reproducible across runs nor stable
+    under repartitioning), just a pure per-row md5 of the document key
+    mod 100 → 80/10/10. Any engine, any partitioning, any day produces
+    the same assignment, which is what makes downstream decontamination
+    and eval-set hygiene auditable. Assignment is a scalar expression;
+    the only aggregate is the audit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@_q(
+    "q_scan_json_roundtrip",
+    """
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents GROUP BY source, lang
+    """,
+)
+def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines staging round-trip: documents → newline-delimited JSON
+    (the interchange format of every LLM data pipeline) → read back with
+    the EXPLICIT schema (no inference pass — inference would double the
+    scan at scale, SURVEY §1.4 Q2) → aggregate. Unicode text survives
+    the encode/decode; the oracle aggregates the source table directly,
+    so the check proves the round-trip is lossless."""
+    import pyspark.sql.types as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = f"{_SCRATCH}/json_stage"
+    docs.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -5853,6 +6240,10 @@ _CHECK_PRIORITY = [
     # batch 21 — no driver evidence yet
     "q_text_repetition", "q_hhi", "q_interval_overlap",
     "q_rolling_median", "q_mad_outliers", "q_rollup_cascade",
+    # batch 22 — no driver evidence yet
+    "q_sql_q1", "q_sql_q3", "q_sql_q18", "q_market_basket",
+    "q_moments_skew_kurt", "q_k_anonymize", "q_regex_suite",
+    "q_hash_split", "q_scan_json_roundtrip",
 ]
 
 
