@@ -6501,6 +6501,302 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 24 — promo share, EXISTS date-arithmetic, graph triangles,
+# Morton z-order clustering, Welch's t-test, golden-record survivorship
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_sql_q14",
+    f"""
+    WITH j AS (
+      SELECT p.p_type, l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'),
+    s AS (
+      SELECT {_msum("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END")} AS promo_rev,
+             {_msum('rev')} AS total_rev
+      FROM j)
+    SELECT promo_rev, total_rev,
+           100 * (promo_rev / total_rev) AS promo_share_pct
+    FROM s
+    """,
+)
+def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    PROMO parts. part is a dimension — it broadcasts, so lineitem never
+    shuffles; the month filter is pushed to the lineitem scan. Both
+    revenue sums are exact decimals rounded to cents, and the share is
+    one double division of those — deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            money_sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("promo_rev"),
+            money_sum(rev).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "promo_rev",
+        "total_rev",
+        (F.lit(100) * (F.col("promo_rev") / F.col("total_rev"))).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+@_q(
+    "q_sql_q4_exists",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    """,
+)
+def q_sql_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check: orders in one quarter with
+    at least one line shipped >30 days after ordering. EXISTS compiles
+    to a LEFT SEMI hash join on the order key with the date comparison
+    as the join residual — lineitem is never widened, each order
+    short-circuits on first match, and the count is per-priority.
+    The quarter filter prunes the orders scan first."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_TRADE_EDGES_CTE = """
+    de AS (
+      SELECT DISTINCT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+                      GREATEST(c.c_nationkey, s.s_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey)
+"""
+
+
+@_q(
+    "q_graph_triangles",
+    f"""
+    WITH {_TRADE_EDGES_CTE}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM de e1
+    JOIN de e2 ON e1.b = e2.a
+    JOIN de e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the undirected nation trade graph — the
+    clustering-coefficient primitive. Same scale discipline as
+    PageRank: one heavy pass collapses the fact tables to a DISTINCT
+    edge set bounded by the key-domain square, then the triangle
+    enumeration (ordered wedge join a<b<c, each triangle counted once)
+    runs on the collapsed edges only. On a real 100 TB graph the same
+    plan applies with degree-ordered orientation keeping wedge counts
+    subquadratic."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    de = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = de.alias("e1")
+    e2 = de.alias("e2")
+    e3 = de.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def _morton16(xcol: str, ycol: str) -> str:
+    """Bit-interleave two 8-bit bins into a 16-bit Morton (z-order) key —
+    plain `>> & <<` integer ops, identical text on both engines."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@_q(
+    "q_zorder_cluster",
+    f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice / 2000) AS BIGINT) & 255 AS x,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) & 255 AS y
+      FROM orders)
+    SELECT o_orderkey, x, y, {_morton16('x', 'y')} AS zkey
+    FROM b
+    """,
+)
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (price bin, day bin) — the
+    multi-dimensional data-layout technique behind Delta/Iceberg
+    OPTIMIZE ZORDER: sorting 100 TB by this key co-locates rows close
+    in BOTH dimensions, so 2-D range predicates prune most files
+    instead of one dimension's worth. The interleave is pure integer
+    bit arithmetic (generated once, same text both engines);
+    floor-before-cast pins the double→int conversion (Spark truncates,
+    DuckDB rounds — floor makes them agree)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        (F.floor(F.col("o_totalprice") / 2000).cast("long").bitwiseAND(255)).alias(
+            "x"
+        ),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') & 255"
+        ).alias("y"),
+    )
+    return b.select("o_orderkey", "x", "y", F.expr(_morton16("x", "y")).alias("zkey"))
+
+
+@_q(
+    "q_ab_welch_ttest",
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             {_msum6('value')} AS s1, {_msum6('value * value')} AS s2
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+    m AS (
+      SELECT event_type, n, s1 / CAST(n AS DOUBLE) AS mean,
+             (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var
+      FROM g)
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           (a.mean - b.mean)
+             / sqrt(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+             AS t_stat
+    FROM m a, m b
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    """,
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic (click vs view event values) from
+    exact decimal power sums — the A/B-test primitive computed in ONE
+    distributed pass per group (no mean-subtract rescan): sample
+    variance via s2 - s1²/n on exact sums, then a fixed scalar double
+    formula both engines evaluate identically. At 100 TB this is a
+    map-side-combinable aggregate; the final t is O(1)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view"))
+        .select("event_type", "value")
+    )
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("value"), 6).alias("s1"),
+        exact_sum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n").cast("double")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n").cast("double"))
+            / (F.col("n").cast("double") - 1)
+        ).alias("var"),
+    )
+    a = m.where(F.col("event_type") == "click").alias("a")
+    b = m.where(F.col("event_type") == "view").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean").alias("mean_a"),
+        F.col("b.mean").alias("mean_b"),
+        (
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n").cast("double")
+                + F.col("b.var") / F.col("b.n").cast("double")
+            )
+        ).alias("t_stat"),
+    )
+
+
+@_q(
+    "q_golden_record",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           arg_max(CAST(json_extract_string(props, '$.k') AS BIGINT), ts)
+             AS last_k,
+           arg_max(value, ts) FILTER (WHERE event_type = 'purchase')
+             AS last_purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: one consolidated row per user with
+    most-recent-wins per attribute — the master-data-management merge
+    (reference's keep-latest dedup generalized to per-COLUMN
+    survivorship). max_by(attr, ts) picks the latest value per
+    attribute independently; the FILTER clause scopes one attribute to
+    purchase events only, leaving NULL for users who never purchased
+    (absent evidence survives as NULL, not as a stale value). One
+    map-side-combinable aggregate — no sort, no window, no self-join;
+    ts is unique per user in this data, so arg-max is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.expr(
+            "max_by(CAST(get_json_object(props, '$.k') AS BIGINT), ts)"
+        ).alias("last_k"),
+        F.expr(
+            "max_by(value, ts) FILTER (WHERE event_type = 'purchase')"
+        ).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -6573,6 +6869,9 @@ _CHECK_PRIORITY = [
     # batch 23 — no driver evidence yet
     "q_pagerank_nations", "q_sql_q7", "q_sql_q10", "q_udf_arrow_batch",
     "q_robust_scaler", "q_window_first_last",
+    # batch 24 — no driver evidence yet
+    "q_sql_q14", "q_sql_q4_exists", "q_graph_triangles", "q_zorder_cluster",
+    "q_ab_welch_ttest", "q_golden_record",
 ]
 
 
