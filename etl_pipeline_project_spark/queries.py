@@ -6797,6 +6797,332 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 25 — TPC-H suite completion (every classic the testdata schema
+# can express: Q6, Q8, Q13, Q15, Q17, Q19, Q22-adapted)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_sql_q6",
+    f"""
+    SELECT {_msum('l_extendedprice * l_discount')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: pure scan-filter-aggregate.
+    All three predicates push to the parquet scan (PushedFilters) and
+    the projection prunes to 2 columns — at 100 TB this reads a small
+    fraction of row groups via min/max statistics and shuffles nothing
+    (single scalar aggregate, map-side partials only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "q_sql_q8",
+    f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             n2.n_name AS supp_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'),
+    a AS (
+      SELECT o_year,
+             {_msum("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")}
+               AS nation_rev,
+             {_msum('volume')} AS total_rev
+      FROM vol GROUP BY 1)
+    SELECT o_year, nation_rev, total_rev,
+           nation_rev / total_rev AS mkt_share
+    FROM a
+    """,
+)
+def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_1 suppliers' slice of
+    ASIA-customer revenue per year. Every dimension (customer, nation,
+    region, supplier) broadcasts after the region filter; lineitem and
+    orders shuffle once on the order key. The share is one double
+    division of two exact cent-rounded sums."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cnk"))
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cnk"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    a = vol.groupBy("o_year").agg(
+        money_sum(
+            F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_rev"),
+        money_sum(F.col("volume")).alias("total_rev"),
+    )
+    return a.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+    )
+
+
+@_q(
+    "q_sql_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution. The LEFT join keeps
+    zero-order customers (count(o_orderkey) counts only non-null
+    matches — the NULL-skipping semantics the outer join exists for),
+    then the histogram collapses 150k customers to ~40 buckets. Two
+    shuffles: one on the join key, one trivial on the count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q_sql_q15",
+    f"""
+    WITH r AS (
+      SELECT l_suppkey, {_msum('l_extendedprice * (1 - l_discount)')} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT l_suppkey, total_rev
+    FROM (SELECT l_suppkey, total_rev, max(total_rev) OVER () AS mx FROM r) t
+    WHERE total_rev = mx
+    """,
+)
+def q_sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the supplier(s) achieving the maximum
+    quarterly revenue — the view + scalar-subquery formulation
+    re-expressed as an empty-partition window max, which Spark executes
+    as a single-row broadcast exchange over the (tiny) per-supplier
+    aggregate, never re-scanning lineitem. Ties all surface (no
+    arbitrary pick), and revenue is exact-cent-rounded so the equality
+    is well-defined cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    r = li.groupBy("l_suppkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        r.withColumn("mx", F.max("total_rev").over(w))
+        .where(F.col("total_rev") == F.col("mx"))
+        .select("l_suppkey", "total_rev")
+    )
+
+
+@_q(
+    "q_sql_q17",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*))
+               AS thr
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {_msum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.thr
+    """,
+)
+def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: lines below 20% of their
+    part's average quantity. The correlated subquery decorrelates into
+    a per-part aggregate joined back on the part key — one shuffle each
+    side, same key, and the threshold (0.2 * exact-integer mean) is a
+    deterministic double. At 100 TB both sides partition on l_partkey,
+    so the join is co-located after the aggregate's shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("thr")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            (money_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@_q(
+    "q_sql_q19",
+    f"""
+    SELECT {_msum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted-revenue brackets: a disjunction of three
+    (brand, quantity-range, size-range) predicates spanning both join
+    sides. The bracket OR cannot push below the join whole, but its
+    single-side residuals can — Catalyst extracts `p_brand IN (...)`
+    AND `p_size <= 15` onto the part scan and `l_quantity <= 30` onto
+    lineitem, so the broadcast hash join sees pre-pruned inputs and the
+    full disjunction runs as the join residual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.where(bracket).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_q(
+    "q_sql_q22",
+    f"""
+    WITH avg_bal AS (
+      SELECT {_msum6('c_acctbal')} / count(*) AS a
+      FROM customer WHERE c_acctbal > 0),
+    rich_idle AS (
+      SELECT c.c_nationkey, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'))
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           {_msum('c_acctbal')} AS totacctbal
+    FROM rich_idle GROUP BY c_nationkey
+    """,
+)
+def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity (adapted: recency replaces the
+    missing phone prefix): above-average-balance customers with no
+    recent orders, grouped by nation. The scalar average broadcasts as
+    a literal-like single row; the NOT EXISTS is a LEFT ANTI join
+    against date-pruned orders. The average threshold is exact-decimal
+    sum / count — a deterministic double both engines reproduce."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (exact_sum(F.col("c_acctbal"), 6) / F.count(F.lit(1))).alias("a")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a")).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        money_sum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -6872,6 +7198,9 @@ _CHECK_PRIORITY = [
     # batch 24 — no driver evidence yet
     "q_sql_q14", "q_sql_q4_exists", "q_graph_triangles", "q_zorder_cluster",
     "q_ab_welch_ttest", "q_golden_record",
+    # batch 25 — no driver evidence yet
+    "q_sql_q6", "q_sql_q8", "q_sql_q13", "q_sql_q15", "q_sql_q17",
+    "q_sql_q19", "q_sql_q22",
 ]
 
 
