@@ -46,16 +46,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         missing = set(expected.fieldNames()) - set(got)
         if missing:
             raise ValueError(f"table {name!r} at {sf_dir} is missing columns {sorted(missing)}")
-        # TIMESTAMP(NANOS) parquet columns arrive as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong (see session.py); normalize to
-        # TimestampType with integer µs division (floor — matches DuckDB's
-        # nanos→micros truncation). `div` keeps the arithmetic in int64: a
-        # double division would lose precision above 2^53 ns (~1970+104 days).
-        fixes = {
-            f.name: F.timestamp_micros(F.expr(f"{f.name} div 1000"))
-            for f in expected.fields
-            if isinstance(f.dataType, T.TimestampType) and isinstance(got[f.name], T.LongType)
-        }
+        # TIMESTAMP(NANOS) parquet columns arrive differently per Spark
+        # version/config: as long nanos under spark.sql.legacy.parquet
+        # .nanosAsLong, or (Spark 4.1+) natively as TIMESTAMP_NTZ. Normalize
+        # both to TimestampType so downstream event-time operators
+        # (withWatermark, unix_micros, window) — which reject NTZ — work
+        # under any caller session. Long path: integer µs division (floor —
+        # matches DuckDB's nanos→micros truncation; `div` keeps it in int64,
+        # a double division would lose precision above 2^53 ns). NTZ path:
+        # plain cast — session tz is pinned to UTC above, so the wall-clock
+        # is preserved and renders identically to the DuckDB oracles.
+        fixes = {}
+        for f in expected.fields:
+            if not isinstance(f.dataType, T.TimestampType):
+                continue
+            if isinstance(got[f.name], T.LongType):
+                fixes[f.name] = F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+            elif isinstance(got[f.name], T.TimestampNTZType):
+                fixes[f.name] = F.col(f.name).cast(T.TimestampType())
         if fixes:
             df = df.withColumns(fixes)
     return df

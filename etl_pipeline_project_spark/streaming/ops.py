@@ -41,6 +41,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runtime-settable: works under any caller-supplied session (the driver
     # harness does not build its session through session.py)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(static.schema)
@@ -49,8 +50,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # testdata table is a single file
         .load(f"{sf_dir}/events.*")
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    # Normalize the TIMESTAMP(NANOS) event-time column to TimestampType:
+    # long nanos under the legacy conf, TIMESTAMP_NTZ under Spark 4.1+
+    # native reads. Watermarks reject NTZ outright, so this cast is what
+    # makes event-time processing work under any caller session (UTC
+    # session tz above keeps the wall-clock identical to the oracles).
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
