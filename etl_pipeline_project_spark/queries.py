@@ -7134,6 +7134,410 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion batch (round 3): Q2, Q9, Q11, Q12, Q16, Q20, Q21 —
+# the seven shapes missing from the suite. The driver testdata carries no
+# partsupp table (and no commit/receipt dates or ship modes), so these are
+# TPC-H-*shaped* adaptations: identical join/subquery/decorrelation
+# structure over a deterministically *derived* supply table
+#   partsupp := per (l_partkey, l_suppkey): min unit price as supplycost,
+#               integer-exact total quantity as availqty
+# mirrored expression-for-expression in the oracle CTE, and lateness
+# predicates (shipdate vs orderdate + interval) replacing the missing
+# commit/receipt-date columns.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+    WITH partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+      FROM lineitem GROUP BY 1, 2)
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived supply table (see block comment). min of IEEE doubles
+    over the same operand set and an int64 quantity sum — both
+    deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+    )
+
+
+@_q(
+    "q_sql_q2",
+    _PARTSUPP_CTE
+    + """
+    , rs AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost, s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT t.s_acctbal, t.s_name, t.n_name, t.ps_partkey AS p_partkey,
+           p.p_brand, t.ps_supplycost
+    FROM (
+      SELECT *, min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS mn
+      FROM rs) t
+    JOIN part p ON t.ps_partkey = p.p_partkey
+    WHERE p.p_size = 1 AND p.p_type = 'ECONOMY' AND t.ps_supplycost = t.mn
+    """,
+)
+def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier: for each qualifying part, the
+    EUROPE supplier(s) quoting the regional minimum supply cost. The
+    correlated MIN subquery decorrelates into a window min partitioned
+    by part key — computed once on the already region-filtered supply
+    rows, no re-scan. supplier⋈nation⋈region collapses to a broadcast
+    chain (both dims are tiny); the only real shuffle is the window's
+    hash partition on ps_partkey, which AQE coalesces. Ties surface
+    (all min-cost suppliers), matching the SQL twin exactly."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sn = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rs = ps.join(F.broadcast(sn), ps.ps_suppkey == sn.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    best = rs.withColumn("mn", F.min("ps_supplycost").over(w)).where(
+        F.col("ps_supplycost") == F.col("mn")
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 1) & (F.col("p_type") == "ECONOMY")
+    )
+    return best.join(F.broadcast(part), best.ps_partkey == part.p_partkey).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        F.col("ps_partkey").alias("p_partkey"),
+        "p_brand",
+        "ps_supplycost",
+    )
+
+
+@_q(
+    "q_sql_q9",
+    _PARTSUPP_CTE
+    + f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {_msum('l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity')}
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit by nation × order year. Five joins:
+    part (name-filtered, broadcast), supplier+nation (broadcast),
+    orders (shuffle on the order key), and the derived supply table —
+    which partitions on (partkey, suppkey), the same key the lineitem
+    side aggregates by, so AQE sees a co-partitioned pair. Profit
+    terms are IEEE-identical doubles cross-engine; the sum is exact
+    decimal accumulation rounded to cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ps = _derived_partsupp(spark, sf_dir)
+    profit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return profit.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("ps_supplycost") * F.col("l_quantity")
+        ).alias("sum_profit")
+    )
+
+
+@_q(
+    "q_sql_q11",
+    _PARTSUPP_CTE
+    + f"""
+    , scoped AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS value
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3')
+    SELECT ps_partkey, {_msum('value')} AS value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING {_msum('value')} > (SELECT {_msum('value')} * 0.01 FROM scoped)
+    """,
+)
+def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: parts whose inventory value within one
+    nation exceeds a fraction of that nation's total. The scalar
+    subquery is a single-row aggregate broadcast against the per-part
+    aggregate — the scoped rows are computed once and feed both sides
+    (Spark reuses the exchange; no second scan). Both the per-part and
+    grand-total sums are exact-decimal, cent-rounded, so the threshold
+    comparison is bit-stable cross-engine."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    scoped = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+        )
+    )
+    per_part = scoped.groupBy("ps_partkey").agg(
+        money_sum(F.col("value")).alias("value")
+    )
+    total = scoped.agg((money_sum(F.col("value")) * 0.01).alias("thr"))
+    return per_part.join(F.broadcast(total), F.col("value") > F.col("thr")).select(
+        "ps_partkey", "value"
+    )
+
+
+@_q(
+    "q_sql_q12",
+    """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority split (adapted: the return flag
+    stands in for the missing ship-mode column, and 'shipped more than
+    60 days after ordering' for the missing commit/receipt lateness
+    pair). One shuffle joins the two facts on the order key — the
+    year filter pushes to the lineitem scan; the lateness predicate
+    spans both sides so it runs as the join residual — then the
+    conditional counts collapse in a single grouped aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@_q(
+    "q_sql_q16",
+    _PARTSUPP_CTE
+    + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_suppkey % 17 = 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier count by part attributes (adapted: the
+    'customer complaints' comment scan becomes a deterministic key
+    predicate — no comment column exists). The NOT IN over a
+    null-free key set is a LEFT ANTI broadcast join; part filters push
+    to the scan before the supply join; COUNT(DISTINCT) shuffles once
+    on the (brand, type, size) group key with partial distinct
+    map-side."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 17 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(bad_supp, ps.ps_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q_sql_q20",
+    _PARTSUPP_CTE
+    + """
+    , shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    JOIN partsupp ps ON ps.ps_suppkey = s.s_suppkey
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    WHERE ps.ps_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+      AND ps.ps_availqty > 2 * sh.q96
+    """,
+)
+def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 excess-stock suppliers (adapted lateness-free form):
+    EUROPE suppliers holding more than twice what they shipped of a
+    'small%' part during 1996. The nested IN-chains decorrelate to a
+    broadcast semi join (part names) plus a co-partitioned equi-join
+    between the derived supply table and the year-scoped shipment
+    aggregate — both partition on (partkey, suppkey), so the join
+    adds no exchange beyond the two aggregates' own. DISTINCT
+    collapses the per-part multiplicity to one row per supplier."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q96"))
+    )
+    small = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sn = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        ps.join(F.broadcast(small), ps.ps_partkey == small.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > 2 * F.col("q96"))
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@_q(
+    "q_sql_q21",
+    """
+    WITH fo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM fo GROUP BY 1)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM fo
+    JOIN per_order po ON po.l_orderkey = fo.l_orderkey
+    JOIN supplier s ON s.s_suppkey = fo.l_suppkey
+    WHERE fo.late AND po.n_supp > 1 AND po.n_late_supp = 1
+    GROUP BY 1
+    """,
+)
+def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: 'shipped
+    more than 45 days after ordering' replaces the missing
+    commit/receipt lateness). The classic EXISTS + NOT-EXISTS pair
+    over the same fact decorrelates into ONE per-order aggregate —
+    n_supp > 1 is the EXISTS (another supplier contributed), and
+    n_late_supp = 1 is the NOT EXISTS (nobody else was late) — so
+    lineitem shuffles once on the order key instead of three
+    self-join passes. Supplier names resolve via broadcast at the
+    end, against the already-tiny qualifying set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    fo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY")).alias(
+            "late"
+        ),
+    )
+    per_order = fo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        fo.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), fo.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -7192,6 +7596,9 @@ _CHECK_PRIORITY = [
     "q_ab_welch_ttest", "q_golden_record",
     "q_sql_q6", "q_sql_q8", "q_sql_q13", "q_sql_q15", "q_sql_q17",
     "q_sql_q19", "q_sql_q22",
+    # round-3 TPC-H completion batch
+    "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q12", "q_sql_q16",
+    "q_sql_q20", "q_sql_q21",
 ]
 
 

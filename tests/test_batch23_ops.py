@@ -33,7 +33,7 @@ def test_q7_both_directions_present(spark):
     # trade there; sf0.01 covers all 25x25 pairs
     rows = q_sql_q7(spark, "/root/testdata/sf0.01").collect()
     pairs = {(r["supp_nation"], r["cust_nation"]) for r in rows}
-    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert pairs <= {("NATION_20", "NATION_11"), ("NATION_11", "NATION_20")}
     assert len(rows) > 0
     assert all(r["l_year"] in (1995, 1996) for r in rows)
 
