@@ -14,7 +14,7 @@ same thing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # BPE-ish tokenization: letter runs, digit runs, single punctuation marks.
@@ -250,3 +250,108 @@ def tfidf_top_terms(
         ).alias("tfidf"),
     )
     return scored.orderBy(F.col("tfidf").desc(), F.col("term").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Char-bigram language-model quality scoring (KenLM-perplexity proxy).
+# ---------------------------------------------------------------------------
+
+LM_ALPHABET_SIZE = 38  # [a-z] + [0-9] + space + '_' (everything else → '_')
+
+
+def lm_normalize(col: Column | str) -> Column:
+    """Closed-alphabet normal form for the char LM: lowercase, every char
+    outside [a-z0-9 ] mapped to '_'. The bounded alphabet caps the model
+    at 38² rows no matter the corpus size — that is what makes the model
+    broadcastable at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "_")
+
+
+def char_bigrams(col: Column | str) -> Column:
+    """All overlapping 2-char substrings — zip_with over shifted slices of
+    one split, the word_bigrams pattern. The naive
+    ``transform(sequence(…), i -> substring(s, i, 2))`` re-inlines the
+    full upstream expression (here: the regexp normalize) into every
+    lambda call — O(len²) per document, measured ~50× slower at
+    sf0.001."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    n = F.size(chars)
+    grams = F.zip_with(
+        F.slice(chars, 1, n - 1), F.slice(chars, 2, n - 1), lambda a, b: F.concat(a, b)
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def lm_bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus char-bigram model: per bigram, Laplace-smoothed conditional
+    negative log-likelihood in integer micro-bits.
+
+    ``nbits_micro(c1c2) = round(-log2((count(c1c2)+1) / (count(c1·)+38)) * 1e6)``
+
+    Scale shape: one map-side explode + two tiny aggregates. The grouped
+    bigram count does a partial (map-side) combine, so the shuffle moves at
+    most 38² rows per task regardless of corpus size; the prefix total is a
+    broadcast join between two ≤38²-row frames. Integer counts make the
+    probability ratio — and hence the rounded micro-bit weight —
+    bit-identical across engines.
+    """
+    big = docs.select(
+        F.explode(char_bigrams(lm_normalize(text_col))).alias("bg")
+    )
+    model = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    pref = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("tot")
+    )
+    return (
+        model.join(F.broadcast(pref), F.substring("bg", 1, 1) == F.col("c1"))
+        .select(
+            "bg",
+            F.round(
+                -F.log2(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("tot") + F.lit(LM_ALPHABET_SIZE)).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nbits_micro"),
+        )
+    )
+
+
+def lm_quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bits-per-char under the corpus char-bigram LM —
+    the classic perplexity-proxy quality filter (gibberish, boilerplate
+    and wrong-charset docs score high; fluent text scores low).
+
+    Two passes over the text (model build, then scoring), both map-side
+    explodes; the model (≤38² rows) broadcasts, so scoring adds exactly
+    one shuffle: the per-doc aggregate. The per-doc sum accumulates
+    *integer* micro-bits — order-independent, so 1000-executor partials
+    equal the single-node result, and the only float op is one final
+    division.
+    """
+    model = lm_bigram_model(docs, text_col)
+    big = docs.select(
+        F.col(id_col), F.explode(char_bigrams(lm_normalize(text_col))).alias("bg")
+    )
+    return (
+        big.join(F.broadcast(model), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nbits_micro").alias("sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.col("sum_micro").cast("double")
+                / (F.col("n_bigrams").cast("double") * 1e6)
+            ).alias("bits_per_char"),
+        )
+    )

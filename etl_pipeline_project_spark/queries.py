@@ -2519,6 +2519,44 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=100)
 
 
+@_q(
+    "q_text_lm_quality",
+    """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '_', 'g') AS s
+      FROM documents),
+    big0 AS (
+      SELECT doc_id, s, unnest(generate_series(1, length(s) - 1)) AS i
+      FROM norm),
+    big AS (SELECT doc_id, substring(s, i, 2) AS bg FROM big0),
+    model AS (SELECT bg, count(*) AS cnt FROM big GROUP BY 1),
+    pref AS (SELECT substring(bg, 1, 1) AS c1, sum(cnt) AS tot
+             FROM model GROUP BY 1),
+    lp AS (
+      SELECT m.bg,
+             CAST(round(-log2((m.cnt + 1) / CAST(p.tot + 38 AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS nbits_micro
+      FROM model m JOIN pref p ON substring(m.bg, 1, 1) = p.c1)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(l.nbits_micro) AS DOUBLE) / (count(*) * 1e6) AS bits_per_char
+    FROM big b JOIN lp l ON b.bg = l.bg
+    GROUP BY 1
+    """,
+)
+def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM quality score (KenLM-perplexity proxy): per-doc mean
+    bits-per-char under the corpus's own Laplace-smoothed bigram model —
+    the standard cheap quality filter for pretraining data (gibberish /
+    wrong-charset / boilerplate docs score high). Closed 38-char alphabet
+    ⇒ the model is ≤38² rows and broadcasts; scoring is a map-side
+    explode + ONE per-doc shuffle accumulating integer micro-bits
+    (order-independent — executor partials are exact)."""
+    from etl_pipeline_project_spark.operators.text_analysis import lm_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_quality_score(docs, "doc_id", "text")
+
+
 def _msum4(expr: str) -> str:
     return (
         f"CAST(CAST(ROUND(SUM(CAST({expr} AS DECIMAL(38,10))), 4) "
@@ -7599,6 +7637,8 @@ _CHECK_PRIORITY = [
     # round-3 TPC-H completion batch
     "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q12", "q_sql_q16",
     "q_sql_q20", "q_sql_q21",
+    # round-3 LLM-pipeline additions
+    "q_text_lm_quality",
 ]
 
 
