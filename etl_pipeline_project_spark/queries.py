@@ -7551,12 +7551,13 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: 'shipped
     more than 45 days after ordering' replaces the missing
     commit/receipt lateness). The classic EXISTS + NOT-EXISTS pair
-    over the same fact decorrelates into ONE per-order aggregate —
+    over the same fact decorrelates into per-order WINDOW aggregates —
     n_supp > 1 is the EXISTS (another supplier contributed), and
-    n_late_supp = 1 is the NOT EXISTS (nobody else was late) — so
-    lineitem shuffles once on the order key instead of three
-    self-join passes. Supplier names resolve via broadcast at the
-    end, against the already-tiny qualifying set."""
+    n_late_supp = 1 is the NOT EXISTS (nobody else was late) — sharing
+    the one l_orderkey exchange with the rows they filter, so lineitem
+    shuffles exactly once instead of three self-join passes. Supplier
+    names resolve via broadcast at the end, against the already-tiny
+    qualifying set."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -7570,18 +7571,26 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
-    per_order = fo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # per-order EXISTS/NOT-EXISTS as window aggregates over the SAME
+    # exchange the filter consumes — fo is computed once and lineitem
+    # shuffles exactly once on the order key (a separate groupBy would
+    # re-shuffle fo to join the aggregate back)
+    w = Window.partitionBy("l_orderkey")
+    scoped = fo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        fo.where(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), fo.l_suppkey == supp.s_suppkey)
+        scoped.where(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), scoped.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

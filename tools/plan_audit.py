@@ -133,6 +133,32 @@ def main() -> int:
         )
     )
 
+    p = plan("q_text_repetition")
+    checks.append(
+        (
+            "q_text_repetition is map-only (document-local mode, zero Exchange)",
+            "Exchange" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_text_lm_quality")
+    checks.append(
+        (
+            "q_text_lm_quality broadcasts the 38²-row LM (scoring side never shuffles for the join)",
+            "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_sql_q21")
+    checks.append(
+        (
+            "q_sql_q21 decorrelated EXISTS pair: lineitem shuffles once on the order key",
+            len(re.findall(r"Exchange hashpartitioning\(l_orderkey", p)) == 1
+            and "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
