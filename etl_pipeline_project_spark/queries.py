@@ -4740,6 +4740,40 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q_ewma",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ewma
+    FROM events GROUP BY 1
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.25) per series — the
+    TSDB smoothing primitive with a recursive definition windows can't
+    express. Plan: ONE shuffle groups each series, sort_array orders the
+    collected (ts, event_id, value) structs, and an aggregate() fold
+    applies `acc·(1−α) + x·α` left-to-right — identical association
+    order to DuckDB's list_reduce, so the IEEE doubles hash identically
+    with no rounding. Each series folds inside its executor; only
+    (key, scalar) leaves — the same shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("series"),
+    )
+    vals = F.transform(F.col("series"), lambda s: s["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    return agg.select("user_id", "n_events", fold.alias("ewma"))
+
+
 # ---------------------------------------------------------------------------
 # Batch 15 — OHLC downsampling, discrete derivative, ORC format
 # round-trip.
@@ -7658,8 +7692,8 @@ _CHECK_PRIORITY = [
     # round-3 TPC-H completion batch
     "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q12", "q_sql_q16",
     "q_sql_q20", "q_sql_q21",
-    # round-3 LLM-pipeline additions
-    "q_text_lm_quality",
+    # round-3 LLM-pipeline + TSDB additions
+    "q_text_lm_quality", "q_ewma",
 ]
 
 

@@ -89,3 +89,37 @@ def test_q21_single_late_supplier_semantics(spark):
     rows = REGISTRY["q_sql_q21"](spark, SF).collect()
     assert rows
     assert all(r["numwait"] > 0 for r in rows)
+
+
+def test_ewma_constant_series_is_identity(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i), 7, 42.0, "e", "p")
+        for i in range(10)
+    ]
+    # constant series → EWMA equals the constant exactly
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "value", "event_type", "props"]
+    )
+
+    agg = df.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
+    vals = F.transform(F.col("s"), lambda s: s["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    out = agg.select(fold.alias("ewma")).collect()
+    assert out[0]["ewma"] == 42.0
+
+
+def test_ewma_registry_weights_last_quarter(spark):
+    from etl_pipeline_project_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_ewma"](spark, SF).collect()
+    assert rows and all(r["ewma"] is not None for r in rows)
