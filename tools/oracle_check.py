@@ -51,6 +51,11 @@ def main() -> int:
     args = sys.argv[1:]
     plain = "--plain" in args
     args = [a for a in args if a != "--plain"]
+    skip: set[str] = set()
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args and args[0].startswith("/") else DEFAULT_SF
     only = set(a for a in args if not a.startswith("/"))
 
@@ -76,6 +81,9 @@ def main() -> int:
     failures = []
     for key, fn in sorted(qs.items()):
         if only and key not in only:
+            continue
+        if key in skip:
+            print(f"skip  {key} (--skip)")
             continue
         t0 = time.time()
         try:
