@@ -7631,6 +7631,559 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 26 — TSDB completions (LOCF gap-fill, counter-reset rate, lag-1
+# autocorrelation) and cross-system reconciliation (order-insensitive
+# table checksum, keyed snapshot diff).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_locf_fill",
+    """
+    WITH bounds AS (
+      SELECT user_id, CAST(min(CAST(ts AS DATE)) AS TIMESTAMP) AS d0,
+             CAST(max(CAST(ts AS DATE)) AS TIMESTAMP) AS d1
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g FROM bounds
+    ),
+    unioned AS (
+      SELECT user_id, epoch_us(ts) AS t, value AS v, 0 AS is_grid,
+             CAST(NULL AS DATE) AS g_day
+      FROM events
+      UNION ALL
+      SELECT user_id, epoch_us(g), NULL, 1, CAST(g AS DATE) FROM grid
+    ),
+    w AS (
+      SELECT user_id, t, is_grid, g_day,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, is_grid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+      FROM unioned
+    )
+    SELECT user_id, g_day, pv AS locf_value, t - pt AS staleness_us
+    FROM w WHERE is_grid = 1
+    """,
+)
+def q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) resampling to a daily grid —
+    the step-function sibling of `q_interp_linear` and the TSDB default for
+    gauges that hold until restated. Grid points union into the reading
+    stream; ONE backward ignore-nulls window carries the latest reading and
+    its timestamp to every grid row; `staleness_us` (grid time − reading
+    time) is the monitoring-world freshness metric. NULL before the first
+    observation — LOCF never invents history. One shuffle on the series key,
+    same association-free semantics in both engines (values are carried,
+    never combined, so no float arithmetic happens at all)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).cast("timestamp").alias("d0"),
+        F.max(F.col("ts").cast("date")).cast("timestamp").alias("d1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("g"),
+    )
+    readings = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.col("value").alias("v"),
+        F.lit(0).alias("is_grid"),
+        F.lit(None).cast("date").alias("g_day"),
+    )
+    grid_rows = grid.select(
+        "user_id",
+        F.unix_micros("g").alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(1).alias("is_grid"),
+        F.col("g").cast("date").alias("g_day"),
+    )
+    u = readings.unionByName(grid_rows)
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        "g_day",
+        F.last("v", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(
+            F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True
+        ).over(wprev).alias("pt"),
+    )
+    return filled.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        "g_day",
+        F.col("pv").alias("locf_value"),
+        (F.col("t") - F.col("pt")).alias("staleness_us"),
+    )
+
+
+@_q(
+    "q_counter_increase",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+             lead(CAST(floor(value * 1000) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN nv >= v_milli THEN nv - v_milli ELSE nv END)
+                AS BIGINT) AS increase_milli,
+           CAST(count(CASE WHEN nv < v_milli THEN 1 END) AS BIGINT) AS n_resets
+    FROM seq WHERE nv IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style ``increase()`` over a monotone counter with reset
+    detection: per consecutive pair, a drop in the raw reading means the
+    counter restarted at zero, so the contribution is the new reading
+    itself rather than a (negative) delta. Readings quantize to integer
+    milli-units with mode-free floor, deltas sum in int64 — bit-exact in
+    any engine at any parallelism. One window sort + one grouped aggregate
+    sharing the same user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+        "ts",
+        "event_id",
+    ).withColumn("nv", F.lead("v_milli").over(w)).filter(F.col("nv").isNotNull())
+    inc = F.when(
+        F.col("nv") >= F.col("v_milli"), F.col("nv") - F.col("v_milli")
+    ).otherwise(F.col("nv"))
+    return seq.groupBy("user_id").agg(
+        F.sum(inc).alias("increase_milli"),
+        F.count(F.when(F.col("nv") < F.col("v_milli"), F.lit(1))).alias("n_resets"),
+    )
+
+
+@_q(
+    "q_autocorr_lag1",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 1000) AS BIGINT) AS x,
+             lead(CAST(floor(value * 1000) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM seq WHERE y IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+    FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series — the TSDB seasonality/persistence
+    probe (Pearson r between consecutive readings). Same exact-moments
+    recipe as q_linreg_trend: readings quantize to integer milli-units
+    (≤1e6 here), so every moment and every n·S−S·S combination stays
+    int64-exact (≤~1e18 at sf0.1's ~670 rows/series) — order-independent
+    partial aggregation, zero cross-engine drift. Only the final Pearson
+    ratio is IEEE, applied in one declared association order
+    (num / (sqrt(dxx) · sqrt(dyy))) on identical int64→double operands.
+    One window + one aggregate on the same user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("x"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("y", F.lead("x").over(w))
+        .filter(F.col("y").isNotNull())
+    )
+    m = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((dxx > 0) & (dyy > 0))
+        .select(
+            "user_id",
+            "n",
+            (
+                num.cast("double")
+                / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double")))
+            ).alias("autocorr_lag1"),
+        )
+    )
+
+
+@_q(
+    "q_table_checksum",
+    """
+    WITH rows_h AS (
+      SELECT o_orderstatus,
+             CAST(('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus, CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+               CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+               o_orderpriority)), 1, 12)) AS BIGINT) AS row_sig
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(row_sig) AS BIGINT) AS xor_sig,
+           CAST(SUM(row_sig % 1000003) AS BIGINT) AS sum_sig
+    FROM rows_h GROUP BY 1
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint — the cross-system
+    reconciliation primitive (does the warehouse copy equal the lake
+    copy?) that never moves the data: each row canonicalizes to a
+    delimited string (doubles as mode-free floor cents, timestamps as
+    ISO dates), hashes to a 48-bit md5 prefix, and the per-group XOR +
+    bounded SUM of row signatures commute — any partitioning, any
+    engine, any row order produces the same fingerprint. Scale shape:
+    pure map + one partial-aggregable groupBy; comparing two 100 TB
+    tables costs two scans and exchanges only (status, 3 longs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    sig = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return (
+        orders.select("o_orderstatus", sig.alias("row_sig"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(row_sig)").alias("xor_sig"),
+            F.sum(F.col("row_sig") % 1000003).alias("sum_sig"),
+        )
+    )
+
+
+@_q(
+    "q_table_diff",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS payload
+      FROM orders WHERE o_orderkey % 97 < 95
+    ),
+    snap_b AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS payload
+      FROM orders WHERE o_orderkey % 89 < 87
+    ),
+    classified AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.payload <> b.payload THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           min(k) AS min_key, max(k) AS max_key
+    FROM classified GROUP BY 1
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff — the data-engineering reconciliation report
+    (what changed between yesterday's load and today's?): FULL OUTER join
+    on the key, rows classified added / removed / changed / unchanged by
+    null-side and payload comparison. The two snapshots here derive
+    deterministically from `orders` (modular key filters simulate deletes
+    and inserts; a +1-cent perturbation simulates updates) so the report
+    is exactly reproducible. Scale shape: both sides shuffle once on the
+    join key (sort-merge under AQE), the classification is a map, and only
+    (type, count, min, max) leaves the executors — a 100 TB table diff is
+    two scans + one co-partitioned join, no driver materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    snap_a = orders.filter(F.col("o_orderkey") % 97 < 95).select(
+        F.col("o_orderkey").alias("k"), cents.alias("payload")
+    )
+    snap_b = orders.filter(F.col("o_orderkey") % 89 < 87).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 13 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("payload"),
+    )
+    joined = snap_a.alias("a").join(
+        snap_b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.k").isNull(), F.lit("added"))
+        .when(F.col("b.k").isNull(), F.lit("removed"))
+        .when(F.col("a.payload") != F.col("b.payload"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch 27 — training-data featurization: hashing-trick features, int8
+# embedding quantization, deterministic domain-mix sampling, fixed-width
+# numeric histogram.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_feature_hash",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT token) AS BIGINT) AS n_terms
+    FROM tok GROUP BY 1
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the vocabulary-free bag-of-words
+    encoder): every token maps to one of 64 feature buckets by md5 — no
+    vocabulary build, no dictionary broadcast, the same bucket for the
+    same token on any engine, run, or cluster size, which is what makes
+    feature pipelines reproducible at 100 TB. The corpus-level report
+    (tokens / documents / distinct terms per bucket) is the collision
+    audit that picks the bucket width. Plan: map-side split+explode+hash,
+    one shuffle on the bucket key with partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % 64
+    )
+    return (
+        tok.select("doc_id", "token", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("token").alias("n_terms"),
+        )
+    )
+
+
+@_q(
+    "q_embed_quantize_int8",
+    """
+    WITH scaled AS (
+      SELECT vec_id, label,
+             CAST(len(embedding) AS BIGINT) AS n_dims,
+             127e0 / list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+      WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+    ),
+    q AS (
+      SELECT vec_id, label, n_dims, scale,
+             list_transform(embedding,
+               x -> CAST(least(127, greatest(-127,
+                      floor(CAST(x AS DOUBLE) * scale + 0.5e0))) AS BIGINT)) AS qv
+      FROM scaled
+    )
+    SELECT vec_id, label, n_dims, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_sumsq,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors — the 4×
+    compression step every billion-vector ANN index applies before
+    sharding. Per vector: scale = 127/max|x| (one IEEE division on
+    identical operands in both engines), q_i = floor(x·scale + 0.5)
+    clamped to [−127,127] — floor(+0.5) is rounding-mode-free, unlike
+    round(), whose half-up vs half-even tie-break differs by engine.
+    The per-vector audit (sum, sum-of-squares, min, max of the codes) is
+    integer-exact; map-only, zero shuffles, embarrassingly parallel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = emb.filter(maxabs > 0).select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("n_dims"),
+        (F.lit(127.0) / maxabs).alias("scale"),
+        "embedding",
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-127),
+                F.floor(x.cast("double") * F.col("scale") + F.lit(0.5)),
+            ),
+        ).cast("long"),
+    )
+    q = scaled.select("vec_id", "label", "n_dims", "scale", qv.alias("qv"))
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "scale",
+        F.aggregate("qv", zero, lambda a, v: a + v).alias("q_sum"),
+        F.aggregate("qv", zero, lambda a, v: a + v * v).alias("q_sumsq"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
+
+
+@_q(
+    "q_domain_mix_sample",
+    """
+    WITH rated AS (
+      SELECT source, n_chars,
+             CASE CAST(substr(source, 4) AS INTEGER) % 4
+               WHEN 0 THEN 10000 WHEN 1 THEN 5000
+               WHEN 2 THEN 2500 ELSE 1000 END AS rate_bp,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS draw
+      FROM documents
+    )
+    SELECT source, rate_bp,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(CASE WHEN draw < rate_bp THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN draw < rate_bp THEN n_chars END) AS BIGINT)
+             AS kept_chars
+    FROM rated GROUP BY 1, 2
+    """,
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix downsampling — the data-mixing primitive
+    behind corpus reweighting (oversample curated sources, downsample
+    crawl): each source carries a target keep-rate in basis points; a
+    document survives iff its content-stable md5 draw falls under the
+    rate. No random(), no global sort, no state: the same document makes
+    the same decision on every engine, run, and partitioning — re-running
+    the pipeline tomorrow keeps the training set stable. Map-only
+    assignment + one audit aggregate per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, 10000)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, 5000)
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, 2500)
+        .otherwise(1000)
+    )
+    from etl_pipeline_project_spark.operators.text_analysis import hash_bucket
+
+    rated = docs.select(
+        "source",
+        "n_chars",
+        rate.alias("rate_bp"),
+        hash_bucket(F.col("doc_id"), 10000).alias("draw"),
+    )
+    kept = F.col("draw") < F.col("rate_bp")
+    return rated.groupBy("source", "rate_bp").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+    )
+
+
+@_q(
+    "q_numeric_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+           CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram — the profiling/visualization
+    primitive (and the sketch behind range-partition planning): mode-free
+    floor binning, integer-cent extrema and mass per bin. One map + one
+    partial-aggregable groupBy on the bin id; bin count is bounded by the
+    value domain, not the row count, so the result stays tiny at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    bin_col = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.select(bin_col.alias("bin"), cents.alias("cents"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 5000).alias("bin_lo"),
+            "n",
+            "min_cents",
+            "max_cents",
+            "sum_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -7694,6 +8247,12 @@ _CHECK_PRIORITY = [
     "q_sql_q20", "q_sql_q21",
     # round-3 LLM-pipeline + TSDB additions
     "q_text_lm_quality", "q_ewma",
+    # round-3 batch 26: TSDB completions + reconciliation
+    "q_locf_fill", "q_counter_increase", "q_autocorr_lag1",
+    "q_table_checksum", "q_table_diff",
+    # round-3 batch 27: training-data featurization
+    "q_feature_hash", "q_embed_quantize_int8", "q_domain_mix_sample",
+    "q_numeric_histogram",
 ]
 
 
