@@ -5365,29 +5365,53 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey-fence outlier detection from DISCRETE quartiles. percentile_
-    disc returns actual data values (no interpolation), and the 1.5x-IQR
-    fence arithmetic is a fixed scalar double expression — IEEE-identical
-    across engines — so the whole check is exact without any rounding.
-    Two passes over the fact table (quartiles, then a broadcast-joined
-    fence filter with map-side conditional count); no global sort."""
+    """Tukey-fence outlier detection from DISCRETE quartiles, computed by
+    the count-based quantile plan rather than percentile_disc: a sort-based
+    percentile aggregate buffers every group value on one reducer — the
+    thing that cannot work at 100 TB. Instead (1) groupBy (flag, value)
+    counts collapse the fact table map-side to its distinct values, (2) a
+    cumulative window over the distinct-value table (bounded by the value
+    DOMAIN, not row count) finds the quartiles by the same CDF rule
+    percentile_disc implements — smallest x with cum ≥ p·n, checked in
+    exact integer form 4·cum ≥ k·n — and (3) the 3-row fence table
+    broadcast-joins back for a map-side conditional count. The 1.5×IQR
+    fence arithmetic is a fixed scalar double expression, IEEE-identical
+    across engines, so the whole check stays exact with no rounding."""
     li = load_table(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("li_iqr")
-    return spark.sql(
-        """
-        WITH fences AS (
-          SELECT l_returnflag,
-                 percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q1,
-                 percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q3
-          FROM li_iqr GROUP BY l_returnflag)
-        SELECT f.l_returnflag, f.q1, f.q3,
-               count(*) FILTER (WHERE
-                 l.l_extendedprice < f.q1 - 1.5 * (f.q3 - f.q1)
-                 OR l.l_extendedprice > f.q3 + 1.5 * (f.q3 - f.q1)) AS n_outliers,
-               count(*) AS n_rows
-        FROM fences f JOIN li_iqr l USING (l_returnflag)
-        GROUP BY f.l_returnflag, f.q1, f.q3
-        """
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    dist = counts.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    fences = dist.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n"), F.col("l_extendedprice"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("l_extendedprice"))
+        ).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.count(
+                F.when((F.col("l_extendedprice") < lo) | (F.col("l_extendedprice") > hi), F.lit(1))
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
 
 
@@ -8184,6 +8208,203 @@ def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 28 — bitmap-index exact distinct, chi-square independence test,
+# Holt linear-trend smoothing.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_bitmap_distinct",
+    """
+    WITH words AS (
+      SELECT event_type, user_id // 32 AS word_idx,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS word
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct_users,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM words GROUP BY 1
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index EXACT distinct count — the OLAP-engine trick (Doris /
+    ClickHouse bitmap aggregates) for dense integer keys: pack presence
+    into 32-bit words keyed by ``id DIV 32`` (bit_or is idempotent ⇒
+    duplicate events collapse map-side), then popcount-sum the words.
+    Both aggregation levels are associative and partial-aggregable, so
+    the 100 TB plan is two thin exchanges of (type, word) integers —
+    no count-distinct row explosion, no HLL approximation error."""
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("event_type", "word_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).alias("n_distinct_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+@_q(
+    "q_chi_square",
+    """
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS r_tot,
+             SUM(o) OVER (PARTITION BY dow) AS c_tot,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             list(
+               {'k': event_type || '|' || CAST(dow AS VARCHAR),
+                'o': CAST(o AS DOUBLE),
+                'e': CAST(r_tot AS DOUBLE) / CAST(n AS DOUBLE)
+                       * CAST(c_tot AS DOUBLE)}
+               ORDER BY event_type, dow) AS cells
+      FROM tot
+    )
+    SELECT n_cells,
+           list_reduce(list_prepend(0e0, list_transform(cells,
+               c -> (c.o - c.e) * (c.o - c.e) / c.e)),
+             (acc, x) -> acc + x) AS chi2
+    FROM folded
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the (event_type × weekday)
+    contingency table — the categorical-drift / A-B sanity statistic.
+    Observed counts are exact; expected counts derive in one declared
+    IEEE order ((R/N)·C); the per-cell contributions fold in sorted cell
+    order, so the double sum has ONE association order in both engines —
+    the same sorted-fold determinism recipe as q_ewma. The cell table is
+    bounded by the category product, not row count: aggregating 100 TB
+    yields ~49 cells, and the windows run on that tiny table."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    folded = tot.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws("|", F.col("event_type"), F.col("dow").cast("string")).alias("k"),
+                    F.col("o").cast("double").alias("o"),
+                    (
+                        F.col("r_tot").cast("double") / F.col("n").cast("double")
+                        * F.col("c_tot").cast("double")
+                    ).alias("e"),
+                )
+            )
+        ).alias("cells"),
+    )
+    contrib = F.transform(
+        F.col("cells"), lambda c: (c["o"] - c["e"]) * (c["o"] - c["e"]) / c["e"]
+    )
+    return folded.select(
+        "n_cells",
+        F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x).alias("chi2"),
+    )
+
+
+@_q(
+    "q_holt_linear",
+    """
+    WITH series AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1 HAVING count(*) >= 2
+    ),
+    fitted AS (
+      SELECT user_id, n_events,
+             -- 2-element [level, trend] list accumulator: DuckDB 1.0's
+             -- list_reduce mis-evaluates STRUCT accumulators after the
+             -- first step (verified minimal repro); DOUBLE-list folds are
+             -- correct and keep the same association order as the Spark
+             -- struct fold
+             list_reduce(
+               list_prepend([vals[1], vals[2] - vals[1]],
+                            list_transform(vals[3:], x -> [x, 0e0])),
+               (acc, c) ->
+                 [0.2e0 * c[1] + 0.8e0 * (acc[1] + acc[2]),
+                  0.1e0 * ((0.2e0 * c[1] + 0.8e0 * (acc[1] + acc[2])) - acc[1])
+                         + 0.9e0 * acc[2]]) AS st
+      FROM series
+    )
+    SELECT user_id, n_events, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_1
+    FROM fitted
+    """,
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend double exponential smoothing (α=0.2, β=0.1) per
+    series, with the one-step-ahead forecast — the second rung of the
+    TSDB forecasting ladder above q_ewma, and another recursion windows
+    cannot express. The (level, trend) pair folds through a struct
+    accumulator over the sorted series: identical literals, identical
+    association order, and identical operand trees in both engines, so
+    the IEEE doubles hash bit-exact with no rounding. One shuffle on the
+    series key; each series folds inside its executor and only
+    (key, level, trend, forecast) leaves."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("series"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+    vals = F.transform(F.col("series"), lambda s: s["value"].cast("double"))
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+    )
+    rest = F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0)))
+
+    def step(acc, x):
+        nl = F.lit(0.2) * x + F.lit(0.8) * (acc["l"] + acc["b"])
+        nb = F.lit(0.1) * (
+            (F.lit(0.2) * x + F.lit(0.8) * (acc["l"] + acc["b"])) - acc["l"]
+        ) + F.lit(0.9) * acc["b"]
+        return F.struct(nl.alias("l"), nb.alias("b"))
+
+    st = F.aggregate(rest, init, step)
+    return agg.select(
+        "user_id",
+        "n_events",
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("forecast_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -8253,6 +8474,8 @@ _CHECK_PRIORITY = [
     # round-3 batch 27: training-data featurization
     "q_feature_hash", "q_embed_quantize_int8", "q_domain_mix_sample",
     "q_numeric_histogram",
+    # round-3 batch 28: bitmap distinct, chi-square, Holt smoothing
+    "q_bitmap_distinct", "q_chi_square", "q_holt_linear",
 ]
 
 
