@@ -5225,18 +5225,37 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISCRETE percentiles — the SQL-standard percentile_disc: the
     smallest actual value whose cumulative distribution reaches p. Unlike
     the interpolating q_quantiles, the result is always a real data value
-    (no float blending), so it needs no rounding to hash identically. The
-    twin spells out the cume_dist ≥ p definition, pinning Spark's
-    percentile_disc to the standard semantics."""
-    ev = load_table(spark, sf_dir, "lineitem")
-    ev.createOrReplaceTempView("li_pdisc")
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
-               percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_disc
-        FROM li_pdisc GROUP BY l_returnflag
-        """
+    (no float blending), so it needs no rounding to hash identically.
+
+    Plan: the count-based quantile (same as q_iqr_outliers), NOT the
+    sort-based percentile_disc aggregate — that buffers every group value
+    on one reducer, which dies at 100 TB. groupBy (flag, value) collapses
+    the fact table map-side to its distinct values; a cumulative window
+    over the distinct-value table applies the CDF rule in exact integer
+    form (2·cum ≥ n ⟺ cume_dist ≥ 0.5; 20·cum ≥ 19·n ⟺ ≥ 0.95)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    dist = counts.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return dist.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("l_extendedprice"))
+        ).alias("p50_disc"),
+        F.min(
+            F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("l_extendedprice"))
+        ).alias("p95_disc"),
     )
 
 
