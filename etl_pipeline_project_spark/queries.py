@@ -3972,22 +3972,30 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     technique for a repeatedly-joined 100 TB fact pair; the plan property
     (no Exchange) is asserted in tests/test_scale_techniques.py and the
     result must equal the plain join (the oracle)."""
+    import hashlib
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    spark.sql("DROP TABLE IF EXISTS bq_orders")
-    spark.sql("DROP TABLE IF EXISTS bq_lineitem")
-    # explicit paths: saveAsTable would otherwise land in $PWD/spark-warehouse,
-    # which under a caller-supplied session may be outside the repo
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).option("path", f"{_SCRATCH}/bq_orders").saveAsTable("bq_orders")
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).option("path", f"{_SCRATCH}/bq_lineitem").saveAsTable("bq_lineitem")
-    joined = spark.table("bq_orders").join(
-        spark.table("bq_lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+    # the bucket layout is the ONE-TIME cost this technique amortizes, so
+    # build it once per input dataset (sf-tagged table names) and reuse it
+    # on every subsequent call — re-bucketing per query would charge the
+    # write to every join, which is exactly what bucketing exists to avoid
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_li = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_orders) or not spark.catalog.tableExists(t_li):
+        # explicit paths: saveAsTable would otherwise land in
+        # $PWD/spark-warehouse, which under a caller-supplied session may
+        # be outside the repo
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).option("path", f"{_SCRATCH}/{t_orders}").saveAsTable(t_orders)
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).option("path", f"{_SCRATCH}/{t_li}").saveAsTable(t_li)
+    joined = spark.table(t_orders).join(
+        spark.table(t_li), F.col("o_orderkey") == F.col("l_orderkey")
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
