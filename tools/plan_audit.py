@@ -159,6 +159,89 @@ def main() -> int:
         )
     )
 
+    p = plan("q_iqr_outliers")
+    checks.append(
+        (
+            "q_iqr_outliers count-based quantile (no sort-based percentile buffer; broadcast fences)",
+            "percentile" not in p.lower() and "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_percentile_disc")
+    checks.append(
+        (
+            "q_percentile_disc count-based quantile (no percentile aggregate in the plan)",
+            "percentile" not in p.lower() and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_bitmap_distinct")
+    checks.append(
+        (
+            "q_bitmap_distinct two thin partial-aggregable exchanges (no count-distinct expand)",
+            len(re.findall(r"Exchange", p)) == 2
+            and "partial" in p.lower()
+            and "Expand" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_counter_increase")
+    checks.append(
+        (
+            "q_counter_increase window + aggregate share ONE user_id exchange",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_autocorr_lag1")
+    checks.append(
+        (
+            "q_autocorr_lag1 window + moment aggregate share ONE user_id exchange",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_table_checksum")
+    checks.append(
+        (
+            "q_table_checksum partial+final agg, single exchange (reconciliation moves 4 scalars/group)",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_holt_linear")
+    checks.append(
+        (
+            "q_holt_linear folds each series inside its executor (single series-key exchange)",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_embed_quantize_int8")
+    checks.append(
+        (
+            "q_embed_quantize_int8 map-only (zero Exchange — quantization is embarrassingly parallel)",
+            "Exchange" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_domain_mix_sample")
+    checks.append(
+        (
+            "q_domain_mix_sample map-side assignment + single audit exchange",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_locf_fill")
+    checks.append(
+        (
+            "q_locf_fill grid union + carry window on one series-key exchange pattern",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) <= 2,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
