@@ -8432,6 +8432,324 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 29 — rolling-band anomaly detection, classifier evaluation,
+# ranking evaluation.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_bollinger_bands",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS v,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS s,
+             CAST(SUM(CAST(floor(value * 1000) AS BIGINT)
+                      * CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS q
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, v, n,
+           ((v * n - s) * (v * n - s) > 4 * n * (n * q - s * s)) AS breach
+    FROM seq WHERE n = 20
+    """,
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breach detection — the rolling mean ± 2σ anomaly
+    flag, evaluated ENTIRELY in integer arithmetic: readings quantize to
+    milli-units; over the 20-row frame the window keeps (n, Σv, Σv²); and
+    |v − mean| > 2σ is tested in cross-multiplied square form
+    (v·n − S)² > 4·n·(n·Q − S²) — no division, no sqrt, no float at all,
+    so the flag is bit-exact at any parallelism on any engine (max
+    magnitude ~5×10¹⁴, inside int64). One window sort on the series-key
+    exchange; emits only full windows (warm-up rows are not comparable)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("s"),
+        F.sum(v * v).over(w).alias("q"),
+    )
+    dev = F.col("v") * F.col("n") - F.col("s")
+    var4 = F.lit(4) * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return seq.filter(F.col("n") == 20).select(
+        "user_id", "event_id", "v", "n", (dev * dev > var4).alias("breach")
+    )
+
+
+@_q(
+    "q_eval_metrics",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS true_label
+               FROM embeddings WHERE vec_id < 100),
+    s AS (
+      SELECT q.qid, q.true_label, e.label,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {{DOT}} DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    votes AS (SELECT qid, true_label, label, COUNT(*) AS votes
+              FROM s WHERE rk <= 5 GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT qid, true_label, label AS predicted_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY votes DESC, label) AS rr FROM votes)
+      WHERE rr = 1
+    ),
+    per_class AS (
+      SELECT c.label,
+        (SELECT COUNT(*) FROM pred
+          WHERE true_label = c.label AND predicted_label = c.label) AS tp,
+        (SELECT COUNT(*) FROM pred
+          WHERE true_label <> c.label AND predicted_label = c.label) AS fp,
+        (SELECT COUNT(*) FROM pred
+          WHERE true_label = c.label AND predicted_label <> c.label) AS fn
+      FROM (SELECT DISTINCT true_label AS label FROM pred) c
+    )
+    SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(CASE WHEN tp + fp > 0
+                     THEN tp * 1000000 // (tp + fp) ELSE NULL END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+                     THEN tp * 1000000 // (tp + fn) ELSE NULL END AS BIGINT)
+             AS recall_ppm
+    FROM per_class
+    """.replace("{DOT}", "list_reduce(list_transform(generate_series(1, len(q.qvec)), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)"),
+)
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation — leave-one-out k-NN (k=5) over the first
+    100 vectors, reduced to per-class tp/fp/fn with precision/recall in
+    integer parts-per-million (exact integer division: no float ratio to
+    drift). The scoring pass is the broadcast-queries ANN shape (corpus
+    never shuffles); the confusion reduction is two tiny aggregates.
+    This is the quality-gate op a labeling/weak-supervision pipeline
+    runs after every model refresh."""
+    from etl_pipeline_project_spark.operators.similarity import dot_product
+    from etl_pipeline_project_spark.operators.windows import topk_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("nid"), F.col("label"), F.col("embedding"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "nid",
+            "label",
+            dot_product("qvec", "embedding").alias("score"),
+        )
+    )
+    top = topk_per_group(
+        scored, "qid", [F.col("score").desc(), F.col("nid")], 5, rank_col="rk"
+    )
+    votes = top.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("rr", F.row_number().over(wv))
+        .filter(F.col("rr") == 1)
+        .select("qid", "true_label", F.col("label").alias("predicted_label"))
+    )
+    per_class = pred.select(
+        F.col("true_label").alias("label"),
+        (F.col("true_label") == F.col("predicted_label")).alias("hit"),
+    ).groupBy("label").agg(
+        F.count(F.when(F.col("hit"), F.lit(1))).alias("tp"),
+        F.count(F.when(~F.col("hit"), F.lit(1))).alias("fn"),
+    )
+    fp = (
+        pred.filter(F.col("true_label") != F.col("predicted_label"))
+        .groupBy(F.col("predicted_label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("fp"))
+    )
+    out = per_class.join(fp, "label", "left").na.fill({"fp": 0})
+    return out.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("tp * 1000000 DIV (tp + fp)"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("tp * 1000000 DIV (tp + fn)"),
+        ).alias("recall_ppm"),
+    )
+
+
+@_q(
+    "q_ndcg_bm25",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  * CAST(n_docs AS DOUBLE) / CAST(total_toks AS DOUBLE)))
+               * 1e6, 0) AS BIGINT) AS s_fp
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT doc_id, CAST(SUM(s_fp) AS BIGINT) AS bm25_micros,
+             CAST(doc_id % 4 AS DOUBLE) AS rel
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25_micros DESC, doc_id LIMIT 10
+    ),
+    lists AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+             list(rel ORDER BY bm25_micros DESC, doc_id) AS by_rank,
+             list(rel ORDER BY rel DESC, doc_id) AS ideal
+      FROM ranked
+    ),
+    gains AS (
+      SELECT n_ranked,
+        list_reduce(list_prepend(0e0, list_transform(
+            generate_series(1, CAST(n_ranked AS INTEGER)),
+            i -> by_rank[i] / log2(CAST(i AS DOUBLE) + 1.0e0))),
+          (a, b) -> a + b) AS dcg,
+        list_reduce(list_prepend(0e0, list_transform(
+            generate_series(1, CAST(n_ranked AS INTEGER)),
+            i -> ideal[i] / log2(CAST(i AS DOUBLE) + 1.0e0))),
+          (a, b) -> a + b) AS idcg
+      FROM lists
+    )
+    SELECT n_ranked, dcg, idcg, dcg / idcg AS ndcg_10 FROM gains
+    """,
+)
+def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking evaluation: NDCG@10 of the BM25 ranking (same integer
+    micro-unit scores as q_search_bm25) against a deterministic graded
+    relevance (doc_id mod 4 — a reproducible stand-in for editorial
+    judgments). Both DCG and ideal-DCG fold the ranked relevance list in
+    ONE declared order (rank ascending), so the log2-discounted double
+    sums associate identically in both engines. The ranking itself is
+    pure-integer ordering; everything after the top-10 cut runs on ≤10
+    rows — evaluation cost is independent of corpus size."""
+    c = F.lower(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(c, F.lit("[a-z]+"), 0)).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_toks"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd + F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * F.col("dl").cast("double")
+        * nd
+        / F.col("total_toks").cast("double")
+    )
+    s_fp = F.round(idf * (tfd * F.lit(2.2)) / norm * F.lit(1e6), 0).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_fp.alias("s_fp"))
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s_fp").cast("long").alias("bm25_micros"))
+        .select(
+            "doc_id",
+            "bm25_micros",
+            (F.col("doc_id") % 4).cast("double").alias("rel"),
+        )
+        .orderBy(F.col("bm25_micros").desc(), "doc_id")
+        .limit(10)
+    )
+    lists = ranked.agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        # sort_array ascending on (-score, doc_id) == rank order
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("bm25_micros")).alias("neg"), F.col("doc_id").alias("d"), F.col("rel").alias("r")))
+            ),
+            lambda s: s["r"],
+        ).alias("by_rank"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("rel")).alias("negr"), F.col("doc_id").alias("d"), F.col("rel").alias("r")))
+            ),
+            lambda s: s["r"],
+        ).alias("ideal"),
+    )
+
+    def dcg_of(col_name: str):
+        idxs = F.sequence(F.lit(1), F.col("n_ranked").cast("int"))
+        return F.aggregate(
+            F.transform(
+                idxs,
+                lambda i: F.get(F.col(col_name), i - 1)
+                / F.log2(i.cast("double") + F.lit(1.0)),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    gains = lists.select(
+        "n_ranked",
+        dcg_of("by_rank").alias("dcg"),
+        dcg_of("ideal").alias("idcg"),
+    )
+    return gains.select(
+        "n_ranked", "dcg", "idcg", (F.col("dcg") / F.col("idcg")).alias("ndcg_10")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -8503,6 +8821,8 @@ _CHECK_PRIORITY = [
     "q_numeric_histogram",
     # round-3 batch 28: bitmap distinct, chi-square, Holt smoothing
     "q_bitmap_distinct", "q_chi_square", "q_holt_linear",
+    # round-3 batch 29: anomaly bands, classifier + ranking evaluation
+    "q_bollinger_bands", "q_eval_metrics", "q_ndcg_bm25",
 ]
 
 
