@@ -8750,6 +8750,163 @@ def q_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 30 — CUSUM change detection, mutual information.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_cusum_detect",
+    """
+    WITH series AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(floor(value * 1000) AS BIGINT))
+                  // count(*) AS BIGINT) AS k,
+             list(CAST(floor(value * 1000) AS BIGINT)
+                  ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1
+    ),
+    folded AS (
+      SELECT user_id, n_events, k,
+             list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                             CAST(0 AS BIGINT)],
+                            list_transform(vals, x -> [x, CAST(0 AS BIGINT),
+                                                       CAST(0 AS BIGINT)])),
+               (acc, c) -> [
+                 greatest(CAST(0 AS BIGINT), acc[1] + c[1] - k),
+                 greatest(acc[2], greatest(CAST(0 AS BIGINT), acc[1] + c[1] - k)),
+                 acc[3] + CASE WHEN greatest(CAST(0 AS BIGINT),
+                                             acc[1] + c[1] - k) > 200000
+                               THEN 1 ELSE 0 END]) AS st
+      FROM series
+    )
+    SELECT user_id, n_events, k AS ref_milli, st[1] AS final_cusum,
+           st[2] AS max_cusum, st[3] AS n_alarm_steps
+    FROM folded
+    """,
+)
+def q_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart per series — the classic
+    change-point/drift detector: S_t = max(0, S_{t−1} + (x_t − k)) with
+    the per-series integer floor-mean as reference k, alarm while S
+    exceeds 200 milli-units. The recursion (another one windows cannot
+    express) folds a [S, max_S, alarm_steps] int64 accumulator over the
+    sorted series: every operation is integer, so the result is bit-exact
+    at any parallelism with NO float anywhere. One shuffle on the series
+    key; per-series state never leaves its executor."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000).cast("long")
+    series = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "sum(CAST(floor(value * 1000) AS BIGINT)) DIV count(*)"
+        ).alias("k"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", v.alias("v")))
+        ).alias("series"),
+    )
+    vals = F.transform(F.col("series"), lambda s: s["v"])
+    zero = F.lit(0).cast("long")
+    init = F.array(zero, zero, zero)
+
+    def step(acc, x):
+        s_new = F.greatest(zero, F.get(acc, 0) + x - F.col("k"))
+        return F.array(
+            s_new,
+            F.greatest(F.get(acc, 1), s_new),
+            F.get(acc, 2)
+            + F.when(s_new > 200000, F.lit(1).cast("long")).otherwise(zero),
+        )
+
+    st = F.aggregate(vals, init, step)
+    return series.select(
+        "user_id",
+        "n_events",
+        F.col("k").alias("ref_milli"),
+        F.get(st, 0).alias("final_cusum"),
+        F.get(st, 1).alias("max_cusum"),
+        F.get(st, 2).alias("n_alarm_steps"),
+    )
+
+
+@_q(
+    "q_mutual_information",
+    """
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) AS dow, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, c,
+             SUM(c) OVER (PARTITION BY event_type) AS r_tot,
+             SUM(c) OVER (PARTITION BY dow) AS c_tot,
+             SUM(c) OVER () AS n
+      FROM cells
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             list({'k': event_type || '|' || CAST(dow AS VARCHAR),
+                   'mi': (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+                               / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE)))}
+                  ORDER BY event_type, dow) AS cells
+      FROM tot
+    )
+    SELECT n_cells,
+           list_reduce(list_prepend(0e0, list_transform(cells, c -> c.mi)),
+                       (a, b) -> a + b) AS mi_nats
+    FROM folded
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; weekday) in nats — the
+    feature-selection / dependence statistic next to q_chi_square, same
+    determinism recipe: exact integer contingency cells, per-cell double
+    contribution with one declared operand order, summed by a sorted
+    fold so the association order is engine-identical. Cell table is
+    bounded by the category product — at 100 TB the windows and the fold
+    run on ~49 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cells.select(
+        "event_type",
+        "dow",
+        "c",
+        F.sum("c").over(Window.partitionBy("event_type")).alias("r_tot"),
+        F.sum("c").over(Window.partitionBy("dow")).alias("c_tot"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    mi = (cd / nd) * F.log(
+        nd * cd / (F.col("r_tot").cast("double") * F.col("c_tot").cast("double"))
+    )
+    folded = tot.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws(
+                        "|", F.col("event_type"), F.col("dow").cast("string")
+                    ).alias("k"),
+                    mi.alias("mi"),
+                )
+            )
+        ).alias("cells"),
+    )
+    return folded.select(
+        "n_cells",
+        F.aggregate(
+            F.transform(F.col("cells"), lambda c: c["mi"]),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("mi_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -8823,6 +8980,8 @@ _CHECK_PRIORITY = [
     "q_bitmap_distinct", "q_chi_square", "q_holt_linear",
     # round-3 batch 29: anomaly bands, classifier + ranking evaluation
     "q_bollinger_bands", "q_eval_metrics", "q_ndcg_bm25",
+    # round-3 batch 30: change detection + dependence statistics
+    "q_cusum_detect", "q_mutual_information",
 ]
 
 
