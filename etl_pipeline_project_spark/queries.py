@@ -8907,6 +8907,119 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 31 — hopping-window aggregation, Kolmogorov-Smirnov drift test.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_agg_window_hopping",
+    f"""
+    WITH contrib AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+               - INTERVAL 6 HOUR * CAST(h AS INTEGER)
+               + INTERVAL 6 HOUR
+               * CAST(CAST(date_part('hour', ts) AS INTEGER) // 6 AS INTEGER)
+               AS window_start,
+             value
+      FROM events, UNNEST(generate_series(0, 3)) AS t(h)
+    )
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+           {{MSUM}} AS sum_value
+    FROM contrib GROUP BY 1
+    """.replace("{MSUM}", _msum("value")),
+)
+def q_agg_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregate — 1-day windows advancing every
+    6 hours, so each event lands in 4 overlapping windows. Spark's
+    ``window(ts, '1 day', '6 hours')`` expands contributions natively and
+    the aggregate stays partial+final on the window-start key; the DuckDB
+    twin spells out the same 4-fold expansion with generate_series. The
+    ×slide-factor row growth is the inherent semantics of overlap, not an
+    engine cost — at 100 TB the shuffle still moves only (window, partial)
+    pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
+
+
+@_q(
+    "q_ks_test",
+    """
+    WITH tagged AS (
+      SELECT l_extendedprice AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_b
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    per_value AS (
+      SELECT v, CAST(SUM(1 - is_b) AS BIGINT) AS ca,
+             CAST(SUM(is_b) AS BIGINT) AS cb
+      FROM tagged GROUP BY v
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM per_value
+    )
+    SELECT CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS d_num,
+           CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(cum_a * nb - cum_b * na)) AS DOUBLE)
+             / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS d_stat
+    FROM cum
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (returned-vs-kept price
+    distributions) — the distribution-drift gate a data pipeline runs
+    between ingestion batches. D = max|CDF_a − CDF_b| evaluated in EXACT
+    cross-multiplied integer form |cum_a·n_b − cum_b·n_a| (max ~3.6×10¹¹,
+    inside int64) — no per-step float CDFs to drift; the one double
+    division happens once on the final maxima. Plan: groupBy distinct
+    value (map-side collapse), one cumulative window over the distinct
+    values, one max-aggregate. The distinct-value table is bounded by the
+    value domain — the same count-based-quantile scale argument."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    tagged = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_b"),
+    )
+    per_value = tagged.groupBy("v").agg(
+        F.sum(1 - F.col("is_b")).alias("ca"),
+        F.sum("is_b").alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d_num = F.max(F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")))
+    return cum.agg(
+        d_num.alias("d_num"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        (
+            d_num.cast("double")
+            / (F.max("na").cast("double") * F.max("nb").cast("double"))
+        ).alias("d_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -8982,6 +9095,8 @@ _CHECK_PRIORITY = [
     "q_bollinger_bands", "q_eval_metrics", "q_ndcg_bm25",
     # round-3 batch 30: change detection + dependence statistics
     "q_cusum_detect", "q_mutual_information",
+    # round-3 batch 31: hopping windows, KS drift test
+    "q_agg_window_hopping", "q_ks_test",
 ]
 
 
