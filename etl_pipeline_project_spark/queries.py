@@ -9020,6 +9020,147 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 32 — catalog-wide uniqueness audit, partition-layout migration.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_dq_uniqueness",
+    """
+    WITH per_table AS (
+      SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_keys FROM region
+      UNION ALL
+      SELECT 'nation', count(*), count(DISTINCT n_nationkey) FROM nation
+      UNION ALL
+      SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+      UNION ALL
+      SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+      UNION ALL
+      SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+      UNION ALL
+      SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+      UNION ALL
+      SELECT 'lineitem', count(*),
+             count(DISTINCT l_orderkey * 16 + l_linenumber) FROM lineitem
+      UNION ALL
+      SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+      UNION ALL
+      SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+      UNION ALL
+      SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings
+    )
+    SELECT table_name, n_rows, n_keys,
+           n_rows - n_keys AS n_dup_rows,
+           (n_rows = n_keys) AS pk_unique
+    FROM per_table
+    """,
+)
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide primary-key uniqueness audit — the DQ sweep a
+    warehouse runs nightly over every table's declared key (the
+    reference's PK DDL, `data/transformation_db.py:18-85`, enforced
+    procedurally). One partial-aggregable count-distinct per table, all
+    ten unioned into a single report; each table's check is an
+    independent scan stage, so the sweep parallelizes across tables and
+    scales per-table like any grouped aggregate. lineitem's composite
+    key folds to one integer (orderkey·16 + linenumber, linenumber ≤ 7)
+    so the distinct runs on a primitive, not a struct."""
+    specs = [
+        ("region", F.col("r_regionkey")),
+        ("nation", F.col("n_nationkey")),
+        ("customer", F.col("c_custkey")),
+        ("supplier", F.col("s_suppkey")),
+        ("part", F.col("p_partkey")),
+        ("orders", F.col("o_orderkey")),
+        ("lineitem", F.col("l_orderkey") * 16 + F.col("l_linenumber")),
+        ("events", F.col("event_id")),
+        ("documents", F.col("doc_id")),
+        ("embeddings", F.col("vec_id")),
+    ]
+    parts = []
+    for name, key in specs:
+        t = load_table(spark, sf_dir, name)
+        parts.append(
+            t.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            )
+        )
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    return report.select(
+        "table_name",
+        "n_rows",
+        "n_keys",
+        (F.col("n_rows") - F.col("n_keys")).alias("n_dup_rows"),
+        (F.col("n_rows") == F.col("n_keys")).alias("pk_unique"),
+    )
+
+
+@_q(
+    "q_partition_migration",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           {{MSUM}} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-01' AND isodow(ts) = 1
+    GROUP BY 1
+    """.replace("{MSUM}", _msum("value")),
+)
+def q_partition_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout migration read — the lakehouse reality that a
+    table's physical layout changes mid-life: half the history is written
+    partitioned by day, the newer half re-partitioned by (day, event_type),
+    and ONE logical view unions both generations. Partition pruning still
+    applies per generation (PartitionFilters on `day` reach both; the v2
+    layout additionally prunes event_type), and the query result is
+    layout-independent — proven by the oracle running on the unpartitioned
+    original. Mondays-only filter keeps the pruned-read property visible
+    in the plan."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    v1_path = f"{_SCRATCH}/events_v1_{tag}"
+    v2_path = f"{_SCRATCH}/events_v2_{tag}"
+    import os
+
+    if not (os.path.exists(v1_path) and os.path.exists(v2_path)):
+        lo, hi = ev.agg(F.min("day"), F.max("day")).first()
+        cut = F.lit(lo) + F.expr(f"INTERVAL {max((hi - lo).days // 2, 1)} DAY")
+        ev.filter(F.col("day") < cut).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(v1_path)
+        ev.filter(F.col("day") >= cut).write.mode("overwrite").partitionBy(
+            "day", "event_type"
+        ).parquet(v2_path)
+    v1 = spark.read.parquet(v1_path)
+    v2 = spark.read.parquet(v2_path)
+    unioned = v1.select("day", "event_type", "ts", "value").unionByName(
+        v2.select("day", "event_type", "ts", "value")
+    )
+    return (
+        unioned.filter(
+            # weekday(): Monday=0 — matches the twin's isodow(ts)=1 (Spark's
+            # dayofweek() numbers Sunday=1 vs DuckDB's Sunday=0; weekday/
+            # isodow are the unambiguous pair)
+            (F.col("day") >= F.lit("2024-01-01").cast("date"))
+            & (F.expr("weekday(ts)") == 0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -9097,6 +9238,8 @@ _CHECK_PRIORITY = [
     "q_cusum_detect", "q_mutual_information",
     # round-3 batch 31: hopping windows, KS drift test
     "q_agg_window_hopping", "q_ks_test",
+    # round-3 batch 32: catalog DQ sweep, partition-layout migration
+    "q_dq_uniqueness", "q_partition_migration",
 ]
 
 
