@@ -1784,15 +1784,53 @@ def q_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark `percentile` ≡ SQL
-    percentile_cont). Rounded to 4dp: the interpolation arithmetic is the
-    only cross-engine float risk. The one-pass approximate path is
-    `q_quantiles_approx`."""
+    """Exact interpolated percentiles per group (SQL percentile_cont
+    semantics: pos = p·(n−1), lerp between the bracketing order
+    statistics), computed by the count-based quantile plan rather than
+    the sort-based percentile aggregate — that aggregate buffers every
+    group value on one reducer, the thing that cannot work at 100 TB.
+    groupBy (flag, value) collapses the fact table map-side to distinct
+    values; one cumulative window finds the bracketing ranks
+    (floor(pos)+1 and +2 via min-over-threshold); the lerp runs the same
+    double expression the native aggregates use. Rounded to 4dp: the
+    interpolation arithmetic is the only cross-engine float risk. The
+    one-pass approximate path is `q_quantiles_approx`."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    counts = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    dist = counts.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def pcont(p: float):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo_rank = F.floor(pos) + 1
+        hi_rank = F.least(lo_rank + 1, F.col("n"))
+        frac = pos - F.floor(pos).cast("double")
+        v_lo = F.min(
+            F.when(F.col("cum") >= lo_rank, F.col("l_extendedprice"))
+        )
+        v_hi = F.min(
+            F.when(F.col("cum") >= hi_rank, F.col("l_extendedprice"))
+        )
+        return v_lo + frac * (v_hi - v_lo)
+
+    # pos/frac depend only on n (constant per group) — safe inside agg
+    agg = dist.groupBy("l_returnflag", "n").agg(
+        F.round(pcont(0.5), 4).alias("p50"),
+        F.round(pcont(0.95), 4).alias("p95"),
+    )
+    return agg.select("l_returnflag", "p50", "p95")
 
 
 @_q("q_quantiles_approx")
