@@ -9253,6 +9253,349 @@ def q_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 34 — attribution, gaps-and-islands, rank statistics, recursion.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_attribution_last_touch",
+    f"""
+    WITH tagged AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+      FROM events
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           {_msum('value')} AS attributed_revenue
+    FROM tagged WHERE event_type = 'purchase' AND channel IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — each purchase credits the most
+    recent preceding non-purchase event of the same user. One window
+    (IGNORE-NULLS last over an unbounded-preceding ROWS frame) on the
+    user_id exchange tags every purchase with its channel, then a grouped
+    exact-decimal revenue rollup. Total order (ts, event_id) makes the
+    frame deterministic under ties; the whole plan is one shuffle on
+    user_id plus one ~4-row aggregate — no self-join against the event
+    history (the naive per-purchase lookback at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(
+            (F.col("event_type") == "purchase") & F.col("channel").isNotNull()
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            money_sum(F.col("value")).alias("attributed_revenue"),
+        )
+    )
+
+
+@_q(
+    "q_streak_longest",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS island
+      FROM days
+    ),
+    s AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak,
+           CAST(sum(streak) AS BIGINT) AS n_active_days
+    FROM s GROUP BY 1
+    """,
+)
+def q_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite: distinct (user, day), then `day − row_number`
+    is constant exactly within a consecutive run, so streaks fall out of a
+    grouped count with NO self-join and NO iteration. Plan: one exchange
+    on user_id reused by the distinct, the window, and both aggregates
+    (Catalyst collapses the chain); at 100 TB the state is bounded by
+    distinct (user, day), not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    isl = days.withColumn("island", F.date_sub(F.col("day"), rn))
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak").alias("longest_streak"),
+        F.sum("streak").alias("n_active_days"),
+    )
+
+
+@_q(
+    "q_weighted_median",
+    """
+    WITH vw AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, price_c, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM vw
+    )
+    SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_weight,
+           CAST(min(price_c) AS DOUBLE) / 100 AS weighted_median_price
+    FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) of extended price weighted by quantity —
+    the count-based quantile plan extended to weights: collapse to
+    distinct cent-values with exact integer weight sums (the only
+    row-count-scale aggregate), then a running weight sum over the
+    distinct-value table picks the first value where 2·cum ≥ total.
+    No per-group row buffering (the sort-based percentile aggregate's
+    scale hazard) — state is bounded by distinct values, and every
+    comparison is int64-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vw = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_returnflag", "price_c")
+        .agg(F.sum("q").alias("w"))
+    )
+    wv = Window.partitionBy("l_returnflag").orderBy("price_c")
+    wt = Window.partitionBy("l_returnflag")
+    c = vw.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(wv).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("tw").alias("total_weight"),
+            (F.min("price_c").cast("double") / 100).alias("weighted_median_price"),
+        )
+    )
+
+
+@_q(
+    "q_spearman_rho",
+    f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                                RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               - 1 AS ry2
+      FROM lineitem
+    ),
+    sc AS (SELECT l_returnflag, rx2 * 1e-7 AS x, ry2 * 1e-7 AS y FROM r),
+    s AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             {_msum6('x')} AS sx, {_msum6('y')} AS sy,
+             {_msum6('x*x')} AS sxx, {_msum6('x*y')} AS sxy,
+             {_msum6('y*y')} AS syy
+      FROM sc GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE)*sxy - sx*sy)
+             / sqrt((CAST(n AS DOUBLE)*sxx - sx*sx)
+                    * (CAST(n AS DOUBLE)*syy - sy*sy)) AS spearman_rho
+    FROM s
+    """,
+)
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (average-tie convention) — Pearson on
+    ranks, kept cross-engine exact by integerizing the tie-averaged rank:
+    2·avg_rank = 2·rank() + |peers| − 1 is always an integer, and |peers|
+    comes from a RANGE CURRENT ROW frame that reuses the rank's own sort
+    (one l_returnflag exchange, two sorts — NOT a second shuffle on the
+    value column). Doubled ranks then run the q_corr_exact recipe:
+    pre-scale ×1e-7 so decimal(38,6) moments stay below 2^53, exact
+    moment accumulation, one identically-written IEEE combination.
+    Spearman is shift/scale-invariant, so doubling leaves rho unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rank2(order_col: str) -> F.Column:
+        ws = Window.partitionBy("l_returnflag").orderBy(order_col)
+        peers = ws.rangeBetween(Window.currentRow, Window.currentRow)
+        return (
+            2 * F.rank().over(ws) + F.count(F.lit(1)).over(peers) - 1
+        )
+
+    r = li.select(
+        "l_returnflag",
+        (rank2("l_quantity") * F.lit(1e-7)).alias("x"),
+        (rank2("l_extendedprice") * F.lit(1e-7)).alias("y"),
+    )
+    s = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("x"), 6).alias("sx"),
+        exact_sum(F.col("y"), 6).alias("sy"),
+        exact_sum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        exact_sum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        exact_sum(F.col("y") * F.col("y"), 6).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", rho.alias("spearman_rho"))
+
+
+@_q(
+    "q_mann_whitney_u",
+    """
+    WITH pts AS (
+      SELECT isodow(ts) AS weekday, event_type AS g,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    r AS (
+      SELECT weekday, g,
+             2 * rank() OVER (PARTITION BY weekday ORDER BY v)
+               + count(*) OVER (PARTITION BY weekday ORDER BY v
+                                RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               - 1 AS r2
+      FROM pts
+    ),
+    s AS (
+      SELECT weekday,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g = 'click' THEN r2 ELSE 0 END) AS BIGINT)
+               AS rsum1_x2
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(weekday AS BIGINT) AS weekday, n1, n2,
+           CAST(rsum1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (rsum1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2
+    FROM s
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (click vs view engagement value, per
+    ISO weekday) — the non-parametric A/B companion to q_ab_welch_ttest.
+    Fully integer-exact: milli-unit quantization, the doubled
+    tie-averaged rank (2·rank() + |peers| − 1, peers from a RANGE frame
+    on the SAME sort), and U reported in doubled units (u1_x2/u2_x2) so
+    tie-induced half-steps never touch IEEE floats. Identity check
+    u1+u2 = n1·n2 holds by construction. One weekday exchange, one sort,
+    one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_type").isin("click", "view")).select(
+        (F.expr("weekday(ts)") + 1).cast("long").alias("weekday"),
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    ws = Window.partitionBy("weekday").orderBy("v")
+    peers = ws.rangeBetween(Window.currentRow, Window.currentRow)
+    r = pts.select(
+        "weekday",
+        "g",
+        (2 * F.rank().over(ws) + F.count(F.lit(1)).over(peers) - 1).alias("r2"),
+    )
+    s = r.groupBy("weekday").agg(
+        F.sum(F.when(F.col("g") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == "view", 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("g") == "click", F.col("r2")).otherwise(0)).alias(
+            "rsum1_x2"
+        ),
+    )
+    u1 = F.col("rsum1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        "weekday",
+        "n1",
+        "n2",
+        u1.alias("u1_x2"),
+        (2 * F.col("n1") * F.col("n2") - u1).alias("u2_x2"),
+    )
+
+
+@_q(
+    "q_tree_reachability",
+    """
+    WITH RECURSIVE chain(origin, node, depth) AS (
+      SELECT DISTINCT user_id, user_id, 0 FROM events
+      UNION ALL
+      SELECT origin, node // 2, depth + 1 FROM chain WHERE node > 1
+    ),
+    d AS (SELECT origin, max(depth) AS depth FROM chain GROUP BY 1)
+    SELECT CAST(depth AS INTEGER) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(origin) AS BIGINT) AS min_user,
+           CAST(max(origin) AS BIGINT) AS max_user
+    FROM d GROUP BY 1
+    """,
+)
+def q_tree_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE graph reachability (Spark 4 WITH RECURSIVE) — each
+    user walks the implicit binary-tree ancestry edge u → u div 2 to the
+    root, and the result histograms depth-to-root. Exercises Spark's
+    iterative-union recursion: each step is a narrow map over the
+    frontier (no shuffle inside the loop), depth is bounded by
+    log2(max id) ≈ 17 ≪ the 100-level recursion guard, and the frontier
+    SHRINKS monotonically — the shape that survives a 1000-executor
+    scale-up, unlike driver-side iteration. Registered views let the
+    identical SQL skeleton run on both engines."""
+    from etl_pipeline_project_spark.sources.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(origin, node, depth) AS (
+          SELECT DISTINCT user_id, user_id, 0 FROM events
+          UNION ALL
+          SELECT origin, node div 2, depth + 1 FROM chain WHERE node > 1
+        ),
+        d AS (SELECT origin, max(depth) AS depth FROM chain GROUP BY origin)
+        SELECT CAST(depth AS INT) AS depth_to_root,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(origin) AS BIGINT) AS min_user,
+               CAST(max(origin) AS BIGINT) AS max_user
+        FROM d GROUP BY depth
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -9334,6 +9677,9 @@ _CHECK_PRIORITY = [
     "q_dq_uniqueness", "q_partition_migration",
     # round-3 batch 33: rolling exact distinct via daily bitmaps
     "q_rolling_mau",
+    # round-3 batch 34: attribution, streaks, rank statistics, recursion
+    "q_attribution_last_touch", "q_streak_longest", "q_weighted_median",
+    "q_spearman_rho", "q_mann_whitney_u", "q_tree_reachability",
 ]
 
 
