@@ -9596,6 +9596,323 @@ def q_tree_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 35 — LLM-pipeline deepening: boilerplate strip, per-doc keywords,
+# quantile normalization, vector normalization, split-leakage audit.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_boilerplate_strip",
+    """
+    WITH tot AS (SELECT count(*) AS n_docs FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    df AS (SELECT word, count(DISTINCT doc_id) AS d FROM toks GROUP BY 1),
+    boiler AS (
+      SELECT coalesce(list(word), []) AS bl
+      FROM df, tot WHERE d * 5 >= n_docs * 4
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(text, ' '), w -> NOT list_contains(b.bl, w)),
+             ' ') AS text_clean,
+           CAST(len(string_split(text, ' '))
+                - len(list_filter(string_split(text, ' '),
+                                  w -> NOT list_contains(b.bl, w)))
+                AS BIGINT) AS n_removed
+    FROM documents, boiler b
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate removal — drop every word whose document
+    frequency is ≥ 80% of the corpus (navigation chrome / license
+    headers / template text in a real crawl), preserving the order of
+    the surviving words. The boilerplate vocabulary is two aggregates
+    over the token stream and is tiny by construction (bounded by the
+    words that fit in 80% of documents), so it BROADCASTS into a
+    map-side anti join against the posexploded stream; reassembly is
+    one groupBy(doc_id) with an array_sort(collect_list(struct(pos,
+    word))) — position-exact, no driver round-trip, one shuffle on
+    doc_id for the 100 TB side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = (
+        toks.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    boiler = (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("d") * 5 >= F.col("n_docs") * 4)
+        .select("word")
+    )
+    kept = toks.join(F.broadcast(boiler), "word", "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x.word,
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
+@_q(
+    "q_doc_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df_docs,
+             CAST(tf.tf * 1000000 // df.df_docs AS BIGINT) AS score_ppm
+      FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_ppm DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df_docs, score_ppm, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction — top-3 terms by document-
+    frequency-penalized term frequency (tf/df, the monotone core of
+    TF-IDF). The score is exact integer arithmetic (tf·10⁶ div df) so
+    ranking is bit-identical across engines — no transcendental log in
+    the ORDER BY key, which would expose 1-ULP engine drift exactly
+    where ties decide output membership. df is a term-level aggregate
+    (vocabulary-sized → broadcast join back onto tf); top-3 is a
+    row_number window that AQE executes as WindowGroupLimit — no
+    full per-doc sort materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df_docs",
+        F.expr("(tf * 1000000) div df_docs").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df_docs", "score_ppm", "rk")
+    )
+
+
+@_q(
+    "q_quantile_normalize",
+    """
+    WITH pts AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_id, event_type,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+               + count(*) OVER (PARTITION BY event_type ORDER BY v
+                                RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+               - 1 AS r2,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM pts
+    )
+    SELECT event_id, event_type,
+           CAST((r2 - 1) * 500000 // n AS BIGINT) AS q_ppm
+    FROM r
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — replace each reading by its within-group
+    mid-rank quantile (the rank-to-uniform transform used to align
+    feature distributions before training). Same doubled tie-averaged
+    rank as q_spearman_rho; the quantile (avg_rank − ½)/n is emitted in
+    exact integer ppm ((r2−1)·5·10⁵ div n), so the output is engine- and
+    partitioning-independent. One event_type exchange carries the rank
+    sort, the peer RANGE frame, and the group count — three windows,
+    one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("v")
+    peers = ws.rangeBetween(Window.currentRow, Window.currentRow)
+    wp = Window.partitionBy("event_type")
+    r = pts.select(
+        "event_id",
+        "event_type",
+        (2 * F.rank().over(ws) + F.count(F.lit(1)).over(peers) - 1).alias("r2"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return r.select(
+        "event_id",
+        "event_type",
+        F.expr("((r2 - 1) * 500000) div n").alias("q_ppm"),
+    )
+
+
+@_q(
+    "q_vector_normalize",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS l2_norm
+      FROM e
+    )
+    SELECT vec_id, CAST(len(v) AS INTEGER) AS dim, l2_norm,
+           v[1] / l2_norm AS u_first,
+           list_min(v) / l2_norm AS u_min,
+           list_max(v) / l2_norm AS u_max
+    FROM n WHERE l2_norm > 0
+    """,
+)
+def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 vector normalization — the preprocessing step in front of every
+    cosine-similarity ANN index. Map-only Catalyst higher-order
+    functions (transform/aggregate), zero shuffles, zero Python; the
+    sum-of-squares fold runs in one declared left-to-right association
+    order so the JVM and DuckDB produce bit-identical norms. The
+    contract projects scalar probes (first/min/max components) rather
+    than the raw array — driver row-hashers reject array cells
+    (VERDICT r1 §what's-wrong 3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    n = e.select("vec_id", "v", norm.alias("l2_norm"))
+    return n.filter(F.col("l2_norm") > 0).select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        "l2_norm",
+        (F.element_at("v", 1) / F.col("l2_norm")).alias("u_first"),
+        (F.array_min("v") / F.col("l2_norm")).alias("u_min"),
+        (F.array_max("v") / F.col("l2_norm")).alias("u_max"),
+    )
+
+
+@_q(
+    "q_split_leakage",
+    f"""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             1.0 - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(GREATEST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS DOUBLE)
+               AS jd
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    leak AS (
+      SELECT LEAST(sa.split, sb.split) AS split_lo,
+             GREATEST(sa.split, sb.split) AS split_hi
+      FROM p
+      JOIN sp sa ON p.id_a = sa.doc_id
+      JOIN sp sb ON p.id_b = sb.doc_id
+      WHERE p.jd < 0.4 AND sa.split <> sb.split
+    )
+    SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_leak_pairs
+    FROM leak GROUP BY 1, 2
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit — near-duplicate pairs (MinHash-LSH
+    banded candidates, exactly verified, distance < 0.4) that STRADDLE
+    the deterministic hash split: the eval-hygiene check every training
+    pipeline needs before publishing benchmark numbers. Composition of
+    two existing scale paths: bucketed LSH (never all-pairs) plus the
+    content-stable md5 split; split labels broadcast onto the pair
+    stream. Oracle runs the exact all-pairs twin — recall at distance
+    < 0.4 with r=2/b=32 banding is 1−1.6e-6 (q_dedup_minhash_lsh)."""
+    from etl_pipeline_project_spark.operators.dedup_text import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_distance_threshold=0.4
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leak = (
+        pairs.join(
+            F.broadcast(sp.withColumnRenamed("split", "split_a")),
+            pairs.id_a == sp.doc_id,
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(sp.withColumnRenamed("split", "split_b")),
+            pairs.id_b == F.col("doc_id"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return leak.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).agg(F.count(F.lit(1)).alias("n_leak_pairs"))
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -9680,6 +9997,9 @@ _CHECK_PRIORITY = [
     # round-3 batch 34: attribution, streaks, rank statistics, recursion
     "q_attribution_last_touch", "q_streak_longest", "q_weighted_median",
     "q_spearman_rho", "q_mann_whitney_u", "q_tree_reachability",
+    # round-3 batch 35: LLM-pipeline deepening
+    "q_boilerplate_strip", "q_doc_keywords", "q_quantile_normalize",
+    "q_vector_normalize", "q_split_leakage",
 ]
 
 
