@@ -9913,6 +9913,235 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 36 — lakehouse tier: stats-driven file skipping, manifest time
+# travel, compaction planning, pure-theta broadcast join.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_file_stats_pruning",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           {_msum('value')} AS sum_value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-23 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_file_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-driven data skipping — the min/max zone-map mechanic behind
+    Delta/Iceberg file pruning, built from parts: (1) events land as
+    range-partitioned, ts-sorted files (the clustered layout that makes
+    zone maps tight); (2) a per-file stats table (min/max ts, row count)
+    comes from one grouped scan over `_metadata.file_path`; (3) the
+    predicate consults ONLY the stats table to choose files — a
+    planner-side decision over a files-count-sized table, exactly where
+    real table formats do it — and the data scan opens just the
+    surviving files before applying the residual filter. At 100 TB the
+    stats table is ~1 row per file; the pruned scan reads the last week,
+    not the whole history. Oracle proves layout-independence by running
+    the plain filter on the original table."""
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{_SCRATCH}/events_clustered_{tag}"
+    if not os.path.exists(path):
+        ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(path)
+    back = spark.read.parquet(path)
+    stats = back.groupBy(F.col("_metadata.file_path").alias("file")).agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    cutoff = "2024-01-23 00:00:00"
+    # planner-side manifest consultation: the stats table is O(n_files)
+    chosen = [
+        r["file"]
+        for r in stats.filter(
+            F.col("max_ts") >= F.lit(cutoff).cast("timestamp")
+        ).collect()
+    ]
+    pruned = spark.read.parquet(*chosen)
+    return (
+        pruned.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "q_snapshot_time_travel",
+    f"""
+    WITH v1 AS (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey % 1000003) AS BIGINT) AS key_sig,
+           {_msum('o_totalprice')} AS sum_total
+    FROM v1
+    UNION ALL
+    SELECT 'v2' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey % 1000003) AS BIGINT) AS key_sig,
+           {_msum('o_totalprice')} AS sum_total
+    FROM orders
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot time travel — the poor-man's Delta/Iceberg
+    log: version 1 lands as files, version 2 APPENDS new files (old data
+    is never rewritten), and a manifest table records which files belong
+    to which snapshot. Reading "as of v1" opens only v1's files; "as of
+    v2" opens both generations. The manifest is planner-sized (rows =
+    files); appends are O(new data); both snapshot reads are
+    content-addressed with zero copies — the structure that makes
+    time travel free at 100 TB. Both snapshots are summarized with an
+    order-insensitive signature, twinned against the logical snapshot
+    definitions."""
+    import hashlib
+    import json
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/orders_versions_{tag}"
+    manifest_path = f"{base}/manifest.json"
+    cut = F.lit("1998-01-01").cast("timestamp")
+    if not os.path.exists(manifest_path):
+        orders.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(
+            f"{base}/gen1"
+        )
+        orders.filter(F.col("o_orderdate") >= cut).write.mode("overwrite").parquet(
+            f"{base}/gen2"
+        )
+        manifest = {"v1": [f"{base}/gen1"], "v2": [f"{base}/gen1", f"{base}/gen2"]}
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+
+    def snapshot(version: str) -> DataFrame:
+        df = spark.read.parquet(*manifest[version])
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey") % 1000003).alias("key_sig"),
+            money_sum(F.col("o_totalprice")).alias("sum_total"),
+        ).select(F.lit(version).alias("version"), "*")
+
+    return snapshot("v1").unionByName(snapshot("v2"))
+
+
+@_q(
+    "q_compaction_plan",
+    """
+    WITH per_file AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT day, n_rows,
+             CAST(coalesce(SUM(n_rows) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM per_file
+    )
+    SELECT CAST(cum_before // 1000 AS BIGINT) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows
+    FROM c GROUP BY 1
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING — bin-pack the per-file row counts
+    of a day-partitioned layout into ~1000-row target groups (cumulative
+    count div target), the maintenance query every lakehouse table
+    service runs before rewriting. File inventory comes from one grouped
+    scan over `_metadata.file_path` (the day-partitioned scratch layout
+    guarantees file ↔ day equivalence, which is what lets the oracle
+    reason per-day); the plan itself is a window over an
+    O(n_files)-sized table — planner-scale regardless of data volume.
+    Complements q_compact_files, which EXECUTES a compaction."""
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{_SCRATCH}/events_daily_{tag}"
+    if not os.path.exists(path):
+        ev.repartition(F.col("day")).write.mode("overwrite").partitionBy(
+            "day"
+        ).parquet(path)
+    back = spark.read.parquet(path)
+    per_file = back.groupBy(
+        F.col("_metadata.file_path").alias("file"), F.col("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = per_file.select(
+        "day",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        c.select(F.expr("cum_before div 1000").alias("group_id"), "n_rows")
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q_join_theta_bnl",
+    f"""
+    WITH bands AS (
+      SELECT r_name, r_regionkey * 100000.0 AS lo,
+             (r_regionkey + 1) * 100000.0 AS hi
+      FROM region
+    )
+    SELECT r_name AS price_band, CAST(count(*) AS BIGINT) AS n_orders,
+           {_msum('o_totalprice')} AS sum_total
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY 1
+    """,
+)
+def q_join_theta_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join — NO equi-key at all, only interval containment
+    against a 5-row band table. Catalyst's only correct strategy here is
+    BroadcastNestedLoopJoin, and that is exactly the right 100 TB plan:
+    the band side is O(bands) and broadcasts, the fact side streams
+    map-side with zero shuffle, and each row tests 5 predicates. The
+    trap this key guards against is a shuffle-based fallback (cartesian
+    with post-filter); the plan audit asserts BNLJ + broadcast. Distinct
+    from q_join_range, whose equi component admits a hash join."""
+    orders = load_table(spark, sf_dir, "orders")
+    region = load_table(spark, sf_dir, "region")
+    bands = region.select(
+        F.col("r_name").alias("price_band"),
+        (F.col("r_regionkey") * 100000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 100000.0).alias("hi"),
+    )
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return joined.groupBy("price_band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -10000,6 +10229,9 @@ _CHECK_PRIORITY = [
     # round-3 batch 35: LLM-pipeline deepening
     "q_boilerplate_strip", "q_doc_keywords", "q_quantile_normalize",
     "q_vector_normalize", "q_split_leakage",
+    # round-3 batch 36: lakehouse tier
+    "q_file_stats_pruning", "q_snapshot_time_travel", "q_compaction_plan",
+    "q_join_theta_bnl",
 ]
 
 
