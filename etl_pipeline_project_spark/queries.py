@@ -10142,6 +10142,251 @@ def q_join_theta_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 37 — SAX symbolization, conversion-lag cohorts, FIFO costing.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_sax_symbolize",
+    """
+    WITH r AS (
+      SELECT user_id, ts, event_id,
+             ntile(4) OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(value * 1000) AS BIGINT),
+                                     event_id) AS nt
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(substr('abcd', nt, 1), '' ORDER BY ts, event_id) AS sax,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM r GROUP BY 1
+    """,
+)
+def q_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization — each user's reading stream becomes a string
+    over {a,b,c,d} by per-series quartile discretization (rank-based, so
+    no mean/σ floats cross engines), emitted in TIME order while the
+    quartile assignment is in VALUE order. ntile runs on the value sort,
+    the ordered reassembly is the sorted-fold idiom
+    (array_sort(collect_list(struct)) → transform → concat_ws) — both on
+    ONE user_id exchange. The discretize-to-symbols step is what makes
+    motif mining / anomaly grammars tractable on 100 TB of raw series:
+    downstream operators see short strings, not doubles. Total order
+    (value_milli, event_id) makes ntile deterministic under ties."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = Window.partitionBy("user_id").orderBy(
+        F.floor(F.col("value") * 1000).cast("long"), "event_id"
+    )
+    r = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.ntile(4).over(ws).alias("nt"),
+    ).withColumn("letter", F.expr("substring('abcd', nt, 1)"))
+    return r.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "letter"))),
+                lambda x: x.letter,
+            ),
+        ).alias("sax"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@_q(
+    "q_time_to_convert",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT CAST(s_ts AS DATE) AS cohort_day,
+             CAST(floor(epoch(p_ts)) AS BIGINT)
+               - CAST(floor(epoch(s_ts)) AS BIGINT) AS delta_sec
+      FROM firsts WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts
+    ),
+    stats AS (
+      SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_converted,
+             CAST(SUM(delta_sec) AS BIGINT) AS sum_delta
+      FROM conv GROUP BY 1
+    ),
+    vw AS (
+      SELECT cohort_day, delta_sec, CAST(count(*) AS BIGINT) AS c
+      FROM conv GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_day, delta_sec,
+             CAST(SUM(c) OVER (PARTITION BY cohort_day ORDER BY delta_sec)
+                  AS BIGINT) AS cw,
+             CAST(SUM(c) OVER (PARTITION BY cohort_day) AS BIGINT) AS tw
+      FROM vw
+    ),
+    med AS (
+      SELECT cohort_day, CAST(min(delta_sec) AS BIGINT) AS p50_delta_sec
+      FROM cum WHERE 2 * cw >= tw GROUP BY 1
+    )
+    SELECT s.cohort_day, s.n_converted,
+           CAST(s.sum_delta AS DOUBLE) / s.n_converted AS mean_delta_sec,
+           m.p50_delta_sec
+    FROM stats s JOIN med m USING (cohort_day)
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion lag by signup-day cohort — first-touch
+    funnel timing. One conditional-min aggregate per user finds both
+    firsts in a single events pass (no signup⋈purchase self-join);
+    deltas are integer seconds (floored epochs — engine-exact); the
+    cohort median uses the count-based distinct-value cumulative plan
+    (no per-cohort sort buffering) and the mean divides two exact
+    integers in one final double op."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts"),
+    )
+    conv = firsts.filter(
+        F.col("s_ts").isNotNull()
+        & F.col("p_ts").isNotNull()
+        & (F.col("p_ts") >= F.col("s_ts"))
+    ).select(
+        F.col("s_ts").cast("date").alias("cohort_day"),
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")
+        ).alias("delta_sec"),
+    )
+    stats = conv.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum("delta_sec").alias("sum_delta"),
+    )
+    vw = conv.groupBy("cohort_day", "delta_sec").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("cohort_day").orderBy("delta_sec")
+    wt = Window.partitionBy("cohort_day")
+    cum = vw.select(
+        "cohort_day",
+        "delta_sec",
+        F.sum("c").over(wv).alias("cw"),
+        F.sum("c").over(wt).alias("tw"),
+    )
+    med = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("cohort_day")
+        .agg(F.min("delta_sec").alias("p50_delta_sec"))
+    )
+    return stats.join(med, "cohort_day").select(
+        "cohort_day",
+        "n_converted",
+        (F.col("sum_delta").cast("double") / F.col("n_converted")).alias(
+            "mean_delta_sec"
+        ),
+        "p50_delta_sec",
+    )
+
+
+@_q(
+    "q_inventory_fifo",
+    """
+    WITH lots AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS lot_qty,
+             min(l_shipdate) AS lot_date,
+             CAST(floor(min(l_extendedprice / l_quantity) * 100) AS BIGINT)
+               AS unit_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    lot_c AS (
+      SELECT pk, sk, lot_qty, unit_cents,
+             CAST(SUM(lot_qty) OVER (PARTITION BY pk ORDER BY lot_date, sk)
+                  AS BIGINT) AS l_end
+      FROM lots
+    ),
+    lot_iv AS (SELECT pk, sk, unit_cents, l_end - lot_qty AS l_start, l_end
+               FROM lot_c),
+    dem AS (
+      SELECT l_partkey AS pk,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(SUM(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_partkey
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey)
+                  AS BIGINT) AS d_end
+      FROM lineitem
+    ),
+    dem_iv AS (SELECT pk, d_end - q AS d_start, d_end FROM dem),
+    alloc AS (
+      SELECT l.pk, l.sk, l.unit_cents,
+             LEAST(l.l_end, d.d_end) - GREATEST(l.l_start, d.d_start) AS a
+      FROM lot_iv l JOIN dem_iv d
+        ON l.pk = d.pk AND l.l_start < d.d_end AND d.d_start < l.l_end
+    )
+    SELECT sk AS s_suppkey,
+           CAST(SUM(a) AS BIGINT) AS allocated_qty,
+           CAST(SUM(a * unit_cents) AS BIGINT) AS fifo_cost_cents
+    FROM alloc GROUP BY 1
+    """,
+)
+def q_inventory_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory costing — the interval-algebra rewrite of the
+    classic \"consume lots in order\" loop: supplier lots and the demand
+    stream each become cumulative-quantity intervals per part (one
+    window each on the SAME l_partkey exchange), and a FIFO allocation
+    is exactly the pairwise overlap of the two interval sets — an
+    equi-join on part plus an interval predicate, the range-join shape,
+    never a sequential scan. Quantities are integer-exact throughout;
+    costs are cents. Each demand overlaps O(1) lots, so output is
+    ~|lineitem| before the supplier rollup regardless of scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    lots = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(
+        F.sum(q).alias("lot_qty"),
+        F.min("l_shipdate").alias("lot_date"),
+        F.floor(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 100
+        ).cast("long").alias("unit_cents"),
+    )
+    wl = Window.partitionBy("pk").orderBy("lot_date", "sk")
+    lot_iv = lots.select(
+        "pk",
+        "sk",
+        "unit_cents",
+        (F.sum("lot_qty").over(wl) - F.col("lot_qty")).alias("l_start"),
+        F.sum("lot_qty").over(wl).alias("l_end"),
+    )
+    wd = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    dem_iv = li.select(
+        F.col("l_partkey").alias("pk"),
+        (F.sum(q).over(wd) - q).alias("d_start"),
+        F.sum(q).over(wd).alias("d_end"),
+    )
+    alloc = lot_iv.join(
+        dem_iv,
+        (lot_iv.pk == dem_iv.pk)
+        & (lot_iv.l_start < dem_iv.d_end)
+        & (dem_iv.d_start < lot_iv.l_end),
+    ).select(
+        "sk",
+        "unit_cents",
+        (
+            F.least(F.col("l_end"), F.col("d_end"))
+            - F.greatest(F.col("l_start"), F.col("d_start"))
+        ).alias("a"),
+    )
+    return alloc.groupBy(F.col("sk").alias("s_suppkey")).agg(
+        F.sum("a").alias("allocated_qty"),
+        F.sum(F.col("a") * F.col("unit_cents")).alias("fifo_cost_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -10232,6 +10477,8 @@ _CHECK_PRIORITY = [
     # round-3 batch 36: lakehouse tier
     "q_file_stats_pruning", "q_snapshot_time_travel", "q_compaction_plan",
     "q_join_theta_bnl",
+    # round-3 batch 37: SAX, conversion lag, FIFO costing
+    "q_sax_symbolize", "q_time_to_convert", "q_inventory_fifo",
 ]
 
 
