@@ -10387,6 +10387,231 @@ def q_inventory_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 38 — modern SQL/engine surface: VARIANT, LATERAL, correlated
+# scalar subqueries, error-safe arithmetic, join hints, observed metrics.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_variant_json",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type —
+    parse_json builds the typed binary variant once, variant_get
+    extracts a path with a target type, and the whole pipeline stays in
+    Catalyst (no per-row Python, no string re-parsing per access —
+    the shredded-encoding advantage over get_json_object at 100 TB,
+    where a document parsed once serves many extractions). Complements
+    q_json_extract (string-path API) and q_map_ops (typed map)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@_q(
+    "q_lateral_topk",
+    """
+    SELECT n.n_name, l.c_name, l.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT —
+    the SQL-standard spelling of top-k-per-group. Catalyst decorrelates
+    it into the same window/rank plan as q_window_rank (one shuffle on
+    the correlation key, per-group limit pushed below the sort) — the
+    point of the key is that the DECLARATIVE form arrives at the scale
+    plan, not a per-nation re-scan loop. Deterministic tie-break
+    (acctbal DESC, name)."""
+    from etl_pipeline_project_spark.sources.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name, l.c_acctbal
+        FROM nation n,
+             LATERAL (SELECT c_name, c_acctbal FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) l
+        """
+    )
+
+
+@_q(
+    "q_scalar_subquery_corr",
+    f"""
+    WITH flagged AS (
+      SELECT o_custkey, o_totalprice,
+             (SELECT {_msum('o2.o_totalprice')} / count(*)
+              FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+      FROM orders o
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM flagged WHERE o_totalprice > cust_avg
+    GROUP BY 1
+    """,
+)
+def q_scalar_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — each order compared against ITS
+    customer's average order value. Catalyst decorrelates the subquery
+    into one aggregate-then-join on o_custkey (visible in the plan as a
+    single exchange + join, not an O(orders × customers) re-execution),
+    which is the only survivable shape at scale. The per-customer
+    average uses the exact-decimal money sum on both engines so the
+    strict `>` comparison can't flip on 1-ULP drift."""
+    from etl_pipeline_project_spark.sources.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    # identical exact-decimal average spelling, Spark dialect
+    return spark.sql(
+        """
+        WITH flagged AS (
+          SELECT o_custkey, o_totalprice,
+                 (SELECT CAST(CAST(ROUND(SUM(CAST(o2.o_totalprice AS DECIMAL(38,10))), 2)
+                              AS DECIMAL(38,2)) AS DOUBLE) / count(*)
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+          FROM orders o
+        )
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above_avg
+        FROM flagged WHERE o_totalprice > cust_avg
+        GROUP BY o_custkey
+        """
+    )
+
+
+@_q(
+    "q_try_arith",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN user_id % 3 = 0 THEN NULL
+                  ELSE value / CAST(user_id % 3 AS DOUBLE) END AS ratio,
+             CASE WHEN event_id >= 2 THEN NULL
+                  ELSE event_id * 4611686018427387904 END AS big
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(SUM(CASE WHEN big IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow,
+           CAST(SUM(CAST(ROUND(CAST(ratio AS DECIMAL(38,10)), 4)
+                    AS DECIMAL(38,4))) AS DOUBLE) AS sum_ratio
+    FROM t GROUP BY 1
+    """,
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode — try_divide returns NULL on
+    a zero divisor instead of raising, try_multiply returns NULL on
+    int64 overflow (event_id·2^62 overflows for every event_id ≥ 2).
+    The operational point: a 100 TB batch job must degrade poisoned rows
+    to NULLs it can count (the n_div_null / n_overflow audit columns),
+    not die at task 9,997 of 10,000. The DuckDB twin spells the same
+    semantics with guards, proving the NULL contract is
+    engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    ratio = F.expr("try_divide(value, CAST(user_id % 3 AS DOUBLE))")
+    big = F.expr("try_multiply(event_id, 4611686018427387904L)")
+    t = ev.select("event_type", ratio.alias("ratio"), big.alias("big"))
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0)).alias("n_div_null"),
+        F.sum(F.when(F.col("big").isNull(), 1).otherwise(0)).alias("n_overflow"),
+        F.sum(
+            F.round(F.col("ratio").cast("decimal(38,10)"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sum_ratio"),
+    )
+
+
+@_q(
+    "q_hint_suite",
+    f"""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           {_msum('c_acctbal')} AS sum_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_hint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hints — the escape hatch when statistics mislead the
+    optimizer at 100 TB (a "small" side that isn't, a broadcast that
+    OOMs the executors). This key forces the nation side through a
+    SHUFFLE_MERGE hint (overriding the default broadcast choice for a
+    25-row dim) purely to prove the control surface works; the plan
+    test asserts SortMergeJoin appears under the hint and the result is
+    bit-identical to the unhinted plan. Production guidance stays
+    \"let Catalyst choose\" — hints are for the documented exceptions."""
+    from etl_pipeline_project_spark.sources.catalog import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT /*+ SHUFFLE_MERGE(nation) */ n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,10))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@_q(
+    "q_observe_metrics",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           {_msum('value')} AS sum_value
+    FROM events
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via df.observe() — named accumulator-style
+    metrics collected AS A SIDE EFFECT of the pass the job already runs
+    (zero extra scans: at 100 TB a separate audit query doubles cost;
+    observe rides the existing one). The metrics land on the driver as
+    one tiny row, re-emitted here as the contract DataFrame and twinned
+    against a plain aggregate to prove observed == computed."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_purchases"], m["sum_value"])],
+        "n_rows long, n_purchases long, sum_value double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -10479,6 +10704,9 @@ _CHECK_PRIORITY = [
     "q_join_theta_bnl",
     # round-3 batch 37: SAX, conversion lag, FIFO costing
     "q_sax_symbolize", "q_time_to_convert", "q_inventory_fifo",
+    # round-3 batch 38: modern SQL/engine surface
+    "q_variant_json", "q_lateral_topk", "q_scalar_subquery_corr",
+    "q_try_arith", "q_hint_suite", "q_observe_metrics",
 ]
 
 
