@@ -10612,6 +10612,229 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 39 — streaming hopping windows + deterministic sketch tier
+# (count-min, Bloom) built as exact SQL constructions.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_hopping",
+    """
+    WITH contrib AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+               - INTERVAL 6 HOUR * CAST(h AS INTEGER)
+               + INTERVAL 6 HOUR
+               * CAST(CAST(date_part('hour', ts) AS INTEGER) // 6 AS INTEGER)
+               AS window_start,
+             event_type
+      FROM events, UNNEST(generate_series(0, 3)) AS t(h)
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM contrib GROUP BY 1, 2
+    """,
+)
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hopping-window aggregate — 1-day windows sliding every
+    6 hours over the watermarked event stream (the streaming twin of
+    q_agg_window_hopping). Each event contributes to 4 open windows; the
+    state store holds only (window, type) partial counts and the
+    watermark expires windows past the horizon, so state is bounded by
+    slide-factor × active windows — not by stream length. Complete
+    output mode emits every finalized window deterministically under
+    availableNow."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day", "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    return run_to_memory(stream, output_mode="complete")
+
+
+@_q(
+    "q_cms_heavy_hitters",
+    """
+    WITH seeds AS (SELECT unnest(['r0', 'r1', 'r2', 'r3']) AS seed),
+    hashed AS (
+      SELECT e.user_id, s.seed,
+             CAST(('0x' || substr(md5(s.seed || CAST(e.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS bucket
+      FROM events e, seeds s
+    ),
+    counters AS (
+      SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS true_count FROM events GROUP BY 1
+    ),
+    probes AS (
+      SELECT t.user_id, s.seed,
+             CAST(('0x' || substr(md5(s.seed || CAST(t.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS bucket
+      FROM truth t, seeds s
+    ),
+    est AS (
+      SELECT p.user_id, CAST(min(c.c) AS BIGINT) AS cms_estimate
+      FROM probes p JOIN counters c USING (seed, bucket)
+      GROUP BY 1
+    )
+    SELECT t.user_id, t.true_count, e.cms_estimate
+    FROM truth t JOIN est e USING (user_id)
+    ORDER BY e.cms_estimate DESC, t.user_id LIMIT 10
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — the sketch built IN the engine as
+    an exact construction: d=4 deterministic md5 hash rows × w=64
+    buckets. The sketch is one grouped count whose state is d·w counters
+    regardless of stream size (mergeable partial aggregation — the whole
+    point of CMS on a 1000-executor cluster); estimates take the min
+    over the item's d counters and obey est ≥ true by construction
+    (tested). Deterministic hashes make the sketch bit-identical across
+    engines, so unlike a seeded-random sketch it carries a full oracle.
+    Top-10 with total-order tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    seeds = F.array(*[F.lit(s) for s in ("r0", "r1", "r2", "r3")])
+
+    def bucket(seed_col: F.Column, key_col: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(seed_col, key_col.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    hashed = ev.select(
+        "user_id", F.explode(seeds).alias("seed")
+    ).withColumn("bucket", bucket(F.col("seed"), F.col("user_id")))
+    counters = hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = truth.select(
+        "user_id", F.explode(seeds).alias("seed")
+    ).withColumn("bucket", bucket(F.col("seed"), F.col("user_id")))
+    est = (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return (
+        truth.join(est, "user_id")
+        .orderBy(F.col("cms_estimate").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@_q(
+    "q_bloom_membership",
+    """
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+    ),
+    hashes AS (SELECT unnest(['b0', 'b1', 'b2']) AS h),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(h || CAST(k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1024 AS pos
+      FROM members, hashes
+    ),
+    probe_pos AS (
+      SELECT c.c_custkey, h.h,
+             CAST(('0x' || substr(md5(h.h || CAST(c.c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1024 AS pos
+      FROM customer c, hashes h
+    ),
+    verdicts AS (
+      SELECT p.c_custkey,
+             CAST(SUM(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT) = 3
+               AS bloom_positive
+      FROM probe_pos p LEFT JOIN bits b USING (pos)
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT c_custkey, c_custkey IN (SELECT k FROM members) AS is_member
+      FROM customer
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN t.is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN v.bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(SUM(CASE WHEN v.bloom_positive AND NOT t.is_member
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive
+    FROM verdicts v JOIN truth t USING (c_custkey)
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — m=1024 bits, k=3 deterministic md5
+    hashes, built and probed entirely in the engine. The bit set is a
+    DISTINCT over member hash positions (≤ m rows no matter how many
+    members — the compression that makes Bloom filters the standard
+    shuffle-pruning sidecar), broadcast to probe the full customer
+    table map-side. The contract reports the honest confusion counts:
+    no false negatives ever (tested invariant n_positive ≥ n_members),
+    false positives counted exactly. Deterministic hashing ⇒ full
+    oracle, unlike a seeded built-in sketch."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hashes = F.array(F.lit("b0"), F.lit("b1"), F.lit("b2"))
+
+    def pos(h: F.Column, key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(h, key.cast("string"))), 1, 8), 16, 10
+            ).cast("long")
+            % 1024
+        )
+
+    members = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select(F.explode(hashes).alias("h"), "k")
+        .select(pos(F.col("h"), F.col("k")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe_pos = cust.select(
+        "c_custkey", F.explode(hashes).alias("h")
+    ).withColumn("pos", pos(F.col("h"), F.col("c_custkey")))
+    verdicts = (
+        probe_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) == 3).alias("bloom_positive"))
+    )
+    truth = cust.join(
+        members, cust.c_custkey == members.k, "left"
+    ).select("c_custkey", F.col("k").isNotNull().alias("is_member"))
+    both = verdicts.join(truth, "c_custkey")
+    return both.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0)).alias("n_positive"),
+        F.sum(
+            F.when(F.col("bloom_positive") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -10707,6 +10930,8 @@ _CHECK_PRIORITY = [
     # round-3 batch 38: modern SQL/engine surface
     "q_variant_json", "q_lateral_topk", "q_scalar_subquery_corr",
     "q_try_arith", "q_hint_suite", "q_observe_metrics",
+    # round-3 batch 39: streaming hopping windows + deterministic sketches
+    "q_stream_hopping", "q_cms_heavy_hitters", "q_bloom_membership",
 ]
 
 
