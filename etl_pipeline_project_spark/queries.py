@@ -10835,6 +10835,227 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 40 — calendar/timezone exactness, t-closeness, retention sweep.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_tz_convert",
+    """
+    WITH ny AS (
+      SELECT timezone('America/New_York',
+                      CAST(o_orderdate AS TIMESTAMPTZ)) AS ny_ts,
+             o_totalprice
+      FROM orders
+    )
+    SELECT CAST(date_part('hour', ny_ts) AS INTEGER) AS ny_hour,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(CAST(CAST(ny_ts AS DATE) AS VARCHAR)) AS VARCHAR)
+             AS first_ny_date
+    FROM ny GROUP BY 1
+    """,
+)
+def q_tz_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DST-aware timezone conversion — UTC order timestamps re-expressed
+    as America/New_York wall-clock. Midnight UTC lands at 19:00 EST in
+    winter and 20:00 EDT in summer, so the rollup produces exactly the
+    two DST buckets — the off-by-an-hour class of bug this key pins
+    down (both engines resolve the IANA tzdb identically; the session
+    stays UTC and conversion is explicit, never ambient). Calendar
+    logic is a scalar map — no shuffle beyond the audit aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    ny = orders.select(
+        F.expr(
+            "convert_timezone('UTC', 'America/New_York', o_orderdate)"
+        ).alias("ny_ts"),
+    )
+    return ny.groupBy(F.hour("ny_ts").alias("ny_hour")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.col("ny_ts").cast("date").cast("string")).alias("first_ny_date"),
+    )
+
+
+@_q(
+    "q_iso_week_rollup",
+    f"""
+    SELECT CAST(isoyear(o_orderdate) AS INTEGER) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_msum('o_totalprice')} AS sum_total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 week rollup — the reporting calendar where Jan 1 can
+    belong to the PREVIOUS iso-year's week 52/53 (1995-01-01 → 1994-W52
+    in this data). Pairing YEAROFWEEK with weekofyear is the correct
+    grouping; pairing plain year() with weekofyear is the classic
+    year-boundary double-count bug this key guards. One grouped
+    aggregate; both engines implement ISO 8601 identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+        .cast("int")
+        .alias("iso_year"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+@_q(
+    "q_emd_tcloseness",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, v.bucket,
+             coalesce(b.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM b) t
+      CROSS JOIN (SELECT DISTINCT bucket FROM b) v
+      LEFT JOIN b ON b.event_type = t.event_type AND b.bucket = v.bucket
+    ),
+    cums AS (
+      SELECT event_type, bucket,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket)
+                  AS BIGINT) AS cg,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS ng
+      FROM grid
+    ),
+    gtot AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS gc
+      FROM grid GROUP BY 1
+    ),
+    gcum AS (
+      SELECT bucket,
+             CAST(SUM(gc) OVER (ORDER BY bucket) AS BIGINT) AS cglob,
+             CAST(SUM(gc) OVER () AS BIGINT) AS nglob
+      FROM gtot
+    )
+    SELECT c.event_type, CAST(min(c.ng) AS BIGINT) AS n_group,
+           CAST(SUM(abs(c.cg * g.nglob - g.cglob * c.ng)) AS BIGINT)
+             AS emd_num,
+           CAST(min(c.ng) * min(g.nglob) AS BIGINT) AS emd_denom
+    FROM cums c JOIN gcum g USING (bucket)
+    GROUP BY 1
+    """,
+)
+def q_emd_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness via earth-mover's distance — per event_type, how far
+    the value distribution drifts from the corpus-wide distribution,
+    the privacy test that k-anonymity and l-diversity miss. On an
+    ordered domain EMD is the L1 gap between cumulative histograms;
+    every term here is the cross-multiplied integer form
+    |cg·N − Cglob·ng| (the q_ks_test recipe, summed instead of maxed),
+    so the statistic is exact — publish emd_num/emd_denom and compare
+    against t·denom without ever dividing. Buckets are a 50-unit floor
+    grid densified per group (EMD needs aligned supports); work is two
+    histogram aggregates + windows over the tiny bucket grid."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = b.select("event_type").distinct()
+    buckets = b.select("bucket").distinct()
+    grid = (
+        types.crossJoin(buckets)
+        .join(b, ["event_type", "bucket"], "left")
+        .select("event_type", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wg = Window.partitionBy("event_type").orderBy("bucket")
+    wn = Window.partitionBy("event_type")
+    cums = grid.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wg).alias("cg"),
+        F.sum("c").over(wn).alias("ng"),
+    )
+    glob = grid.groupBy("bucket").agg(F.sum("c").alias("gc"))
+    wgl = Window.orderBy("bucket")
+    gcum = glob.select(
+        "bucket",
+        F.sum("gc").over(wgl).alias("cglob"),
+        F.sum("gc").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nglob"),
+    )
+    joined = cums.join(F.broadcast(gcum), "bucket")
+    return joined.groupBy("event_type").agg(
+        F.min("ng").alias("n_group"),
+        F.sum(
+            F.abs(F.col("cg") * F.col("nglob") - F.col("cglob") * F.col("ng"))
+        ).alias("emd_num"),
+        (F.min("ng") * F.min("nglob")).alias("emd_denom"),
+    )
+
+
+@_q(
+    "q_retention_sweep",
+    """
+    WITH policy AS (
+      SELECT * FROM (VALUES ('error', 7), ('click', 14), ('view', 14),
+                            ('signup', 60), ('purchase', 60)) p(t, keep_days)
+    )
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE)
+                         >= DATE '2024-01-31' - p.keep_days
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE)
+                         < DATE '2024-01-31' - p.keep_days
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+    FROM events e JOIN policy p ON e.event_type = p.t
+    GROUP BY 1
+    """,
+)
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class retention sweep — the GDPR/data-lifecycle maintenance
+    job: each event class carries its own retention horizon (errors 7
+    days, engagement 14, account events 60, all relative to the fixed
+    as-of date 2024-01-31), rows past horizon are purged via an
+    overwrite of the survivors, and the audit reports kept/purged per
+    class. The policy table broadcasts; the sweep is one filtered write
+    (at scale: partition-aligned so expired partitions drop whole);
+    the audit counts come from the read-back survivors plus the
+    pre-sweep totals — proving the physical sweep matched the policy."""
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events")
+    policy = spark.createDataFrame(
+        [("error", 7), ("click", 14), ("view", 14), ("signup", 60), ("purchase", 60)],
+        "t string, keep_days int",
+    )
+    asof = F.lit("2024-01-31").cast("date")
+    tagged = ev.join(
+        F.broadcast(policy), ev.event_type == policy.t
+    ).withColumn(
+        "keep",
+        F.col("ts").cast("date") >= F.date_sub(asof, F.col("keep_days")),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{_SCRATCH}/events_retained_{tag}"
+    tagged.filter(F.col("keep")).select(ev.columns).write.mode(
+        "overwrite"
+    ).parquet(path)
+    kept = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "event_type", "left").select(
+        "event_type",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_purged"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -10932,6 +11153,9 @@ _CHECK_PRIORITY = [
     "q_try_arith", "q_hint_suite", "q_observe_metrics",
     # round-3 batch 39: streaming hopping windows + deterministic sketches
     "q_stream_hopping", "q_cms_heavy_hitters", "q_bloom_membership",
+    # round-3 batch 40: calendar exactness, t-closeness, retention sweep
+    "q_tz_convert", "q_iso_week_rollup", "q_emd_tcloseness",
+    "q_retention_sweep",
 ]
 
 
