@@ -242,6 +242,112 @@ def main() -> int:
         )
     )
 
+    p = plan("q_attribution_last_touch")
+    checks.append(
+        (
+            "q_attribution_last_touch tags via ONE user_id window exchange (no history self-join)",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1
+            and "Join" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_spearman_rho")
+    checks.append(
+        (
+            "q_spearman_rho both rank sorts + moment agg on ONE l_returnflag exchange",
+            len(re.findall(r"Exchange hashpartitioning\(l_returnflag", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_mann_whitney_u")
+    checks.append(
+        (
+            "q_mann_whitney_u rank + rollup share ONE weekday exchange",
+            len(re.findall(r"Exchange hashpartitioning\(weekday", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_quantile_normalize")
+    checks.append(
+        (
+            "q_quantile_normalize three windows, ONE event_type exchange",
+            len(re.findall(r"Exchange hashpartitioning\(event_type", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_doc_keywords")
+    checks.append(
+        (
+            "q_doc_keywords per-doc top-3 plans WindowGroupLimit (no full sort retention)",
+            "WindowGroupLimit" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_lateral_topk")
+    checks.append(
+        (
+            "q_lateral_topk decorrelates to a window plan (single customer scan, no per-row subquery)",
+            "Window" in p and len(re.findall(r"customer\.parquet", p)) <= 1,
+            p[:300],
+        )
+    )
+    p = plan("q_join_theta_bnl")
+    checks.append(
+        (
+            "q_join_theta_bnl pure theta join → BroadcastNestedLoopJoin, never cartesian",
+            "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_vector_normalize")
+    checks.append(
+        (
+            "q_vector_normalize map-only higher-order fold (zero Exchange)",
+            "Exchange" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_boilerplate_strip")
+    checks.append(
+        (
+            "q_boilerplate_strip boilerplate vocab broadcasts into map-side anti join",
+            "BroadcastHashJoin" in p and "LeftAnti" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_variant_json")
+    checks.append(
+        (
+            "q_variant_json variant extraction stays in one partial+final aggregate",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_cms_heavy_hitters")
+    checks.append(
+        (
+            "q_cms_heavy_hitters top-10 plans TakeOrderedAndProject over broadcast-probed sketch",
+            "TakeOrderedAndProject" in p and "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_sax_symbolize")
+    checks.append(
+        (
+            "q_sax_symbolize ntile + ordered reassembly within ≤2 user_id exchanges",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) <= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_inventory_fifo")
+    checks.append(
+        (
+            "q_inventory_fifo lot/demand cumsums partition on the part key",
+            len(re.findall(r"Exchange hashpartitioning\((?:pk|l_partkey)", p)) >= 1,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
