@@ -11056,6 +11056,438 @@ def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 41 — exact integer allocation, Benford audit, partitioned RFM
+# segmentation, association confidence/lift, survival risk table,
+# duplicate-shingle coverage, exact range-partition planning.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_alloc_largest_remainder",
+    """
+    WITH rev AS (
+      SELECT c_nationkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT c_nationkey, cents,
+             (cents * 1000000) // SUM(cents) OVER () AS fl,
+             (cents * 1000000) % SUM(cents) OVER () AS rem
+      FROM rev
+    ),
+    r AS (
+      SELECT *, SUM(fl) OVER () AS sfl,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, c_nationkey) AS rn
+      FROM q
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(fl + CASE WHEN rn <= 1000000 - sfl THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_units
+    FROM r
+    """,
+)
+def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment: 1,000,000 budget units
+    allocated across nations proportional to exact cent revenue. The whole
+    computation is integer arithmetic — cents scale to decimal(38,0), the
+    floor share is `qn div tot`, the remainder `qn % tot` — so every
+    allocation sums to exactly 1,000,000 under any partial-aggregation
+    order (the float version misallocates units whenever rounding drifts).
+    Shuffle profile: one groupBy on nationkey; the apportionment windows
+    run over the 25-row aggregate, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_all = Window.partitionBy()
+    q = rev.select(
+        "c_nationkey",
+        "cents",
+        F.expr("cents * CAST(1000000 AS DECIMAL(38,0))").alias("qn"),
+        F.sum("cents").over(w_all).alias("tot"),
+    ).select(
+        "c_nationkey",
+        "cents",
+        F.expr("qn div tot").alias("fl"),
+        F.expr("qn % tot").alias("rem"),
+    )
+    r = q.select(
+        "*",
+        F.sum("fl").over(w_all).alias("sfl"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("c_nationkey")))
+        .alias("rn"),
+    )
+    return r.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("cents").cast("long").alias("cents"),
+        (
+            F.col("fl")
+            + F.when(F.col("rn") <= F.lit(1000000) - F.col("sfl"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_units"),
+    )
+
+
+@_q(
+    "q_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS leading_digit
+      FROM orders
+    )
+    SELECT leading_digit, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / CAST(SUM(count(*)) OVER () AS DOUBLE)
+             AS frac
+    FROM d GROUP BY 1
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order amounts — the
+    classic fraud/synthetic-data screen. Counts are exact integers; the
+    digit frequency is a single integer→double division, bit-identical
+    across engines and accumulation orders. One map-side-combinable
+    aggregate on a 9-value key; the window runs over 9 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = (
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("leading_digit")
+    )
+    g = orders.groupBy(digit).agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "leading_digit",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy()).cast("double")
+        ).alias("frac"),
+    )
+
+
+@_q(
+    "q_rfm_segments",
+    """
+    WITH m AS (
+      SELECT c_mktsegment AS seg, o_custkey AS custkey,
+             max(o_orderdate) AS last_d, count(*) AS f,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT *, date_diff('day', last_d,
+                          (SELECT max(o_orderdate) FROM orders)) AS rec
+      FROM m
+    ),
+    r AS (
+      SELECT seg, cents,
+             ((RANK() OVER (PARTITION BY seg ORDER BY rec) - 1) * 5)
+               // COUNT(*) OVER (PARTITION BY seg) + 1 AS r_q,
+             ((RANK() OVER (PARTITION BY seg ORDER BY f) - 1) * 5)
+               // COUNT(*) OVER (PARTITION BY seg) + 1 AS f_q,
+             ((RANK() OVER (PARTITION BY seg ORDER BY cents) - 1) * 5)
+               // COUNT(*) OVER (PARTITION BY seg) + 1 AS m_q
+      FROM g
+    )
+    SELECT seg, CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM r GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation, computed
+    per market segment. Quintile assignment is rank-based in exact integer
+    arithmetic — q = ((rank−1)·5) div n + 1 — so ties land in one bucket
+    deterministically (ntile splits ties arbitrarily and is therefore
+    unhashable across engines). Windows PARTITION BY mktsegment: ranking
+    parallelizes across segments instead of funneling every customer
+    through one global sort. Monetary stays in exact cents end-to-end."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_d"))
+    g = m.crossJoin(F.broadcast(maxd)).withColumn("rec", F.datediff("max_d", "last_d"))
+    w_n = Window.partitionBy("seg")
+    r = g.select(
+        "seg",
+        "cents",
+        F.rank().over(w_n.orderBy("rec")).alias("rk_r"),
+        F.rank().over(w_n.orderBy("f")).alias("rk_f"),
+        F.rank().over(w_n.orderBy("cents")).alias("rk_m"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    ).select(
+        "seg",
+        "cents",
+        F.expr("(rk_r - 1) * 5 div n + 1").alias("r_q"),
+        F.expr("(rk_f - 1) * 5 div n + 1").alias("f_q"),
+        F.expr("(rk_m - 1) * 5 div n + 1").alias("m_q"),
+    )
+    return r.groupBy("seg", "r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+@_q(
+    "q_assoc_confidence",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    item AS (SELECT l_partkey, count(*) AS s FROM b GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             count(*) AS s_ab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, CAST(s_ab AS BIGINT) AS s_ab,
+           CAST(ia.s AS BIGINT) AS s_a, CAST(ib.s AS BIGINT) AS s_b,
+           CAST(s_ab AS DOUBLE) / CAST(ia.s AS DOUBLE) AS confidence,
+           CAST(s_ab * n_orders AS DOUBLE) / CAST(ia.s * ib.s AS DOUBLE)
+             AS lift
+    FROM pair JOIN item ia ON part_a = ia.l_partkey
+              JOIN item ib ON part_b = ib.l_partkey, n
+    """,
+)
+def q_assoc_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule strength for co-purchased part pairs: support,
+    confidence = s(a,b)/s(a) and lift = s(a,b)·N / (s(a)·s(b)). All
+    supports are exact integer counts; each ratio is a single
+    integer→double division (the products stay < 2^53), so the floats are
+    bit-identical across engines and partial-aggregation orders. The pair
+    blow-up is per-order local (same shape as q_market_basket); the
+    item-support joins broadcast the small aggregate sides."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = li.alias("a")
+    c = li.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("c.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
+    out = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "s_ab",
+        "s_a",
+        "s_b",
+        (F.col("s_ab").cast("double") / F.col("s_a").cast("double")).alias(
+            "confidence"
+        ),
+        (
+            (F.col("s_ab") * F.col("n_orders")).cast("double")
+            / (F.col("s_a") * F.col("s_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+@_q(
+    "q_survival_table",
+    """
+    WITH c AS (
+      SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS gmax FROM orders),
+    d AS (
+      SELECT CASE WHEN n >= 2 THEN date_diff('day', f, l)
+                  ELSE date_diff('day', f, gmax) END AS t,
+             CASE WHEN n >= 2 THEN 1 ELSE 0 END AS ev
+      FROM c, mx
+    ),
+    g AS (
+      SELECT t, SUM(ev) AS n_events, SUM(1 - ev) AS n_censored,
+             count(*) AS m
+      FROM d GROUP BY 1
+    )
+    SELECT CAST(t AS BIGINT) AS duration_days,
+           CAST(SUM(m) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored
+    FROM g
+    """,
+)
+def q_survival_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over customer lifetimes (first→last order;
+    single-order customers are right-censored at the corpus horizon).
+    Emits the estimator's sufficient statistics — n_at_risk / n_events /
+    n_censored per distinct duration — all exact integers (the survival
+    product Π(1−dᵢ/nᵢ) is float-associative, so the contract surface stays
+    on the integer risk table any downstream can fold deterministically).
+    n_at_risk is a descending cumulative sum over *distinct durations*
+    (bounded by the date-range span, not the row count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"),
+        F.max("o_orderdate").alias("l"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("gmax"))
+    d = c.crossJoin(F.broadcast(mx)).select(
+        F.when(F.col("n") >= 2, F.datediff("l", "f"))
+        .otherwise(F.datediff("gmax", "f"))
+        .alias("t"),
+        F.when(F.col("n") >= 2, 1).otherwise(0).alias("ev"),
+    )
+    g = d.groupBy("t").agg(
+        F.sum("ev").alias("n_events"),
+        F.sum(1 - F.col("ev")).alias("n_censored"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("t").cast("long").alias("duration_days"),
+        F.sum("m").over(w).cast("long").alias("n_at_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+    )
+
+
+@_q(
+    "q_dup_ngram_coverage",
+    f"""
+    WITH sh AS (SELECT doc_id, unnest({_SHINGLE_SQL}) AS s FROM documents),
+    cnt AS (SELECT s, count(*) AS nd FROM sh GROUP BY 1),
+    per AS (
+      SELECT sh.doc_id, count(*) AS n_shingles,
+             SUM(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM sh JOIN cnt USING (s) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup_shingles,
+           CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS dup_frac
+    FROM per
+    """,
+)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-text fraction: the share of a doc's distinct
+    3-gram shingles that occur in ≥2 corpus documents — the corpus-QC
+    metric behind 'duplicate n-gram coverage' filters in web-scale
+    training-data pipelines. Inverted-index plan: explode distinct
+    shingles, count document frequency per shingle (map-side combinable),
+    join back on the shingle and re-aggregate per doc — two key-partitioned
+    shuffles, never a doc×doc comparison. dup_frac is one integer→double
+    division, bit-identical across engines."""
+    from etl_pipeline_project_spark.operators.dedup_text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        sh.join(cnt, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_shingles"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup_shingles",
+        (
+            F.col("n_dup_shingles").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+@_q(
+    "q_partition_bounds",
+    """
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             count(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT cents, c,
+             COALESCE(SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+             SUM(c) OVER () AS n
+      FROM v
+    )
+    SELECT CAST((cum_lt * 8) // n + 1 AS BIGINT) AS partition_id,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM w GROUP BY 1
+    """,
+)
+def q_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth range-partition planning — the boundary table a
+    repartitionByRange / distributed sort needs, computed exactly instead
+    of by sampling (Spark's RangePartitioner samples; a skewed sample
+    yields straggler partitions). Count-based plan: collapse to distinct
+    cent values map-side, one cumulative window over the distinct-value
+    table, then pid = (rows_below·P) div n + 1 in pure integer arithmetic
+    — equal values never straddle a boundary, and every partition's row
+    count + upper bound is reproducible under any accumulation order."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    v = orders.groupBy(cents.alias("cents")).agg(F.count(F.lit(1)).alias("c"))
+    w_lt = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    w = v.select(
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(w_lt), F.lit(0)).alias("cum_lt"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        w.select("cents", "c", F.expr("cum_lt * 8 div n + 1").alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("cents").cast("long").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -11156,6 +11588,11 @@ _CHECK_PRIORITY = [
     # round-3 batch 40: calendar exactness, t-closeness, retention sweep
     "q_tz_convert", "q_iso_week_rollup", "q_emd_tcloseness",
     "q_retention_sweep",
+    # round-3 batch 41: exact allocation, Benford, RFM, association rules,
+    # survival table, dup-shingle coverage, range-partition planning
+    "q_alloc_largest_remainder", "q_benford_digits", "q_rfm_segments",
+    "q_assoc_confidence", "q_survival_table", "q_dup_ngram_coverage",
+    "q_partition_bounds",
 ]
 
 
