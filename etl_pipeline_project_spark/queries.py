@@ -11488,6 +11488,240 @@ def q_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 42 — deterministic KMV distinct sketch, union-by-name, l-diversity,
+# text-source round-trip, LTV cohort revenue curves.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT md5(CAST(l_partkey AS VARCHAR)) AS hv
+      FROM (SELECT DISTINCT l_partkey FROM lineitem)
+    ),
+    kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+    kth AS (SELECT max(hv) AS kth_hash, count(*) AS k FROM kmin),
+    ex AS (SELECT count(*) AS exact_distinct FROM h)
+    SELECT CAST(k AS BIGINT) AS k, kth_hash,
+           CASE WHEN k < 256 THEN CAST(k AS DOUBLE)
+                ELSE CAST(k - 1 AS DOUBLE)
+                  / (CAST(CAST('0x' || substr(kth_hash, 1, 13) AS UBIGINT)
+                          AS DOUBLE) / 4503599627370496.0)
+           END AS est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM kth, ex
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=256, built on md5 so
+    the sketch is DETERMINISTIC and cross-engine exact — unlike HLL
+    (q_agg_approx_distinct, engine-private hashing → rows-only check), this
+    approximate operator carries a full value oracle. The k smallest hashes
+    come from a distributed TakeOrdered (per-partition top-k, then a k-row
+    merge on the driver side of the exchange — never a global sort), which
+    is also the mergeability story at 100 TB: per-partition KMV states
+    union by keeping the k smallest of the union. The estimate
+    (k−1)/u_k uses the first 13 hex chars (52 bits — exact in a double);
+    lexicographic order on fixed-width hex equals numeric order, so both
+    engines pick the identical k-th hash."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    h = li.select(F.md5(F.col("l_partkey").cast("string").cast("binary")).alias("hv"))
+    kmin = h.orderBy("hv").limit(256)
+    kth = kmin.agg(F.max("hv").alias("kth_hash"), F.count(F.lit(1)).alias("k"))
+    ex = h.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    u_k = F.conv(F.substring("kth_hash", 1, 13), 16, 10).cast("double") / F.lit(
+        4503599627370496.0
+    )
+    return (
+        kth.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "kth_hash",
+            # under-full sketch (< k keys seen) holds every hash: exact
+            F.when(F.col("k") < 256, F.col("k").cast("double"))
+            .otherwise((F.col("k") - 1).cast("double") / u_k)
+            .alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+    )
+
+
+@_q(
+    "q_union_by_name",
+    """
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS DATE) AS o_orderdate,
+           'amount' AS src
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderdate,
+           'dates' AS src
+    FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-tolerant union: two branches with DIFFERENT column sets
+    combined by NAME with nulls for the missing columns
+    (`unionByName(allowMissingColumns=True)` — the reference's staging
+    union `data/utils.py:44` silently relies on pandas concat doing exactly
+    this). Positional UNION ALL would misalign or reject these branches;
+    by-name alignment is the contract. Narrow per-branch projections keep
+    the scans pruned; no shuffle at all — union is a partition concat."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice", F.lit("amount").alias("src")
+    )
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderkey", "o_orderdate", F.lit("dates").alias("src")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@_q(
+    "q_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS n_orders,
+             count(DISTINCT o_orderpriority) AS l_distinct
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           l_distinct >= 3 AS is_l_diverse
+    FROM g
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the privacy check k-anonymity (q_k_anonymize)
+    misses: a quasi-identifier group is safe only if the SENSITIVE
+    attribute takes ≥ l distinct values inside it (a k-anonymous group
+    where everyone shares one diagnosis still leaks it). Quasi-group =
+    (nation, market segment); sensitive = order priority; l = 3. One
+    grouped count-distinct — partial-aggregatable, one shuffle on the
+    quasi-identifier key."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("l_distinct"),
+        )
+    )
+    return g.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "c_mktsegment",
+        "n_orders",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).alias("is_l_diverse"),
+    )
+
+
+@_q(
+    "q_scan_text_roundtrip",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+    FROM documents GROUP BY 1
+    """,
+)
+def q_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source/sink round-trip (`spark.read.text`), completing
+    the format matrix (parquet/CSV/JSON/ORC keys elsewhere): documents go
+    out as one tab-delimited line each, come back through the line-oriented
+    reader, get re-split, and must aggregate identically to the parquet
+    original. Text files carry no schema — the split/cast layer IS the
+    schema, which is the failure mode this key pins (a doc with a stray
+    delimiter or newline would corrupt the frame shape). Line-oriented
+    reads parallelize by HDFS split at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = f"{_SCRATCH}/text_stage"
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "source", "text").alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.split("value", "\t").alias("parts")
+    ).select(
+        F.col("parts")[0].alias("doc_id"),
+        F.col("parts")[1].alias("source"),
+        F.col("parts")[2].alias("text"),
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    )
+
+
+@_q(
+    "q_ltv_cohort_curve",
+    """
+    WITH first_o AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY 1
+    ),
+    rev AS (
+      SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - cohort_m
+                  AS BIGINT) AS month_idx,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents,
+             count(DISTINCT o_custkey) AS n_active
+      FROM orders JOIN first_o USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT cohort_m, month_idx,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_m ORDER BY month_idx)
+                AS BIGINT) AS cum_cents
+    FROM rev
+    """,
+)
+def q_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort by months-since-acquisition — the
+    revenue companion to q_retention_cohort (which counts activity).
+    Revenue stays in exact integer cents through the cumulative window, so
+    the curve is reproducible under any partial-aggregation order. Plan:
+    one groupBy for cohort assignment, join back on o_custkey (the shuffle
+    key both sides already share), aggregate to (cohort, month) — the
+    cumulative window then runs over the tiny cohort×month grid, not the
+    fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    mkey = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_o = orders.groupBy("o_custkey").agg(F.min(mkey).alias("cohort_m"))
+    rev = (
+        orders.join(first_o, "o_custkey")
+        .groupBy(
+            F.col("cohort_m").cast("long").alias("cohort_m"),
+            (mkey - F.col("cohort_m")).cast("long").alias("month_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+            F.countDistinct("o_custkey").alias("n_active"),
+        )
+    )
+    w = Window.partitionBy("cohort_m").orderBy("month_idx")
+    return rev.select(
+        "cohort_m",
+        "month_idx",
+        "n_active",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -11593,6 +11827,10 @@ _CHECK_PRIORITY = [
     "q_alloc_largest_remainder", "q_benford_digits", "q_rfm_segments",
     "q_assoc_confidence", "q_survival_table", "q_dup_ngram_coverage",
     "q_partition_bounds",
+    # round-3 batch 42: KMV sketch, union-by-name, l-diversity, text
+    # round-trip, LTV cohort curves
+    "q_kmv_distinct", "q_union_by_name", "q_l_diversity",
+    "q_scan_text_roundtrip", "q_ltv_cohort_curve",
 ]
 
 
