@@ -348,6 +348,57 @@ def main() -> int:
         )
     )
 
+    p = plan("q_kmv_distinct")
+    checks.append(
+        (
+            "q_kmv_distinct k-smallest via TakeOrdered, never a global sort",
+            "TakeOrderedAndProject" in p and "Sort [hv" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_alloc_largest_remainder")
+    checks.append(
+        (
+            "q_alloc_largest_remainder apportionment windows sit on the 25-row aggregate (fact table shuffles once on the join key)",
+            len(re.findall(r"Exchange hashpartitioning\(c_nationkey", p)) <= 1,
+            p[:300],
+        )
+    )
+    p = plan("q_dup_ngram_coverage")
+    checks.append(
+        (
+            "q_dup_ngram_coverage inverted-index plan: shuffles on the shingle key, no doc×doc join",
+            len(re.findall(r"Exchange hashpartitioning\(s", p)) >= 1
+            and "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_ltv_cohort_curve")
+    checks.append(
+        (
+            "q_ltv_cohort_curve cohort join reuses the o_custkey partitioning",
+            len(re.findall(r"Exchange hashpartitioning\(o_custkey", p)) <= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_union_by_name")
+    checks.append(
+        (
+            "q_union_by_name shuffle-free partition concat with pruned branch scans",
+            "Exchange" not in p and "Union" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_partition_bounds")
+    checks.append(
+        (
+            "q_partition_bounds collapses to distinct values map-side before the boundary window",
+            len(re.findall(r"HashAggregate", p)) >= 2,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
