@@ -11722,6 +11722,231 @@ def q_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 43 — ordered string aggregation, integer-exact log2 histogram,
+# calendar-seasonality anomalies, PERMISSIVE corrupt-record ingestion,
+# complete-mode streaming aggregation.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_string_agg_ordered",
+    """
+    SELECT n_name,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT DISTINCT n_name, c_mktsegment, c_custkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) GROUP BY n_name
+    """,
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg semantics): per
+    nation, the '|'-joined ordered list of member segments. Unordered
+    collect_list is nondeterministic under distribution — the contractual
+    form is array_join(array_sort(collect_list(...))), which gives the
+    same string under any partial-aggregation order. Strings stay bounded
+    because aggregation is per-customer-distinct first (the general
+    at-scale guard: never string_agg an unbounded group)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_mktsegment", "c_custkey")
+        .distinct()
+    )
+    return base.groupBy("n_name").agg(
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), "|").alias(
+            "segments"
+        ),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@_q(
+    "q_log2_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM c GROUP BY 1
+    """,
+)
+def q_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logarithmic (power-of-two) histogram of order amounts — the
+    long-tail distribution view linear bins (q_numeric_histogram) flatten.
+    The bucket is floor(log2(cents)) computed WITHOUT floating log —
+    length(bin(x))−1 is the integer bit length, exact at every power-of-two
+    boundary where float log2 rounds either way. One map-side-combinable
+    aggregate on ≤64 buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        orders.select(cents.alias("cents"))
+        .groupBy((F.length(F.bin("cents")) - 1).cast("long").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+@_q(
+    "q_seasonal_residual",
+    """
+    WITH x AS (
+      -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1)
+      SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT dow, hod, v,
+             count(*) OVER w AS n,
+             SUM(v) OVER w AS s1,
+             SUM(v * v) OVER w AS s2
+      FROM x WINDOW w AS (PARTITION BY dow, hod)
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (n * v - s1) * (n * v - s1)
+                              > 9 * (n * s2 - s1 * s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-seasonality anomaly screen: each event is compared against
+    its OWN (day-of-week, hour-of-day) profile — the seasonal baseline
+    that a global z-score (q_outlier_zscore, per-user) washes out. The |x−μ|
+    > 3σ test is rewritten to cross-multiplied integer form (n·x−S1)² >
+    9·(n·S2−S1²): no division, no float accumulation, identical under any
+    partial order. Values scale to cents in int64 — |v|≤~10⁶ cents and
+    n·S2 products stay < 2^63 at the profile-bucket cardinalities this
+    partitioning produces. One shuffle on the 7×24 profile key, reused by
+    the window and the final aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = ev.select(
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("dow", "hod")
+    s = x.select(
+        "dow",
+        "hod",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("s2"),
+    )
+    d = F.col("n") * F.col("v") - F.col("s1")
+    rhs = F.lit(9) * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return s.groupBy(
+        F.col("dow").cast("long").alias("dow"), F.col("hod").cast("long").alias("hod")
+    ).agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(F.when(d * d > rhs, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+    )
+
+
+@_q(
+    "q_scan_csv_permissive",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(5 AS BIGINT) AS n_corrupt,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-record ingestion: a CSV staging prefix with 5
+    planted corrupt lines reads back with every good row intact, the bad
+    rows quarantined into _corrupt_record instead of failing the job — the
+    production posture for web-scale scrapes (FAILFAST dies on one bad
+    line; DROPMALFORMED silently loses data with no audit trail). The
+    quarantine column is materialized via cache() before filtering —
+    Spark's parser only populates _corrupt_record for rows it actually
+    parses in the same pass. Counts and cent sums must equal the parquet
+    source exactly."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    out = f"{_SCRATCH}/csv_permissive"
+    ev.write.mode("overwrite").option("header", "false").csv(out)
+    bad = spark.createDataFrame(
+        [("not_a_number,xyz",), ("1e999,,trailing",), ("###",), (",,,,",), ("a,b",)],
+        "value string",
+    )
+    bad.coalesce(1).write.mode("append").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{out}/*")
+        .cache()
+    )
+    good = back.filter(F.col("_corrupt_record").isNull())
+    corrupt = back.filter(F.col("_corrupt_record").isNotNull())
+    return good.agg(F.count(F.lit(1)).alias("n_good")).crossJoin(
+        corrupt.agg(F.count(F.lit(1)).alias("n_corrupt"))
+    ).crossJoin(
+        good.agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+
+
+@_q(
+    "q_stream_complete_agg",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation: an unwatermarked global
+    groupBy over the stream, re-emitting the full result table every
+    micro-batch — the dashboard-refresh output mode (append: immutable
+    finalized rows; update: changed rows; complete: whole table). Final
+    state after availableNow equals the batch aggregate exactly. State
+    here is bounded by key cardinality (event types), which is the only
+    regime where complete mode is scale-safe — the docstring contract a
+    100 TB deployment inherits."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -11831,6 +12056,10 @@ _CHECK_PRIORITY = [
     # round-trip, LTV cohort curves
     "q_kmv_distinct", "q_union_by_name", "q_l_diversity",
     "q_scan_text_roundtrip", "q_ltv_cohort_curve",
+    # round-3 batch 43: ordered string agg, log2 histogram, seasonal
+    # anomalies, PERMISSIVE ingestion, complete-mode streaming
+    "q_string_agg_ordered", "q_log2_histogram", "q_seasonal_residual",
+    "q_scan_csv_permissive", "q_stream_complete_agg",
 ]
 
 
