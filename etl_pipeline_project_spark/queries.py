@@ -11947,6 +11947,232 @@ def q_stream_complete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 44 — struct ordering, higher-order array lambdas, exact AUC-ROC,
+# snapshot vacuum planning.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_struct_ops",
+    """
+    WITH s AS (
+      SELECT c_nationkey,
+             {'cents': CAST(ROUND(c_acctbal * 100, 0) AS BIGINT),
+              'name': c_name} AS st
+      FROM customer
+    ),
+    agg AS (
+      SELECT c_nationkey, min(st) AS mn, max(st) AS mx, count(*) AS n
+      FROM s GROUP BY 1
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(mn.cents AS BIGINT) AS min_cents, mn.name AS min_name,
+           CAST(mx.cents AS BIGINT) AS max_cents, mx.name AS max_name,
+           CAST(n AS BIGINT) AS n_customers
+    FROM agg
+    """,
+)
+def q_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-typed ordering semantics: min/max over a composite
+    struct(cents, name) compares field-by-field lexicographically — the
+    argmin/argmax-with-tiebreak idiom that needs no window sort (the same
+    single-pass trick as q_agg_argmax, here exercising the struct type
+    itself as a first-class orderable value). Customer names are unique,
+    so the composite order is total and the extracted fields are
+    deterministic. One partial-aggregatable groupBy."""
+    cust = load_table(spark, sf_dir, "customer")
+    st = F.struct(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+        F.col("c_name").alias("name"),
+    )
+    agg = cust.groupBy("c_nationkey").agg(
+        F.min(st).alias("mn"), F.max(st).alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    return agg.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("mn.cents").alias("min_cents"),
+        F.col("mn.name").alias("min_name"),
+        F.col("mx.cents").alias("max_cents"),
+        F.col("mx.name").alias("max_name"),
+        F.col("n").alias("n_customers"),
+    )
+
+
+@_q(
+    "q_lambda_array_suite",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(l, x -> length(x) > 5)) AS BIGINT) AS n_long,
+           list_bool_or(list_transform(l, x -> x = 'the')) AS has_the,
+           list_bool_and(list_transform(l, x -> length(x) > 0))
+             AS all_nonempty,
+           CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           array_to_string(list_transform(l[1:3], x -> upper(x)), ' ')
+             AS head3_upper
+    FROM t
+    """,
+)
+def q_lambda_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a contract surface — filter /
+    exists / forall / aggregate(fold) / transform+slice, all evaluated
+    inside Catalyst (lambda expressions compile to codegen'd loops over
+    the array, zero Python). The integer fold (total_chars) is exact under
+    any evaluation order; the head-3 uppercase join pins slice semantics
+    (1-based, length-bounded) across engines. Map-only: no shuffle at
+    all."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(l, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+        F.exists(l, lambda x: x == "the").alias("has_the"),
+        F.forall(l, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            l, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("total_chars"),
+        F.array_join(
+            F.transform(F.slice(l, 1, 3), lambda x: F.upper(x)), " "
+        ).alias("head3_upper"),
+    )
+
+
+@_q(
+    "q_auc_roc",
+    """
+    WITH x AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    dv AS (
+      SELECT v, count(*) AS c, SUM(y) AS pos_c FROM x GROUP BY 1
+    ),
+    r AS (
+      SELECT v, c, pos_c,
+             SUM(c) OVER (ORDER BY v) AS cum
+      FROM dv
+    ),
+    s AS (
+      SELECT SUM(pos_c * (2 * (cum - c) + c + 1)) AS s2,
+             SUM(pos_c) AS n1, SUM(c - pos_c) AS n0
+      FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST(s2 - n1 * (n1 + 1) AS BIGINT) AS u_doubled,
+           CAST(s2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE) AS auc
+    FROM s
+    """,
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC with average-rank tie handling, via the
+    AUC = U/(n₁·n₀) identity with the Mann-Whitney U statistic
+    (q_mann_whitney_u's doubled-rank integerization: 2·avg_rank =
+    2·rank + peers − 1, accumulated per DISTINCT score so no row-level
+    rank window is needed). Everything up to the final single division is
+    int64 — the sort-free, tie-correct way to evaluate a ranking model on
+    10^11 scored rows: one groupBy on the score value, one cumulative
+    window over distinct scores."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    dv = x.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("pos_c")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = dv.select("v", "c", "pos_c", F.sum("c").over(wcum).alias("cum"))
+    s = r.agg(
+        F.sum(
+            F.col("pos_c") * (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+        ).alias("s2"),
+        F.sum("pos_c").alias("n1"),
+        F.sum(F.col("c") - F.col("pos_c")).alias("n0"),
+    )
+    u2 = F.col("s2") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        u2.cast("long").alias("u_doubled"),
+        (
+            u2.cast("double") / (2 * F.col("n1") * F.col("n0")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@_q(
+    "q_vacuum_plan",
+    """
+    WITH gens AS (
+      SELECT 'gen1' AS gen,
+             (SELECT count(*) FROM orders
+              WHERE o_orderdate < DATE '1997-01-01') AS n_rows
+      UNION ALL
+      SELECT 'gen2',
+             (SELECT count(*) FROM orders
+              WHERE o_orderdate >= DATE '1997-01-01') AS n_rows
+      UNION ALL
+      SELECT 'gen3', (SELECT count(*) FROM orders)
+    )
+    SELECT gen, CAST(n_rows AS BIGINT) AS n_rows,
+           gen IN ('gen1', 'gen2') AS deletable
+    FROM gens
+    """,
+)
+def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning over the manifest-based snapshot log
+    (q_snapshot_time_travel's structure, with a compaction generation):
+    v1 = {gen1}, v2 = {gen1, gen2}, v3 rewrites everything into {gen3}.
+    Expiring snapshots older than the current one makes gen1/gen2
+    unreferenced — the deletable set is reachability set-algebra over the
+    MANIFEST (planner-sized), never a data scan; per-generation row counts
+    come from parquet footers. This is exactly Delta/Iceberg VACUUM:
+    retention math on metadata, physical deletes as an O(files) side
+    effect."""
+    import hashlib
+    import json
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/orders_vacuum_{tag}"
+    manifest_path = f"{base}/manifest.json"
+    cut = F.lit("1997-01-01").cast("date")
+    if not os.path.exists(manifest_path):
+        orders.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(
+            f"{base}/gen1"
+        )
+        orders.filter(F.col("o_orderdate") >= cut).write.mode("overwrite").parquet(
+            f"{base}/gen2"
+        )
+        spark.read.parquet(f"{base}/gen1", f"{base}/gen2").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/gen3")
+        manifest = {
+            "v1": ["gen1"],
+            "v2": ["gen1", "gen2"],
+            "v3": ["gen3"],
+            "current": "v3",
+        }
+        with open(manifest_path, "w") as fh:
+            json.dump(manifest, fh)
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    current = manifest[manifest["current"]]
+    all_gens = sorted({g for v, gens in manifest.items() if v != "current" for g in gens})
+    rows = []
+    for gen in all_gens:
+        n = spark.read.parquet(f"{base}/{gen}").count()
+        rows.append((gen, n, gen not in current))
+    return spark.createDataFrame(
+        rows, "gen string, n_rows long, deletable boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -12060,6 +12286,8 @@ _CHECK_PRIORITY = [
     # anomalies, PERMISSIVE ingestion, complete-mode streaming
     "q_string_agg_ordered", "q_log2_histogram", "q_seasonal_residual",
     "q_scan_csv_permissive", "q_stream_complete_agg",
+    # round-3 batch 44: struct ordering, array lambdas, AUC-ROC, vacuum
+    "q_struct_ops", "q_lambda_array_suite", "q_auc_roc", "q_vacuum_plan",
 ]
 
 
