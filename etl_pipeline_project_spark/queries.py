@@ -12173,6 +12173,204 @@ def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 45 — Python DataSource connector, SQL pipe syntax, GROUP BY ALL,
+# full-clause MERGE matrix.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_scan_python_datasource",
+    """
+    WITH t AS (
+      SELECT id, id % 7 AS mod7, (id * id) % 101 AS score
+      FROM range(0, 1000) r(id)
+    )
+    SELECT CAST(mod7 AS BIGINT) AS mod7,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM t GROUP BY 1
+    """,
+)
+def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API) — the distributed
+    replacement for the reference's driver-side paged-API loop
+    (`data/extraction.py:108-180`): `partitions()` declares one split per
+    page, executors pull pages in parallel through `read()`, and the rows
+    enter the plan exactly like a parquet scan (schema declared, options
+    pushed). The synthetic page payload is pure integer arithmetic so the
+    oracle reproduces it from a range() relation. See
+    sources/pydatasource.py for the production-shape connector."""
+    from etl_pipeline_project_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("pagednumbers")
+        .option("n", "1000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.groupBy("mod7").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").alias("sum_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+@_q(
+    "q_sql_pipe",
+    f"""
+    SELECT l_returnflag,
+           {_msum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY 1
+    HAVING count(*) > 10
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators) — the linear query form
+    where each stage feeds the next: FROM |> WHERE |> AGGREGATE ... GROUP
+    BY |> WHERE(having). Same Catalyst plan as the nested-SQL twin (the
+    pipe parser is sugar, not a different engine path) — this key pins
+    that equivalence. Exact-decimal money accumulation as everywhere."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE
+             CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,10))), 2) AS DECIMAL(38,2)) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_lines
+           GROUP BY l_returnflag
+        |> WHERE n_lines > 10
+        |> SELECT l_returnflag, revenue, n_lines
+        """
+    )
+
+
+@_q(
+    "q_group_by_all",
+    f"""
+    SELECT o_orderpriority, o_orderstatus, year(o_orderdate) AS yr,
+           CAST(count(*) AS BIGINT) AS n,
+           {_msum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — every non-aggregate select item becomes a grouping
+    key implicitly (the refactor-safe form: adding a dimension column
+    can't silently fall out of the GROUP BY). Both engines resolve the
+    same three keys; plan is one partial+final aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, year(o_orderdate) AS yr,
+               COUNT(*) AS n,
+               CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total
+        FROM orders_gba
+        GROUP BY ALL
+        """
+    )
+
+
+@_q(
+    "q_merge_all_clauses",
+    """
+    WITH src AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS order_cents
+      FROM orders WHERE o_orderdate >= DATE '1998-04-01' GROUP BY 1
+    ),
+    tgt AS (
+      SELECT c_custkey AS custkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_acctbal > 0
+    ),
+    merged AS (
+      SELECT COALESCE(t.custkey, s.custkey) AS custkey,
+             CASE
+               WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                    AND s.order_cents > 20000000
+                 THEN 'update'
+               WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                 THEN 'delete_matched'
+               WHEN t.custkey IS NULL THEN 'insert'
+               ELSE 'delete_by_source'
+             END AS action,
+             CASE
+               WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                    AND s.order_cents > 20000000
+                 THEN t.bal_cents + s.order_cents
+               WHEN t.custkey IS NULL THEN s.order_cents
+               ELSE NULL
+             END AS new_cents
+      FROM tgt t FULL OUTER JOIN src s ON t.custkey = s.custkey
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(new_cents) AS BIGINT) AS sum_new_cents
+    FROM merged GROUP BY 1
+    """,
+)
+def q_merge_all_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MERGE clause matrix — WHEN MATCHED AND cond THEN UPDATE /
+    WHEN MATCHED THEN DELETE / WHEN NOT MATCHED THEN INSERT / WHEN NOT
+    MATCHED BY SOURCE THEN DELETE — emulated the way every engine
+    physically executes MERGE: one full-outer equi-join between target and
+    source, a per-row action decision, then the survivor projection
+    (q_merge_upsert covers the two-clause upsert; this key pins the
+    4-clause semantics incl. conditional update and by-source deletes).
+    One shuffle on the merge key; balances stay in exact cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # recent-window source + threshold chosen so all four clauses fire on
+    # the testdata (incl. by-source deletes for stale target rows)
+    src = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-04-01").cast("date"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "order_cents"
+            )
+        )
+    )
+    tgt = cust.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    t = tgt.alias("t")
+    s = src.alias("s")
+    j = t.join(s, F.col("t.custkey") == F.col("s.custkey"), "full_outer")
+    in_t = F.col("t.custkey").isNotNull()
+    in_s = F.col("s.custkey").isNotNull()
+    big = F.col("s.order_cents") > 20000000
+    action = (
+        F.when(in_t & in_s & big, "update")
+        .when(in_t & in_s, "delete_matched")
+        .when(~in_t, "insert")
+        .otherwise("delete_by_source")
+    )
+    new_cents = (
+        F.when(in_t & in_s & big, F.col("t.bal_cents") + F.col("s.order_cents"))
+        .when(~in_t, F.col("s.order_cents"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    merged = j.select(action.alias("action"), new_cents.alias("new_cents"))
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("new_cents").cast("long").alias("sum_new_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -12288,6 +12486,9 @@ _CHECK_PRIORITY = [
     "q_scan_csv_permissive", "q_stream_complete_agg",
     # round-3 batch 44: struct ordering, array lambdas, AUC-ROC, vacuum
     "q_struct_ops", "q_lambda_array_suite", "q_auc_roc", "q_vacuum_plan",
+    # round-3 batch 45: Python DataSource, pipe SQL, GROUP BY ALL, MERGE
+    "q_scan_python_datasource", "q_sql_pipe", "q_group_by_all",
+    "q_merge_all_clauses",
 ]
 
 
