@@ -12371,6 +12371,234 @@ def q_merge_all_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 46 — functional-dependency audit, explicit null ordering, array
+# set algebra, id-gap range detection.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_fd_audit",
+    """
+    WITH fd1 AS (
+      SELECT 'o_orderkey->o_custkey' AS fd,
+             count(*) AS n_lhs,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating_lhs
+      FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+            FROM orders GROUP BY 1)
+    ),
+    fd2 AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             count(*) AS n_lhs,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating_lhs
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY 1)
+    ),
+    fd3 AS (
+      SELECT 'c_custkey->c_nationkey' AS fd,
+             count(*) AS n_lhs,
+             SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating_lhs
+      FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS nd
+            FROM customer GROUP BY 1)
+    )
+    SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+           CAST(n_violating_lhs AS BIGINT) AS n_violating_lhs,
+           n_violating_lhs = 0 AS holds
+    FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3)
+    """,
+)
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/audit — does A determine B? For each
+    candidate FD, group by the determinant and count left-hand sides with
+    more than one distinct dependent value (schema-inference and
+    normalization tooling runs exactly this probe). o_orderkey→o_custkey
+    and c_custkey→c_nationkey hold (key FDs); o_custkey→o_orderpriority is
+    the negative control. Each FD is one partial-aggregatable
+    groupBy+count-distinct; the verdict is integer counts."""
+
+    def fd(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_lhs"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_violating_lhs"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    u = (
+        fd(orders, "o_orderkey", "o_custkey", "o_orderkey->o_custkey")
+        .unionByName(
+            fd(orders, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority")
+        )
+        .unionByName(fd(cust, "c_custkey", "c_nationkey", "c_custkey->c_nationkey"))
+    )
+    return u.select(
+        "fd", "n_lhs", "n_violating_lhs", (F.col("n_violating_lhs") == 0).alias("holds")
+    )
+
+
+@_q(
+    "q_null_ordering",
+    """
+    WITH x AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+      FROM events
+    ),
+    nf AS (
+      SELECT event_id, ROW_NUMBER() OVER (ORDER BY value ASC NULLS FIRST,
+                                          event_id) AS rn
+      FROM x
+    ),
+    nl AS (
+      SELECT event_id, ROW_NUMBER() OVER (ORDER BY value ASC NULLS LAST,
+                                          event_id) AS rn
+      FROM x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM x WHERE value IS NULL) AS BIGINT)
+             AS n_nulls,
+           CAST((SELECT min(event_id) FROM nf WHERE rn = 1) AS BIGINT)
+             AS first_nulls_first,
+           CAST((SELECT min(event_id) FROM nl WHERE rn = 1) AS BIGINT)
+             AS first_nulls_last
+    FROM x
+    """,
+)
+def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST / NULLS LAST ordering — the portability trap
+    this engine never leaves implicit: Spark's ASC default is NULLS FIRST,
+    DuckDB's (and Postgres's) is NULLS LAST, so any cross-engine ORDER BY
+    on a nullable key MUST spell the placement out. The key materializes
+    both orderings' first row over the nullable value column; they differ
+    exactly when nulls exist. Sort is windowed row_number with a unique
+    tie-break."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        # the testdata carries no physical nulls: derive a deterministic
+        # nullable column (errors report no value) to pin the semantics
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    w_nf = Window.orderBy(F.col("value").asc_nulls_first(), "event_id")
+    w_nl = Window.orderBy(F.col("value").asc_nulls_last(), "event_id")
+    nf = ev.select("event_id", F.row_number().over(w_nf).alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    nl = ev.select("event_id", F.row_number().over(w_nl).alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+    )
+    return (
+        tot.crossJoin(
+            F.broadcast(nf.select(F.col("event_id").alias("first_nulls_first")))
+        ).crossJoin(
+            F.broadcast(nl.select(F.col("event_id").alias("first_nulls_last")))
+        )
+    )
+
+
+@_q(
+    "q_array_set_ops",
+    """
+    WITH a AS (
+      SELECT o_custkey AS custkey,
+             list_sort(list_distinct(list(o_orderpriority))) AS prios_all,
+             list_sort(list_distinct(list(o_orderpriority)
+               FILTER (o_orderdate >= DATE '1996-01-01'))) AS prios_recent
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           array_to_string(prios_all, ',') AS all_prios,
+           array_to_string(prios_recent, ',') AS recent_prios,
+           array_to_string(list_sort(list_intersect(prios_all, prios_recent)),
+                           ',') AS both_prios,
+           COALESCE(array_to_string(list_sort(list_filter(prios_all,
+                           x -> NOT list_contains(prios_recent, x))), ','), '')
+             AS only_old,
+           len(prios_all) > 0 AND len(prios_recent) > 0
+             AND len(list_intersect(prios_all, prios_recent)) > 0 AS overlaps
+    FROM a
+    """,
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — union/intersect/except/overlap on collected
+    per-key sets, all inside Catalyst (array_intersect/array_except/
+    arrays_overlap), emitted as canonical sorted CSV strings so the
+    comparison is representation-independent. The per-customer priority
+    sets are bounded (≤5 values) — the collect_set is safe by domain, the
+    at-scale contract for any collect-based plan. One shuffle on
+    custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("prios_all"),
+        F.array_sort(
+            F.collect_set(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"),
+                    F.col("o_orderpriority"),
+                )
+            )
+        ).alias("prios_recent"),
+    )
+    return a.select(
+        "custkey",
+        F.array_join("prios_all", ",").alias("all_prios"),
+        F.array_join("prios_recent", ",").alias("recent_prios"),
+        F.array_join(
+            F.array_sort(F.array_intersect("prios_all", "prios_recent")), ","
+        ).alias("both_prios"),
+        F.array_join(
+            F.array_sort(F.array_except("prios_all", "prios_recent")), ","
+        ).alias("only_old"),
+        (
+            (F.size("prios_all") > 0)
+            & (F.size("prios_recent") > 0)
+            & F.arrays_overlap("prios_all", "prios_recent")
+        ).alias("overlaps"),
+    )
+
+
+@_q(
+    "q_id_gap_ranges",
+    """
+    WITH k AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+    g AS (
+      SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM k
+    )
+    SELECT CAST(id + 1 AS BIGINT) AS gap_start,
+           CAST(nxt - 1 AS BIGINT) AS gap_end,
+           CAST(nxt - id - 1 AS BIGINT) AS gap_len
+    FROM g WHERE nxt - id > 1
+    """,
+)
+def q_id_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id range detection over a sparse key domain (the orderkeys
+    referenced by lineitem — a subset of the order sequence, so holes
+    exist by construction): each hole in the sequence becomes
+    one (gap_start, gap_end, gap_len) row via a single lead() pass over
+    the distinct keys — no sequence table is ever materialized, which is
+    the difference between O(distinct keys) and O(key domain) at 10^12
+    ids. The classic completeness audit for ingest pipelines with
+    monotonic ids."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.select(F.col("l_orderkey").alias("id")).distinct()
+    g = k.select("id", F.lead("id").over(Window.orderBy("id")).alias("nxt"))
+    return g.filter(F.col("nxt") - F.col("id") > 1).select(
+        (F.col("id") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("id") - 1).alias("gap_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -12489,6 +12717,8 @@ _CHECK_PRIORITY = [
     # round-3 batch 45: Python DataSource, pipe SQL, GROUP BY ALL, MERGE
     "q_scan_python_datasource", "q_sql_pipe", "q_group_by_all",
     "q_merge_all_clauses",
+    # round-3 batch 46: FD audit, null ordering, array set ops, id gaps
+    "q_fd_audit", "q_null_ordering", "q_array_set_ops", "q_id_gap_ranges",
 ]
 
 
