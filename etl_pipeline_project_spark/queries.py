@@ -12599,6 +12599,280 @@ def q_id_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 47 — price/volume bridge, ABC classification, segment migration,
+# inter-arrival histogram.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_price_volume_bridge",
+    """
+    WITH li AS (
+      SELECT p_brand,
+             year(o_orderdate) AS yr,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    agg AS (
+      SELECT p_brand,
+             SUM(CASE WHEN yr = 1995 THEN q ELSE 0 END) AS q0,
+             SUM(CASE WHEN yr = 1996 THEN q ELSE 0 END) AS q1,
+             SUM(CASE WHEN yr = 1995 THEN cents ELSE 0 END) AS r0,
+             SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS r1
+      FROM li GROUP BY 1
+      HAVING SUM(CASE WHEN yr = 1995 THEN q ELSE 0 END) > 0
+         AND SUM(CASE WHEN yr = 1996 THEN q ELSE 0 END) > 0
+    )
+    SELECT p_brand,
+           CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+           CAST(r0 AS BIGINT) AS r0_cents, CAST(r1 AS BIGINT) AS r1_cents,
+           CAST((q1 * r0) // q0 - r0 AS BIGINT) AS volume_effect_cents,
+           CAST(r1 - (q1 * r0) // q0 AS BIGINT) AS price_effect_cents
+    FROM agg
+    """,
+)
+def q_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (price/volume decomposition), 1995→1996 per brand:
+    volume effect = revenue at constant unit price for the new volume,
+    price effect = the remainder — the two ALWAYS sum to Δrevenue exactly
+    because both terms share the single floor division (q1·r0) div q0 on
+    exact cent/quantity integers (the float formulation leaks cents and
+    never reconciles to the ledger). One three-way join (part broadcasts),
+    one grouped aggregate; the bridge arithmetic runs on 25 brand rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1995, 1996))
+        .select(
+            "p_brand",
+            "yr",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    agg = (
+        base.groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1995, F.col("q")).otherwise(0)).alias("q0"),
+            F.sum(F.when(F.col("yr") == 1996, F.col("q")).otherwise(0)).alias("q1"),
+            F.sum(F.when(F.col("yr") == 1995, F.col("cents")).otherwise(0)).alias(
+                "r0"
+            ),
+            F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias(
+                "r1"
+            ),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    const_rev = F.expr("(q1 * r0) div q0")
+    return agg.select(
+        "p_brand",
+        F.col("q0").alias("q0"),
+        F.col("q1").alias("q1"),
+        F.col("r0").alias("r0_cents"),
+        F.col("r1").alias("r1_cents"),
+        (const_rev - F.col("r0")).cast("long").alias("volume_effect_cents"),
+        (F.col("r1") - const_rev).cast("long").alias("price_effect_cents"),
+    )
+
+
+@_q(
+    "q_abc_classes",
+    """
+    WITH p AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                      AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+             SUM(cents) OVER () AS total
+      FROM p
+    ),
+    cls AS (
+      SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM c
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) AS DOUBLE)
+             / CAST((SELECT SUM(cents) FROM p) AS DOUBLE) AS revenue_share
+    FROM cls GROUP BY 1
+    """,
+)
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the prefix holding ≤80% of cumulative revenue, B to 95%,
+    C the tail — thresholds applied in cross-multiplied integer form
+    (cum·5 ≤ total·4) with a (cents DESC, partkey) total order so ties
+    can't straddle classes nondeterministically. The cumulative window
+    runs over the part aggregate (bounded by part count), not lineitem;
+    revenue_share is one integer→double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+            .cast("long")
+        ).alias("cents")
+    )
+    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    c = p.select(
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    cls = c.select(
+        F.when(F.col("cum") * 5 <= F.col("total") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("cents"),
+        (F.sum("cents").cast("double") / F.max("total").cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@_q(
+    "q_segment_migration",
+    """
+    WITH per AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    tiered AS (
+      SELECT o_custkey, yr,
+             ((RANK() OVER (PARTITION BY yr ORDER BY cents, o_custkey) - 1)
+              * 3) // COUNT(*) OVER (PARTITION BY yr) + 1 AS tier
+      FROM per
+    ),
+    m AS (
+      SELECT a.tier AS tier_1995, b.tier AS tier_1996
+      FROM tiered a JOIN tiered b
+        ON a.o_custkey = b.o_custkey AND a.yr = 1995 AND b.yr = 1996
+    )
+    SELECT CAST(tier_1995 AS BIGINT) AS tier_1995,
+           CAST(tier_1996 AS BIGINT) AS tier_1996,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix, 1995→1996: customers ranked
+    into terciles within each year (the exact integer ((rank−1)·3) div n
+    bucketing with a custkey tie-break — deterministic under ties), then
+    the year-over-year transition counts. The churn/upsell diagnostic in
+    one self-join on custkey; ranking windows partition by year."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .filter(F.col("yr").isin(1995, 1996))
+        .groupBy("o_custkey", "yr")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("yr")
+    tiered = per.select(
+        "o_custkey",
+        "yr",
+        F.rank().over(w.orderBy("cents", "o_custkey")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).select("o_custkey", "yr", F.expr("(rk - 1) * 3 div n + 1").alias("tier"))
+    a = tiered.filter(F.col("yr") == 1995).select(
+        "o_custkey", F.col("tier").alias("tier_1995")
+    )
+    b = tiered.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("tier").alias("tier_1996")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("tier_1995", "tier_1996")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_q(
+    "q_interarrival_histogram",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                                       o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT CASE WHEN gap <= 7 THEN '0-7'
+                WHEN gap <= 30 THEN '8-30'
+                WHEN gap <= 90 THEN '31-90'
+                WHEN gap <= 365 THEN '91-365'
+                ELSE '365+' END AS gap_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap,
+           CAST(max(gap) AS BIGINT) AS max_gap
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival (repurchase-cadence) histogram: day gaps between each
+    customer's consecutive orders, bucketed into operational bands. The
+    gap multiset is tie-stable — equal-date orders contribute zero-gaps
+    regardless of their relative order, and the lag window still carries a
+    unique (date, orderkey) tie-break so each PAIRING is reproducible.
+    One custkey-partitioned window; integer day arithmetic throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    bucket = (
+        F.when(F.col("gap") <= 7, "0-7")
+        .when(F.col("gap") <= 30, "8-30")
+        .when(F.col("gap") <= 90, "31-90")
+        .when(F.col("gap") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return seq.groupBy(bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap"),
+        F.max("gap").cast("long").alias("max_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -12719,6 +12993,10 @@ _CHECK_PRIORITY = [
     "q_merge_all_clauses",
     # round-3 batch 46: FD audit, null ordering, array set ops, id gaps
     "q_fd_audit", "q_null_ordering", "q_array_set_ops", "q_id_gap_ranges",
+    # round-3 batch 47: revenue bridge, ABC classes, tier migration,
+    # inter-arrival cadence
+    "q_price_volume_bridge", "q_abc_classes", "q_segment_migration",
+    "q_interarrival_histogram",
 ]
 
 
