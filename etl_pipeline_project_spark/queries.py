@@ -12873,6 +12873,200 @@ def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 48 — duplicated-span detection, corpus report card, near-dup
+# cluster-size statistics.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_dup_span_detect",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 4),
+                    i -> array_to_string(list_slice(l, i, i + 4), ' '))) AS s,
+             unnest(generate_series(1, len(l) - 4)) AS pos
+      FROM t
+    ),
+    df AS (
+      SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS nd
+                     FROM sh GROUP BY 1) WHERE nd >= 2
+    ),
+    dup AS (
+      SELECT sh.doc_id, sh.pos,
+             sh.pos - ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                         ORDER BY sh.pos) AS island
+      FROM sh JOIN df USING (s)
+    ),
+    spans AS (
+      SELECT doc_id, island, count(*) + 4 AS span_words
+      FROM dup GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(span_words - 4) AS BIGINT) AS n_dup_positions,
+           CAST(max(span_words) AS BIGINT) AS max_span_words
+    FROM spans GROUP BY 1
+    """,
+)
+def q_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection — the shuffle-bounded approximation of
+    exact substring deduplication (suffix-array dedup à la 'Deduplicating
+    Training Data Makes Language Models Better'): positional 5-gram
+    shingles, document frequency ≥ 2 marks a position as duplicated, and
+    runs of consecutive duplicated positions merge into maximal spans via
+    the gaps-and-islands pos − row_number key. Per doc: span count,
+    duplicated-position count, longest span in words. Inverted-index
+    shuffle on the shingle, window on (doc, pos) — never doc×doc, never a
+    corpus-wide suffix array in one memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= 5
+    )
+    shingles = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 4),
+                lambda i: F.array_join(F.slice("l", i, 5), " "),
+            )
+        ).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    df = (
+        shingles.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    dup = shingles.join(df, "s").select(
+        "doc_id",
+        "pos",
+        (
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+        ).alias("island"),
+    )
+    spans = dup.groupBy("doc_id", "island").agg(
+        (F.count(F.lit(1)) + 4).alias("span_words")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("span_words") - 4).cast("long").alias("n_dup_positions"),
+        F.max("span_words").cast("long").alias("max_span_words"),
+    )
+
+
+@_q(
+    "q_corpus_report",
+    """
+    WITH base AS (
+      SELECT doc_id, text, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(text) AS n_chars, md5(text) AS h
+      FROM documents
+    ),
+    hashes AS (SELECT h, count(*) AS c FROM base GROUP BY 1)
+    SELECT CAST((SELECT count(*) FROM base) AS BIGINT) AS n_docs,
+           CAST((SELECT count(DISTINCT source) FROM base) AS BIGINT)
+             AS n_sources,
+           CAST((SELECT count(DISTINCT lang) FROM base) AS BIGINT) AS n_langs,
+           CAST((SELECT SUM(n_tokens) FROM base) AS BIGINT) AS n_tokens,
+           CAST((SELECT SUM(n_chars) FROM base) AS BIGINT) AS n_chars,
+           CAST((SELECT count(*) FROM hashes) AS BIGINT) AS n_distinct_texts,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM hashes WHERE c > 1)
+                AS BIGINT) AS n_docs_in_dup_sets,
+           CAST((SELECT COALESCE(SUM(c), 0) FROM hashes WHERE c > 1)
+                AS DOUBLE) / CAST((SELECT count(*) FROM base) AS DOUBLE)
+             AS exact_dup_frac
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card — the dataset-card summary a training
+    run starts from: document/source/language cardinalities, token and
+    character volume, exact-duplicate accounting via content hash. Every
+    number is an exact integer except the final single-division dup
+    fraction. Three partial-aggregatable passes (base stats, hash
+    groupBy, distinct counts) joined as broadcast scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    hashes = base.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    hstats = hashes.agg(
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_docs_in_dup_sets"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(hstats))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "n_tokens",
+            "n_chars",
+            "n_distinct_texts",
+            "n_docs_in_dup_sets",
+            (
+                F.col("n_docs_in_dup_sets").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_frac"),
+        )
+    )
+
+
+@_q(
+    "q_cluster_size_stats",
+    f"""
+    WITH g AS ({_NEARDUP_GROUPS_ORACLE}),
+    sizes AS (SELECT group_id, count(*) AS size FROM g GROUP BY 1)
+    SELECT CAST(size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size - 1) AS BIGINT) AS n_removable_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def q_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup planning view: for
+    each connected-component size, how many clusters exist and how many
+    documents a keep-one policy would remove (Σ(size−1)). Reuses the
+    MinHash-LSH pair graph + min-label components (q_dedup_groups); the
+    histogram is two tiny aggregates over the component assignment."""
+    from etl_pipeline_project_spark.operators.dedup_text import (
+        minhash_lsh_pairs,
+        neardup_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_distance_threshold=0.4)
+    groups = neardup_groups(pairs)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy(F.col("size").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("size") - 1).cast("long").alias("n_removable_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -12997,6 +13191,8 @@ _CHECK_PRIORITY = [
     # inter-arrival cadence
     "q_price_volume_bridge", "q_abc_classes", "q_segment_migration",
     "q_interarrival_histogram",
+    # round-3 batch 48: dup spans, corpus report, cluster sizes
+    "q_dup_span_detect", "q_corpus_report", "q_cluster_size_stats",
 ]
 
 
