@@ -399,6 +399,71 @@ def main() -> int:
         )
     )
 
+    p = plan("q_log2_histogram")
+    checks.append(
+        (
+            "q_log2_histogram partial+final aggregate, single exchange",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_lambda_array_suite")
+    checks.append(
+        (
+            "q_lambda_array_suite map-only: zero exchanges, no Python UDF",
+            "Exchange" not in p and "BatchEvalPython" not in p and "ArrowEval" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_auc_roc")
+    checks.append(
+        (
+            "q_auc_roc rank stats on distinct scores (two HashAggregates), no row-level sort of the fact table",
+            len(re.findall(r"HashAggregate", p)) >= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_dup_span_detect")
+    checks.append(
+        (
+            "q_dup_span_detect inverted-index shape: shuffle on shingle, no doc-level cartesian",
+            "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_price_volume_bridge")
+    checks.append(
+        (
+            "q_price_volume_bridge broadcasts the part dim",
+            "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_vwap")
+    checks.append(
+        (
+            "q_vwap single-pass weighted mean: one exchange, partial aggregation",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_history_compress")
+    checks.append(
+        (
+            "q_history_compress both windows + aggregate on one user_id exchange",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) <= 1,
+            p[:300],
+        )
+    )
+    p = plan("q_scan_python_datasource")
+    checks.append(
+        (
+            "q_scan_python_datasource scan enters the plan as a leaf source (no collect/parallelize)",
+            "Scan" in p and "Exchange" in p,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
