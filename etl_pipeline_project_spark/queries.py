@@ -13301,6 +13301,228 @@ def q_history_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 50 — binary-file source, nearest-direction as-of join, gains/lift
+# table, keyset pagination.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_scan_binaryfile",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(len(text)) AS BIGINT) AS total_bytes,
+           CAST(max(len(text)) AS BIGINT) AS max_bytes
+    FROM documents WHERE doc_id % 50 = 0 GROUP BY 1
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the opaque-blob ingestion edge for multimodal
+    corpora (image/audio payloads enter as whole-file binary + metadata,
+    SURVEY north-star): documents are staged one file per doc named
+    `<source>__<doc_id>.bin`, read back via `format("binaryFile")`, and
+    the (path, length, content) records must reconcile byte-for-byte with
+    the table of origin. The ASCII corpus makes length(text) the exact
+    byte count. File-granular parallelism is the scale story — each blob
+    is one task input, no line-splitting assumptions."""
+    import hashlib
+    import os
+
+    # deterministic 1-in-50 sample keeps the per-file fixture bounded at
+    # every sf (blob-store staging cost, not an engine property)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/blob_stage_{tag}"
+    if not os.path.exists(base):
+        os.makedirs(base, exist_ok=True)
+        # one file per doc: filename carries (source, doc_id); written once
+        # per sf_dir via the driver-side loop ONLY because the local FS
+        # sink for per-record files is the fixture itself — a real
+        # deployment writes blobs from executors (foreachPartition)
+        for r in docs.select("doc_id", "source", "text").toLocalIterator():
+            with open(f"{base}/{r['source']}__{r['doc_id']}.bin", "wb") as fh:
+                fh.write(r["text"].encode("ascii"))
+    back = spark.read.format("binaryFile").load(base)
+    parsed = back.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"^(.+?)__", 1
+        ).alias("source"),
+        F.col("length"),
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").cast("long").alias("total_bytes"),
+        F.max("length").cast("long").alias("max_bytes"),
+    )
+
+
+@_q(
+    "q_join_asof_nearest",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts AS pts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT c.user_id, c.event_id, p.pid,
+             abs(epoch_us(c.ts) - epoch_us(p.pts)) // 1000000 AS gap_s,
+             abs(epoch_us(c.ts) - epoch_us(p.pts)) AS gap_us
+      FROM clicks c JOIN purch p ON c.user_id = p.user_id
+      WHERE abs(epoch_us(c.ts) - epoch_us(p.pts)) <= 86400000000
+    ),
+    best AS (
+      SELECT user_id, event_id, pid, gap_s,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY gap_us, pid) AS rn
+      FROM cand
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(event_id AS BIGINT) AS click_id,
+           CAST(pid AS BIGINT) AS nearest_purchase_id,
+           CAST(gap_s AS BIGINT) AS gap_seconds
+    FROM best WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with tolerance — each click matched to
+    the closest purchase by the same user within ±1 day (backward asof is
+    q_join_asof; forward-lag analysis is q_time_to_convert; this key
+    completes the direction matrix). Plan: user-equi join bounds the pair
+    blow-up to within-user pairs, the tolerance predicate prunes, and a
+    (gap, id)-ordered row_number picks one winner deterministically even
+    when a click sits exactly between two purchases. Integer-second
+    arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    gap_us = F.abs(F.unix_micros("cts") - F.unix_micros("pts"))
+    cand = clicks.join(purch, clicks.user_id == purch.pu).select(
+        "user_id",
+        "click_id",
+        "pid",
+        F.expr("abs(unix_micros(cts) - unix_micros(pts)) div 1000000").alias("gap_s"),
+        gap_us.alias("gap_us"),
+    ).filter(F.col("gap_us") <= 86400000000)
+    w = Window.partitionBy("click_id").orderBy("gap_us", "pid")
+    return (
+        cand.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "click_id",
+            F.col("pid").alias("nearest_purchase_id"),
+            F.col("gap_s").alias("gap_seconds"),
+        )
+    )
+
+
+@_q(
+    "q_gains_table",
+    """
+    WITH x AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT y,
+             ((RANK() OVER (ORDER BY v DESC, event_id) - 1) * 10)
+               // COUNT(*) OVER () + 1 AS decile
+      FROM x
+    ),
+    d AS (
+      SELECT decile, count(*) AS n, SUM(y) AS pos FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n,
+           CAST(pos AS BIGINT) AS n_pos,
+           CAST(SUM(pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           CAST(SUM(pos) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(pos) OVER () AS DOUBLE) AS cum_capture
+    FROM d
+    """,
+)
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table — the decile view of ranking quality that pairs
+    with q_auc_roc: rows ranked by score descending, cut into exact
+    integer deciles ((rank−1)·10 div n, tie-stable with the event_id
+    tie-break), positives counted per decile with cumulative capture
+    rate. A well-ranked model front-loads positives; cum_capture is the
+    one float, a single integer division per row of a 10-row table."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        "event_id",
+    )
+    w = Window.orderBy(F.col("v").desc(), "event_id")
+    ranked = x.select(
+        "y",
+        F.rank().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).select("y", F.expr("(rk - 1) * 10 div n + 1").alias("decile"))
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return d.select(
+        "decile",
+        "n",
+        F.col("pos").cast("long").alias("n_pos"),
+        F.sum("pos").over(wcum).cast("long").alias("cum_pos"),
+        (
+            F.sum("pos").over(wcum).cast("double")
+            / F.sum("pos").over(wall).cast("double")
+        ).alias("cum_capture"),
+    )
+
+
+@_q(
+    "q_keyset_pagination",
+    """
+    WITH ordered AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT CAST((rn - 1) // 50 + 1 AS BIGINT) AS page,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key_by_id,
+           CAST(max(o_totalprice) AS DOUBLE) AS top_price
+    FROM ordered WHERE rn <= 150 GROUP BY 1
+    """,
+)
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination over a total order: the first three
+    50-row pages of orders by (totalprice DESC, orderkey). The total order
+    is what makes every page stable and gap-free — OFFSET pagination over
+    a non-total order duplicates/drops rows between requests. The rn ≤ 150
+    prefix compiles to a rank-limited window (WindowGroupLimit pushes the
+    top-N into the sort, never materializing the full ranked table) — the
+    at-scale seek story. Page summary per page keeps the contract
+    compact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    ordered = orders.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 150)
+    return ordered.groupBy(F.expr("(rn - 1) div 50 + 1").alias("page")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("first_key_by_id"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -13431,6 +13653,10 @@ _CHECK_PRIORITY = [
     # run-length history compression
     "q_dedup_normalized", "q_session_paths", "q_peak_detect", "q_vwap",
     "q_history_compress",
+    # round-3 batch 50: binary-file source, nearest as-of, gains table,
+    # keyset pagination
+    "q_scan_binaryfile", "q_join_asof_nearest", "q_gains_table",
+    "q_keyset_pagination",
 ]
 
 
