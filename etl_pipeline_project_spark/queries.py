@@ -13523,6 +13523,235 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 51 — INTERSECT ALL, linear multi-touch attribution, seasonality
+# index, ML feature assembly.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each nation appears min(c_count,
+    s_count) times (q_set_intersect is the distinct form; q_set_except_all
+    already covers EXCEPT ALL, so this completes the bag set-op matrix).
+    Engines implement it as a counted semi-structure, not row pairing —
+    one shuffle per side on the key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp)
+
+
+@_q(
+    "q_attribution_linear",
+    """
+    WITH p AS (
+      SELECT user_id, ts AS pts, event_id AS pid,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    t AS (
+      SELECT user_id, ts AS tts, event_id AS tid, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    touches AS (
+      SELECT p.pid, p.cents, t.event_type, t.tid,
+             count(*) OVER (PARTITION BY p.pid) AS n_touch,
+             ROW_NUMBER() OVER (PARTITION BY p.pid
+                                ORDER BY t.tts, t.tid) AS rn
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.tts <= p.pts
+       AND epoch_us(p.pts) - epoch_us(t.tts) <= 86400000000
+    ),
+    split AS (
+      SELECT event_type,
+             cents // n_touch
+               + CASE WHEN rn <= cents % n_touch THEN 1 ELSE 0 END
+               AS share_cents
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(SUM(share_cents) AS BIGINT) AS attributed_cents
+    FROM split GROUP BY 1
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — each purchase's cents split evenly
+    across its qualifying touches (clicks/views in the prior 24h), with
+    the largest-remainder rule assigning the leftover cents to the
+    earliest touches so every purchase's attribution sums to its revenue
+    EXACTLY (the float 1/n split leaks cents; q_attribution_last_touch is
+    the winner-takes-all contrast). The touch join is user-equi +
+    time-band — within-user pair blow-up only; the per-purchase windows
+    share one pid partition."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+        "event_type",
+    )
+    touches = p.join(
+        t,
+        (F.col("pu") == F.col("user_id"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.unix_micros("pts") - F.unix_micros("tts") <= 86400000000),
+    ).select("pid", "cents", "event_type", "tid", "tts")
+    w = Window.partitionBy("pid")
+    counted = touches.select(
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_touch"),
+        F.row_number().over(w.orderBy("tts", "tid")).alias("rn"),
+    )
+    share = F.expr("cents div n_touch") + F.when(
+        F.col("rn") <= F.expr("cents % n_touch"), 1
+    ).otherwise(0)
+    return counted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(share).cast("long").alias("attributed_cents"),
+    )
+
+
+@_q(
+    "q_seasonality_index",
+    """
+    WITH d AS (
+      SELECT dayofweek(o_orderdate) + 1 AS dow,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT dow, count(*) AS n, SUM(cents) AS s FROM d GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM g)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS BIGINT) AS cents,
+           CAST(s * tn AS DOUBLE) / CAST(n * ts AS DOUBLE)
+             AS seasonality_index
+    FROM g, tot
+    """,
+)
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: (day's mean order value) / (overall
+    mean), computed as the single division (s·tn)/(n·ts) of two exact
+    integer products — no intermediate float means, so the index is
+    bit-identical under any accumulation order. Index ≈ 1 everywhere on
+    uniform synthetic data; the operator's value is the exact-ratio
+    pattern itself. One 7-row aggregate + broadcast scalar."""
+    orders = load_table(spark, sf_dir, "orders")
+    # Spark dayofweek is 1-based (Sun=1); the oracle's DuckDB dayofweek+1
+    # matches it
+    d = orders.select(
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    tot = g.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n").alias("n_orders"),
+            F.col("s").alias("cents"),
+            (
+                (F.col("s") * F.col("tn")).cast("double")
+                / (F.col("n") * F.col("ts")).cast("double")
+            ).alias("seasonality_index"),
+        )
+    )
+
+
+@_q(
+    "q_feature_assembly",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS gmax FROM orders),
+    f AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT gmax FROM mx)) AS recency_days,
+             count(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents,
+             date_diff('day', min(o_orderdate), max(o_orderdate))
+               AS tenure_days,
+             count(DISTINCT year(o_orderdate)) AS n_active_years,
+             SUM(CASE WHEN o_orderdate >= DATE '1999-01-01'
+                      THEN 1 ELSE 0 END) AS n_recent_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST(tenure_days AS BIGINT) AS tenure_days,
+           CAST(n_active_years AS BIGINT) AS n_active_years,
+           CAST(n_recent_orders AS BIGINT) AS n_recent_orders
+    FROM f
+    """,
+)
+def q_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity ML feature assembly — the wide feature table a churn/LTV
+    model trains on: recency, frequency, exact-cent monetary, tenure,
+    active-year count, recent-window activity, all from ONE grouped pass
+    over the fact table (every feature is a partial-aggregatable
+    expression — no per-feature scans, no joins except the broadcast
+    global-max scalar). Integer features end-to-end: reproducible
+    training data under any cluster layout."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("gmax"))
+    f = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("gmax"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "monetary_cents"
+            ),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "tenure_days"
+            ),
+            F.countDistinct(F.year("o_orderdate")).alias("n_active_years"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"), 1
+                ).otherwise(0)
+            ).alias("n_recent_orders"),
+        )
+    )
+    return f.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        F.col("tenure_days").cast("long").alias("tenure_days"),
+        "n_active_years",
+        F.col("n_recent_orders").cast("long").alias("n_recent_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -13657,6 +13886,10 @@ _CHECK_PRIORITY = [
     # keyset pagination
     "q_scan_binaryfile", "q_join_asof_nearest", "q_gains_table",
     "q_keyset_pagination",
+    # round-3 batch 51: INTERSECT ALL, linear attribution, seasonality
+    # index, feature assembly
+    "q_set_intersect_all", "q_attribution_linear", "q_seasonality_index",
+    "q_feature_assembly",
 ]
 
 
