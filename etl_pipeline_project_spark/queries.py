@@ -13752,6 +13752,185 @@ def q_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 52 — CEP pattern matching, inverted-index stats, daily percentile
+# bands, language-ID evaluation.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_pattern_match_triple",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_pattern_match_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern matching (MATCH_RECOGNIZE semantics, strict
+    contiguity): occurrences of the exact consecutive view→click→purchase
+    triple in each user's event stream, via two lead() offsets on one
+    totally-ordered window — the funnel keys allow intervening events;
+    this is the strict-sequence CEP contract. One user_id exchange; the
+    pattern test is a row-local predicate, so 10^12 events cost one
+    window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@_q(
+    "q_inverted_index_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT term,
+             count(*) AS df,
+             SUM(tf) AS cf,
+             max(tf) AS max_tf
+      FROM per_doc GROUP BY 1
+    )
+    SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+           CAST(max_tf AS BIGINT) AS max_tf
+    FROM stats
+    ORDER BY df DESC, term LIMIT 50
+    """,
+)
+def q_inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build statistics — the posting-list metadata (document
+    frequency, collection frequency, max term frequency) a BM25/impact
+    index stores per term, computed with the two-level aggregate that
+    keeps everything map-side combinable: (term, doc) partial counts
+    collapse before the term-level rollup. Top-50 by (df, term) total
+    order; at corpus scale the full stats table IS the index metadata —
+    this key bounds the contract output, not the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    per_doc = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+    return stats.orderBy(F.col("df").desc(), "term").limit(50)
+
+
+@_q(
+    "q_daily_percentile_bands",
+    """
+    WITH x AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+      SELECT day, v, count(*) AS c FROM x GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT day, v,
+             SUM(c) OVER (PARTITION BY day ORDER BY v) AS cumc,
+             SUM(c) OVER (PARTITION BY day) AS n
+      FROM counts
+    )
+    SELECT day,
+           CAST(min(CASE WHEN cumc * 2 >= n THEN v END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cumc * 20 >= n * 19 THEN v END) AS BIGINT)
+             AS p95,
+           CAST(max(n) AS BIGINT) AS n_values
+    FROM cum GROUP BY 1
+    """,
+)
+def q_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95 bands over the value series — the SLO/latency
+    dashboard primitive, computed with the count-based discrete-percentile
+    plan PARTITIONED BY DAY (distinct values per day collapse map-side;
+    the cumulative window and the CDF rule 2·cum ≥ n run per-day in exact
+    integers — no per-group sort buffering, the same scale posture as
+    q_percentile_disc). Day count bounds the output."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+    )
+    counts = x.groupBy("day", "v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("day")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("day")
+    cum = counts.select(
+        "day",
+        "v",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("day").agg(
+        F.min(F.when(F.col("cumc") * 2 >= F.col("n"), F.col("v"))).alias("p50"),
+        F.min(F.when(F.col("cumc") * 20 >= F.col("n") * 19, F.col("v"))).alias(
+            "p95"
+        ),
+        F.max("n").cast("long").alias("n_values"),
+    )
+
+
+@_q(
+    "q_langid_eval",
+    None,  # oracle attached after definition (composes q_text_lang_id's SQL)
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation against the corpus ground-truth labels: the
+    predicted×actual confusion matrix plus per-cell counts — the
+    model-quality loop for the heuristic classifier (q_text_lang_id emits
+    predictions; this key grades them). Exact counts; accuracy derives
+    as the diagonal share downstream. One grouped aggregate over the
+    map-only predictor."""
+    from etl_pipeline_project_spark.operators.text_analysis import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", lang_id("text").alias("lang_pred"))
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# compose the evaluation oracle from the registered lang-ID twin
+ORACLE["q_langid_eval"] = f"""
+    WITH pred AS ({ORACLE["q_text_lang_id"]})
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -13890,6 +14069,9 @@ _CHECK_PRIORITY = [
     # index, feature assembly
     "q_set_intersect_all", "q_attribution_linear", "q_seasonality_index",
     "q_feature_assembly",
+    # round-3 batch 52: CEP pattern, inverted index, daily bands, lang eval
+    "q_pattern_match_triple", "q_inverted_index_stats",
+    "q_daily_percentile_bands", "q_langid_eval",
 ]
 
 
