@@ -13931,6 +13931,174 @@ ORACLE["q_langid_eval"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Batch 53 — bucketed shuffle-free aggregation, salted skew aggregation,
+# dynamic partition pruning, streaming checkpoint resume.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_agg_bucketed",
+    """
+    SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+    FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free aggregation on a bucketed table: lineitem bucketed on
+    l_orderkey (the same amortized layout q_join_bucketed builds) lets the
+    per-orderkey groupBy run with NO exchange — bucket files already
+    partition by the grouping key, so each task aggregates its buckets
+    locally. The only shuffle left is the 7-row histogram rollup. The
+    write-once-aggregate-forever layout is how a 100 TB fact table serves
+    keyed aggregations interactively."""
+    import hashlib
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_li = f"bq_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_li):
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).option("path", f"{_SCRATCH}/{t_li}").saveAsTable(t_li)
+    per_key = (
+        spark.table(t_li)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return per_key.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@_q(
+    "q_agg_salted_skew",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+    """,
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation for skewed keys: phase 1 groups on
+    (key, salt=hash%16) so a hot key's rows spread over 16 reducers, phase
+    2 merges the ≤16 partials per key. Counts and integer cents merge
+    exactly, so the result is identical to the direct aggregate (the
+    oracle) — the manual fallback when one key holds 30% of 100 TB and
+    even map-side combine leaves a straggler reducer. Spark's partial
+    aggregation makes this redundant for algebraic aggregates; the
+    pattern matters for the holistic ones (collect/median), and this key
+    pins its correctness."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    salted = ev.select(
+        "event_type",
+        F.pmod(F.hash("event_id"), F.lit(16)).alias("salt"),
+        cents.alias("cents"),
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("cents").alias("pc")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum("pc").cast("long").alias("cents"),
+    )
+
+
+@_q(
+    "q_join_dpp",
+    f"""
+    SELECT year(o_orderdate) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_msum('o_totalprice')} AS total
+    FROM orders WHERE year(o_orderdate) IN (1996, 1999)
+    GROUP BY 1
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out partitioned
+    by year; the filter arrives through a JOIN against a tiny year dim
+    (filtered to 2 of 7 years), so static pruning can't apply — the
+    runtime DPP subquery broadcasts the dim's year set into the fact scan
+    and only 2/7 partitions are read (plan shows
+    `dynamicpruningexpression` in PartitionFilters). THE mechanism that
+    turns star-schema date filters into partition skips on a 100 TB
+    fact."""
+    import hashlib
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/orders_by_year_{tag}"
+    if not os.path.exists(base):
+        orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy(
+            "yr"
+        ).mode("overwrite").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        fact.select("yr")
+        .distinct()
+        .filter(F.col("yr").isin(1996, 1999))
+        .select(F.col("yr").alias("dim_yr"))
+    )
+    joined = fact.join(F.broadcast(dim), fact.yr == F.col("dim_yr"))
+    return joined.groupBy(F.col("yr").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@_q(
+    "q_stream_checkpoint_resume",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed streaming RESUME — the exactly-once-across-restarts
+    contract: run 1 ingests the first file batch into a parquet sink with
+    a durable checkpoint; new files land; run 2 starts from the SAME
+    checkpoint and processes ONLY the new files (the file-source log
+    remembers what's consumed — the reference's 'which staged CSVs did I
+    already load' convention, `data/transformation_db.py:91-121`, made
+    crash-safe). The sink must hold every event exactly once afterward;
+    a third run adds nothing. This is the durability story q_stream_*'s
+    in-memory sinks don't exercise."""
+    import hashlib
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/stream_ckpt_{tag}"
+    stage, ckpt, sink = f"{base}/stage", f"{base}/ckpt", f"{base}/sink"
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(stage)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.exists(base):
+        # batch 1 arrives, stream consumes it
+        ev.filter(F.col("user_id") <= 75).write.mode("overwrite").parquet(stage)
+        run_stream()
+        # batch 2 lands later; resumed stream must process ONLY these files
+        ev.filter(F.col("user_id") > 75).write.mode("append").parquet(stage)
+        run_stream()
+    # idempotence under re-invocation: no new files -> no new rows
+    run_stream()
+    return spark.read.parquet(sink)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -14072,6 +14240,9 @@ _CHECK_PRIORITY = [
     # round-3 batch 52: CEP pattern, inverted index, daily bands, lang eval
     "q_pattern_match_triple", "q_inverted_index_stats",
     "q_daily_percentile_bands", "q_langid_eval",
+    # round-3 batch 53: bucketed agg, salted agg, DPP, checkpoint resume
+    "q_agg_bucketed", "q_agg_salted_skew", "q_join_dpp",
+    "q_stream_checkpoint_resume",
 ]
 
 
