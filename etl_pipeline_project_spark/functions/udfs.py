@@ -52,3 +52,12 @@ try:  # Python UDTFs need Spark 4.x / arrow-enabled builds
 
 except ImportError:  # pragma: no cover - older runtimes
     SplitWordsUDTF = None
+
+
+@F.pandas_udf(T.LongType())
+def cents_mod97_udf(v: pd.Series) -> pd.Series:
+    """Deterministic integer checksum feature (cents % 97) — exists as the
+    SQL-catalog registration example (`q_udf_sql_registered`): registered
+    via ``spark.udf.register`` so pure-SQL callers reach the Arrow-batched
+    Python path."""
+    return ((v * 100).round(0).astype("int64")) % 97

@@ -14099,6 +14099,203 @@ def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 54 — map-lambda suite, SQL-registered pandas UDF, high-watermark
+# incremental load, dead-letter routing.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_lambda_map_suite",
+    """
+    WITH a AS (
+      SELECT o_custkey AS custkey,
+             list_sort(list_distinct(list(o_orderpriority))) AS ks
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT custkey, ks,
+             list_transform(ks, k -> len(k)) AS vs
+      FROM a
+    )
+    SELECT custkey,
+           array_to_string(list_transform(list_zip(ks, vs),
+             z -> z[1] || '=' || CAST(z[2] * 2 AS VARCHAR)), ',')
+             AS doubled_entries,
+           COALESCE(array_to_string(
+             list_sort(list_filter(ks, k -> k LIKE '%URGENT%')), ','), '')
+             AS urgent_keys,
+           CAST(len(ks) AS BIGINT) AS n_keys
+    FROM m
+    """,
+)
+def q_lambda_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order functions — transform_values / map_filter /
+    map_keys over a per-customer map built with map_from_arrays, emitted
+    as canonical sorted entry strings (maps have no cross-engine physical
+    order; the entry-string projection is the portable contract, mirrored
+    in DuckDB via zipped-list lambdas). All lambdas codegen inside
+    Catalyst; one shuffle for the collect_set."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("ks")
+    )
+    m = a.select(
+        "custkey",
+        "ks",
+        F.map_from_arrays(
+            "ks", F.transform("ks", lambda k: F.length(k))
+        ).alias("mp"),
+    )
+    doubled = F.transform_values(F.col("mp"), lambda k, v: v * 2)
+    entries = F.transform(
+        F.map_entries(doubled),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+    )
+    urgent = F.map_filter(F.col("mp"), lambda k, v: k.like("%URGENT%"))
+    return m.select(
+        "custkey",
+        F.array_join(F.array_sort(entries), ",").alias("doubled_entries"),
+        F.array_join(F.array_sort(F.map_keys(urgent)), ",").alias("urgent_keys"),
+        F.size(F.map_keys("mp")).cast("long").alias("n_keys"),
+    )
+
+
+@_q(
+    "q_udf_sql_registered",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT) % 97) AS BIGINT)
+             AS mod_sum
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+    """,
+)
+def q_udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDF registered into the SQL function catalog
+    (spark.udf.register) and invoked from a SQL string — the path by
+    which pure-SQL users reach Python extensions. The UDF body is
+    Arrow-batched numpy (cents % 97 — deterministic integer), never
+    row-at-a-time; the oracle reproduces the arithmetic natively. One
+    grouped aggregate over the UDF column."""
+    from etl_pipeline_project_spark.functions.udfs import cents_mod97_udf
+
+    spark.udf.register("cents_mod97", cents_mod97_udf)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_udfreg")
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(cents_mod97(value)) AS mod_sum
+        FROM events_udfreg WHERE value IS NOT NULL GROUP BY event_type
+        """
+    )
+
+
+@_q(
+    "q_incremental_watermark",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (ts >= TIMESTAMP '2024-01-20 00:00:00')
+                AS BIGINT) AS n_batch2,
+           CAST(0 AS BIGINT) AS n_batch3
+    FROM events
+    """,
+)
+def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental loading — the OTHER incremental pattern
+    (q_join_anti_incremental / q_ops_load_incremental key on IDs; this
+    keys on a monotonic timestamp): each run loads only rows with ts >
+    stored watermark, then advances the watermark to max(ts). Run 1 takes
+    the backlog (< Jan 20), run 2 the remainder, run 3 NOTHING — the
+    target ends exactly once per event and the third-run count is the
+    idempotence proof. Watermark state is one scalar row, the cheapest
+    possible incremental bookkeeping at 100 TB."""
+    import hashlib
+    import json
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/wm_incr_{tag}"
+    wm_path = f"{base}/watermark.json"
+    target = f"{base}/target"
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+
+    def watermark() -> str | None:
+        if not os.path.exists(wm_path):
+            return None
+        with open(wm_path) as fh:
+            return json.load(fh)["max_ts"]
+
+    def advance(df: DataFrame) -> int:
+        new = df if watermark() is None else df.filter(
+            F.col("ts") > F.lit(watermark()).cast("timestamp")
+        )
+        n = new.count()
+        if n:
+            new.write.mode("append").parquet(target)
+            mx = new.agg(F.max("ts")).first()[0]
+            os.makedirs(base, exist_ok=True)
+            with open(wm_path, "w") as fh:
+                json.dump({"max_ts": str(mx)}, fh)
+        return n
+
+    if not os.path.exists(wm_path):
+        advance(ev.filter(F.col("ts") < cut))  # run 1: backlog
+        advance(ev)  # run 2: only rows past the watermark survive the filter
+    n3 = advance(ev)  # run 3: nothing new
+    loaded = spark.read.parquet(target)
+    return loaded.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch2"),
+    ).select("n_total", "n_batch2", F.lit(n3).cast("long").alias("n_batch3"))
+
+
+@_q(
+    "q_dead_letter_route",
+    """
+    WITH routed AS (
+      SELECT CASE
+               WHEN value IS NULL THEN 'dlq:null_value'
+               WHEN value < 0 THEN 'dlq:negative'
+               WHEN event_type NOT IN ('view','click','purchase',
+                                       'signup','error')
+                 THEN 'dlq:unknown_type'
+               ELSE 'clean'
+             END AS route
+      FROM events
+    )
+    SELECT route, CAST(count(*) AS BIGINT) AS n_rows
+    FROM routed GROUP BY 1
+    """,
+)
+def q_dead_letter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — semantic-validation triage (the complement of
+    q_scan_csv_permissive's parse-level quarantine): every row is assigned
+    exactly one route by a first-match rule cascade (null value → negative
+    → unknown type → clean), so clean + DLQ partitions always sum to the
+    input and nothing is silently dropped. One map-side classification +
+    grouped count; in production each route becomes a partition of the
+    DLQ sink."""
+    ev = load_table(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("value").isNull(), "dlq:null_value")
+        .when(F.col("value") < 0, "dlq:negative")
+        .when(
+            ~F.col("event_type").isin(
+                "view", "click", "purchase", "signup", "error"
+            ),
+            "dlq:unknown_type",
+        )
+        .otherwise("clean")
+    )
+    return ev.groupBy(route.alias("route")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -14243,6 +14440,10 @@ _CHECK_PRIORITY = [
     # round-3 batch 53: bucketed agg, salted agg, DPP, checkpoint resume
     "q_agg_bucketed", "q_agg_salted_skew", "q_join_dpp",
     "q_stream_checkpoint_resume",
+    # round-3 batch 54: map lambdas, SQL-registered UDF, watermark
+    # incremental, dead-letter routing
+    "q_lambda_map_suite", "q_udf_sql_registered",
+    "q_incremental_watermark", "q_dead_letter_route",
 ]
 
 
