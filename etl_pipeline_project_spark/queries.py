@@ -14296,6 +14296,234 @@ def q_dead_letter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 55 — per-entity caps, leave-one-out target encoding, profile
+# drift, bounce rate.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_per_user_cap",
+    """
+    WITH ranked AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_input,
+           CAST(count(*) FILTER (rn <= 5) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (rn > 5) AS BIGINT) AS n_capped,
+           CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n_user_days
+    FROM ranked
+    """,
+)
+def q_per_user_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity rate capping — keep at most K=5 records per (user, day),
+    earliest-first: the contributor/domain cap every training-data
+    pipeline applies so one prolific source can't dominate the corpus
+    (and the API-throttle shape in event pipelines). Selection is a
+    row_number over the (entity, day) partition with a total (ts,
+    event_id) order — deterministic survivors, exact kept/capped
+    accounting. One shuffle on the cap key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("rn") <= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+        F.countDistinct("user_id", "day").alias("n_user_days"),
+    )
+
+
+@_q(
+    "q_target_encode_loo",
+    """
+    WITH x AS (
+      SELECT event_id, event_type,
+             CASE WHEN value IS NOT NULL AND value > 50 THEN 1 ELSE 0 END
+               AS y
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, SUM(y) AS sum_y, count(*) AS n
+      FROM x GROUP BY 1
+    )
+    SELECT x.event_id, x.event_type,
+           CAST(x.y AS BIGINT) AS y,
+           CAST(g.sum_y - x.y AS BIGINT) AS loo_num,
+           CAST(g.n - 1 AS BIGINT) AS loo_den,
+           CAST(g.sum_y - x.y AS DOUBLE) / CAST(g.n - 1 AS DOUBLE)
+             AS loo_encoding
+    FROM x JOIN g USING (event_type)
+    """,
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature: each row's category is encoded as the target mean of all
+    OTHER rows in that category, (Σy − yᵢ)/(n − 1). The naive mean leaks
+    the row's own label into its feature; LOO is the standard fix, and it
+    costs just one grouped aggregate + a broadcastable join back (the
+    category table is small by construction). Numerator/denominator stay
+    integer; the encoding is one division per row."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value").isNotNull() & (F.col("value") > 50), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    g = x.groupBy("event_type").agg(
+        F.sum("y").alias("sum_y"), F.count(F.lit(1)).alias("n")
+    )
+    j = x.join(F.broadcast(g), "event_type")
+    num = F.col("sum_y") - F.col("y")
+    den = F.col("n") - 1
+    return j.select(
+        "event_id",
+        "event_type",
+        F.col("y").cast("long").alias("y"),
+        num.cast("long").alias("loo_num"),
+        den.cast("long").alias("loo_den"),
+        (num.cast("double") / den.cast("double")).alias("loo_encoding"),
+    )
+
+
+@_q(
+    "q_profile_drift",
+    """
+    WITH a AS (
+      SELECT 'h1' AS half, count(*) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents,
+             count(*) - count(value) AS n_null
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      UNION ALL
+      SELECT 'h2', count(*),
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)),
+             count(*) - count(value)
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT half, CAST(n AS BIGINT) AS n_rows,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents
+    FROM a
+    """,
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal profile drift — the monitoring table that catches
+    distribution shift between ingestion windows: per half-month window,
+    row volume, exact cent totals, null counts and the derived mean
+    (single division). Pairs with q_ks_test (which grades the shift);
+    this key is the cheap always-on profile a 100 TB pipeline logs per
+    batch. Two filtered aggregates over one scan each."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def side(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("half"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("long").alias("cents"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+        )
+
+    u = side("h1", ev.filter(F.col("ts") < cut)).unionByName(
+        side("h2", ev.filter(F.col("ts") >= cut))
+    )
+    return u.select(
+        "half",
+        "n_rows",
+        "cents",
+        "n_null",
+        (F.col("cents").cast("double") / F.col("n_rows").cast("double")).alias(
+            "mean_cents"
+        ),
+    )
+
+
+@_q(
+    "q_session_bounce",
+    """
+    WITH sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+                 AS gap_us
+        FROM events
+      )
+    ),
+    per AS (
+      SELECT user_id, sess_id, count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+           CAST(count(*) FILTER (n_events = 1) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS bounce_rate
+    FROM per
+    """,
+)
+def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over gap-based sessions (30-minute inactivity
+    boundary, the same sessionization rule as q_sessionize): sessions
+    with exactly one event are bounces; the rate is one integer division.
+    The session id is a cumulative boundary count — integer microsecond
+    gaps, total (ts, event_id) order, so session assignment is
+    reproducible. One user_id exchange carries the lag, the boundary
+    cumsum and the per-session rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    boundary = F.when(
+        F.col("gap_us").isNull() | (F.col("gap_us") > 1800000000), 1
+    ).otherwise(0)
+    sess = gaps.select(
+        "user_id",
+        F.sum(boundary)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    per = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -14444,6 +14672,10 @@ _CHECK_PRIORITY = [
     # incremental, dead-letter routing
     "q_lambda_map_suite", "q_udf_sql_registered",
     "q_incremental_watermark", "q_dead_letter_route",
+    # round-3 batch 55: per-entity caps, LOO target encoding, profile
+    # drift, bounce rate
+    "q_per_user_cap", "q_target_encode_loo", "q_profile_drift",
+    "q_session_bounce",
 ]
 
 
