@@ -14524,6 +14524,151 @@ def q_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 56 — pre-aggregation before join, 4-4-5 fiscal calendar, dynamic
+# partition overwrite.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_preagg_before_join",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM (
+      SELECT o_custkey, count(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ) o JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_preagg_before_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pre-aggregation BELOW the join — the single highest-leverage
+    rewrite on a 100 TB star query: collapse the fact table to one row
+    per join key FIRST (10^12 → 10^8 rows), then join the aggregate to
+    the dimension (Catalyst does not push aggregates through joins for
+    you). The join input shrinks by the fan-in factor and the final
+    rollup is over the already-small result. Exact cents; the oracle is
+    the same two-level form."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pre = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents"),
+    )
+    j = pre.join(cust, pre.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@_q(
+    "q_fiscal_445",
+    """
+    WITH d AS (
+      SELECT o_orderdate,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(isoyear(o_orderdate) AS BIGINT) AS fy,
+             CAST(weekofyear(o_orderdate) AS BIGINT) AS wk
+      FROM orders
+    ),
+    f AS (
+      SELECT fy, cents,
+             CASE WHEN wk >= 53 THEN 11
+                  ELSE CAST(((wk - 1) // 13) * 3
+                       + CASE WHEN (wk - 1) % 13 < 4 THEN 0
+                              WHEN (wk - 1) % 13 < 8 THEN 1
+                              ELSE 2 END AS BIGINT)
+             END AS fp0
+      FROM d
+    )
+    SELECT fy AS fiscal_year, CAST(fp0 + 1 AS BIGINT) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 fiscal calendar rollup — the retail reporting calendar:
+    each quarter = 4+4+5 ISO weeks, so periods are comparable
+    week-for-week across years (unlike Gregorian months). Period =
+    quarter·3 + {0,1,2} by week offset within the 13-week quarter, week
+    53 folding into the final period — pure integer arithmetic on
+    (isoyear, weekofyear), both engines ISO-8601-identical. One grouped
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.expr("extract(YEAROFWEEK FROM o_orderdate)")
+        .cast("long")
+        .alias("fy"),
+        F.weekofyear("o_orderdate").cast("long").alias("wk"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    wk0 = F.col("wk") - 1
+    fp0 = F.when(F.col("wk") >= 53, F.lit(11)).otherwise(
+        F.expr("(wk - 1) div 13") * 3
+        + F.when(wk0 % 13 < 4, 0).when(wk0 % 13 < 8, 1).otherwise(2)
+    )
+    f = d.select(F.col("fy").alias("fiscal_year"), (fp0 + 1).alias("fiscal_period"), "cents")
+    return f.groupBy("fiscal_year", "fiscal_period").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@_q(
+    "q_dynamic_partition_overwrite",
+    """
+    SELECT year(o_orderdate) AS yr,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN year(o_orderdate) = 1996 THEN count(*)
+                     ELSE 0 END AS BIGINT) AS n_restated
+    FROM orders GROUP BY 1
+    """,
+)
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic): a
+    restatement batch rewrites ONLY the partitions it contains — 1996's
+    rows are replaced with RESTATED copies while every other year
+    survives untouched (static overwrite mode would TRUNCATE the whole
+    table first; the dynamic mode is how daily restatements land on a
+    partitioned 100 TB fact). The read-back must show all years, with
+    exactly 1996 restated — the oracle reproduces that end state from
+    the source table."""
+    import hashlib
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/orders_dpo_{tag}"
+    marker = f"{base}/_restated"
+    src = orders.withColumn("yr", F.year("o_orderdate"))
+    if not os.path.exists(marker):
+        src.write.partitionBy("yr").mode("overwrite").parquet(base)
+        restated = src.filter(F.col("yr") == 1996).withColumn(
+            "o_orderpriority", F.lit("RESTATED")
+        )
+        restated.write.partitionBy("yr").mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(base)
+        os.makedirs(marker, exist_ok=True)
+    back = spark.read.parquet(base)
+    # oracle's end state: every 1996 row restated, all other years intact
+    return back.groupBy(F.col("yr").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority") == "RESTATED", 1).otherwise(0))
+        .cast("long")
+        .alias("n_restated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -14676,6 +14821,9 @@ _CHECK_PRIORITY = [
     # drift, bounce rate
     "q_per_user_cap", "q_target_encode_loo", "q_profile_drift",
     "q_session_bounce",
+    # round-3 batch 56: pre-agg before join, 4-4-5 fiscal, dynamic
+    # partition overwrite
+    "q_preagg_before_join", "q_fiscal_445", "q_dynamic_partition_overwrite",
 ]
 
 
