@@ -14669,6 +14669,150 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Batch 57 — Bayesian-smoothed rates, nested schema pruning,
+# entity-consistent sampling.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_rate_smoothed",
+    """
+    WITH g AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(x AS BIGINT) AS n_purchases,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+           CAST(x + 1 AS DOUBLE) / CAST(n + 20 AS DOUBLE) AS smoothed_rate
+    FROM g
+    """,
+)
+def q_rate_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian (additive) rate smoothing — (x+α)/(n+β) with a
+    Beta(1,19) prior: the ranking-safe conversion rate that stops a
+    1-for-1 user from outranking a 90-for-100 one (the classic
+    small-sample CTR pathology). Integer numerators/denominators, each
+    rate ONE division — bit-identical cross-engine. One grouped
+    aggregate; the prior is a constant, not data-dependent state."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("x").cast("long").alias("n_purchases"),
+        F.col("n").alias("n_events"),
+        (F.col("x").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+        (
+            (F.col("x") + 1).cast("double") / (F.col("n") + 20).cast("double")
+        ).alias("smoothed_rate"),
+    )
+
+
+@_q(
+    "q_nested_schema_pruning",
+    """
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct schema pruning: customers land in parquet as one
+    deep struct column (profile.ident.nation, profile.money.balance,
+    plus payload fields), and the query touches TWO leaf fields — the
+    scan's ReadSchema must contain only those leaves, not the whole
+    struct (tests assert it). On a 100 TB nested table (logs, protobuf
+    drops) leaf-level pruning is the IO difference between reading 2%
+    and 100% of every row group. Result twins against the flat table."""
+    import hashlib
+    import os
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/cust_nested_{tag}"
+    if not os.path.exists(base):
+        nested = cust.select(
+            F.struct(
+                F.struct(
+                    F.col("c_custkey").alias("key"),
+                    F.col("c_nationkey").alias("nation"),
+                ).alias("ident"),
+                F.struct(
+                    F.col("c_acctbal").alias("balance"),
+                    F.col("c_mktsegment").alias("segment"),
+                ).alias("money"),
+                F.struct(
+                    F.col("c_name").alias("name"),
+                    F.col("c_custkey").alias("key_copy"),
+                ).alias("payload"),
+            ).alias("profile")
+        )
+        nested.write.mode("overwrite").parquet(base)
+    back = spark.read.parquet(base).select(
+        F.col("profile.ident.nation").alias("nationkey"),
+        F.col("profile.money.balance").alias("balance"),
+    )
+    j = back.join(F.broadcast(nation), back.nationkey == nation.n_nationkey)
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("balance") * 100, 0).cast("long")).alias("cents"),
+    )
+
+
+@_q(
+    "q_entity_sample",
+    """
+    WITH kept_users AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                 AS INTEGER) % 10 = 0
+    )
+    SELECT CAST((SELECT count(*) FROM kept_users) AS BIGINT) AS n_users_kept,
+           CAST(count(*) AS BIGINT) AS n_events_kept,
+           CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+             AS n_users_total
+    FROM events WHERE user_id IN (SELECT user_id FROM kept_users)
+    """,
+)
+def q_entity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY-consistent sampling: keep ~10% of USERS (content-stable md5
+    draw on the user id) and every one of their events — row-level
+    sampling shreds sessions/sequences; entity-level keeps each sampled
+    user's history complete, which is what sessionization, funnels and
+    per-author training-data work need. The draw is a pure hash
+    expression (no RNG, reproducible on any cluster); membership is a
+    map-side predicate, no join required."""
+    ev = load_table(spark, sf_dir, "events")
+    draw = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2), 16, 10)
+        .cast("int")
+        % 10
+        == 0
+    )
+    kept = ev.filter(draw)
+    return kept.agg(
+        F.countDistinct("user_id").alias("n_users_kept"),
+        F.count(F.lit(1)).alias("n_events_kept"),
+    ).crossJoin(
+        F.broadcast(
+            ev.agg(F.countDistinct("user_id").alias("n_users_total"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -14824,6 +14968,8 @@ _CHECK_PRIORITY = [
     # round-3 batch 56: pre-agg before join, 4-4-5 fiscal, dynamic
     # partition overwrite
     "q_preagg_before_join", "q_fiscal_445", "q_dynamic_partition_overwrite",
+    # round-3 batch 57: smoothed rates, nested pruning, entity sampling
+    "q_rate_smoothed", "q_nested_schema_pruning", "q_entity_sample",
 ]
 
 
