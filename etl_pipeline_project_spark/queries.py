@@ -14813,6 +14813,172 @@ def q_entity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 58 — collation-aware grouping, day-time interval arithmetic,
+# delimited key-value parsing.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_collation_group",
+    """
+    WITH w AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS seg_ci,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants
+    FROM w GROUP BY 1
+    """,
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a mixed-case segment
+    column grouped under UTF8_LCASE collapses case variants WITHOUT
+    rewriting the data through lower() — the collation is a column
+    property the engine's comparators/hashes honor everywhere (joins,
+    sorts, distinct). The emitted key is canonicalized to lower() because
+    a collated group's representative is arbitrary; the per-group case-
+    variant count (2 for every segment here) proves the collation did
+    the collapsing. One grouped aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = cust.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        )
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    g = w.groupBy(F.collate("seg", "UTF8_LCASE").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.collate("seg", "UTF8_BINARY")).alias("n_case_variants"),
+    )
+    return g.select(
+        F.lower(F.col("k").cast("string")).alias("seg_ci"),
+        "n",
+        "n_case_variants",
+    )
+
+
+@_q(
+    "q_interval_daytime",
+    """
+    WITH x AS (
+      SELECT ts,
+             ts + INTERVAL 90 MINUTE AS sla_deadline,
+             ts - INTERVAL 36 HOUR AS lookback_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS next_hour
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(sla_deadline AS DATE) <> CAST(ts AS DATE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_deadline_next_day,
+           CAST(min(epoch_us(next_hour) - epoch_us(ts)) AS BIGINT)
+             AS min_us_to_hour,
+           CAST(max(epoch_us(next_hour) - epoch_us(ts)) AS BIGINT)
+             AS max_us_to_hour,
+           CAST(SUM(epoch_us(ts) - epoch_us(lookback_start)) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS lookback_us
+    FROM x
+    """,
+)
+def q_interval_daytime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-TIME interval arithmetic (the companion to q_interval_months'
+    year-month intervals): SLA deadlines (+90 minutes), lookback windows
+    (−36 hours), and next-hour boundaries (date_trunc + 1 hour) — the
+    timestamp algebra operational pipelines run constantly. All audits
+    reduce to integer microsecond deltas: the constant 36-hour lookback
+    verifies as an exact integer division, the to-next-hour gap is
+    bounded by (0, 1h]."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "ts",
+        F.col("ts") + F.expr("INTERVAL 90 MINUTE"),
+        (F.col("ts") - F.expr("INTERVAL 36 HOUR")).alias("lookback_start"),
+        (F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR")).alias(
+            "next_hour"
+        ),
+    ).toDF("ts", "sla_deadline", "lookback_start", "next_hour")
+    return x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("sla_deadline").cast("date") != F.col("ts").cast("date"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_deadline_next_day"),
+        F.min(F.unix_micros("next_hour") - F.unix_micros("ts")).alias(
+            "min_us_to_hour"
+        ),
+        F.max(F.unix_micros("next_hour") - F.unix_micros("ts")).alias(
+            "max_us_to_hour"
+        ),
+        F.expr(
+            "CAST(SUM(unix_micros(ts) - unix_micros(lookback_start)) AS BIGINT)"
+            " div CAST(count(*) AS BIGINT)"
+        ).alias("lookback_us"),
+    )
+
+
+@_q(
+    "q_str_to_map",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             'type=' || event_type || ';uid=' || CAST(user_id AS VARCHAR)
+               || ';day=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS kv
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_id,
+             list_transform(string_split(kv, ';'),
+                            p -> string_split(p, '=')) AS pairs
+      FROM raw
+    ),
+    m AS (
+      SELECT event_id,
+             pairs[1][2] AS type_v, pairs[2][2] AS uid_v, pairs[3][2] AS day_v
+      FROM parsed
+    )
+    SELECT type_v AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT uid_v) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT day_v) AS BIGINT) AS n_days
+    FROM m GROUP BY 1
+    """,
+)
+def q_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited key=value parsing (str_to_map) — the log-line/query-string
+    decoder: 'k=v;k=v' unpacks to a typed map in one expression, fields
+    extracted by key (order-independent, unlike positional splits). The
+    round-trip is self-proving: rebuilt fields re-aggregate to the source
+    distributions. Map-only parse, one grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.concat(
+            F.lit("type="),
+            "event_type",
+            F.lit(";uid="),
+            F.col("user_id").cast("string"),
+            F.lit(";day="),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("kv")
+    )
+    m = raw.select(F.expr("str_to_map(kv, ';', '=')").alias("mp"))
+    fields = m.select(
+        F.element_at("mp", "type").alias("event_type"),
+        F.element_at("mp", "uid").alias("uid_v"),
+        F.element_at("mp", "day").alias("day_v"),
+    )
+    return fields.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("uid_v").alias("n_users"),
+        F.countDistinct("day_v").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -14970,6 +15136,8 @@ _CHECK_PRIORITY = [
     "q_preagg_before_join", "q_fiscal_445", "q_dynamic_partition_overwrite",
     # round-3 batch 57: smoothed rates, nested pruning, entity sampling
     "q_rate_smoothed", "q_nested_schema_pruning", "q_entity_sample",
+    # round-3 batch 58: collations, day-time intervals, str_to_map
+    "q_collation_group", "q_interval_daytime", "q_str_to_map",
 ]
 
 
