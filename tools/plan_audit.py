@@ -464,6 +464,56 @@ def main() -> int:
         )
     )
 
+    p = plan("q_agg_bucketed")
+    checks.append(
+        (
+            "q_agg_bucketed keyed aggregate reads buckets — zero l_orderkey exchange",
+            len(re.findall(r"Exchange hashpartitioning\(l_orderkey", p)) == 0,
+            p[:300],
+        )
+    )
+    p = plan("q_join_dpp")
+    checks.append(
+        (
+            "q_join_dpp fact scan carries a dynamicpruning partition filter",
+            "dynamicpruning" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_preagg_before_join")
+    checks.append(
+        (
+            "q_preagg_before_join aggregates the fact table BELOW the join",
+            p.lower().index("hashaggregate") > p.lower().index("join") or
+            len(re.findall(r"HashAggregate", p)) >= 3,
+            p[:300],
+        )
+    )
+    m = re.search(r"ReadSchema: (struct<profile:[^\n]*)", plan("q_nested_schema_pruning"))
+    checks.append(
+        (
+            "q_nested_schema_pruning scan reads only the two touched struct leaves",
+            bool(m) and "payload" not in m.group(1) and "segment" not in m.group(1),
+            str(m),
+        )
+    )
+    p = plan("q_entity_sample")
+    checks.append(
+        (
+            "q_entity_sample hash-draw is a map-side predicate (no sampling join)",
+            "PushedFilters" in p or "Filter" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_keyset_pagination")
+    checks.append(
+        (
+            "q_keyset_pagination top-150 prefix is limit-pushed (TakeOrdered/WindowGroupLimit), never a full ranked materialization",
+            "WindowGroupLimit" in p or "TakeOrderedAndProject" in p,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
