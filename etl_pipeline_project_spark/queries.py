@@ -14979,6 +14979,185 @@ def q_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 59 — deterministic negative sampling, monotonic-id audit, dedup
+# survivor-policy matrix.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_negative_sampling",
+    """
+    WITH pk AS (
+      SELECT min(p_partkey) AS lo,
+             max(p_partkey) - min(p_partkey) + 1 AS span
+      FROM part
+    ),
+    pos AS (
+      SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+    ),
+    negs AS (
+      SELECT pos.event_id, pos.user_id, k.i,
+             lo + CAST('0x' || substr(md5(CAST(pos.event_id AS VARCHAR)
+                       || '_' || CAST(k.i AS VARCHAR)), 1, 8) AS BIGINT)
+                  % span AS neg_partkey
+      FROM pos, pk, (SELECT unnest([1, 2]) AS i) k
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_positives,
+           CAST(count(DISTINCT neg_partkey) AS BIGINT) AS n_distinct_negs,
+           CAST(SUM(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dangling
+    FROM negs LEFT JOIN part ON neg_partkey = p_partkey
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling for contrastive training pairs:
+    each positive (purchase) gets k=2 pseudo-random item negatives drawn
+    by hashing (event_id, i) into the contiguous part-key domain — O(k·
+    positives) arithmetic, never a positives×items cross join, and the
+    same pairs on every run/cluster (no RNG). The left join back to part
+    proves every drawn key resolves (n_dangling = 0 on the dense key
+    range) — the integrity check a feature-store join would rely on."""
+    ev = load_table(spark, sf_dir, "events")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    pk = part.agg(
+        F.min("p_partkey").alias("lo"),
+        (F.max("p_partkey") - F.min("p_partkey") + 1).alias("span"),
+    )
+    pos = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    ks = spark.range(1, 3).select(F.col("id").alias("i"))
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit("_"),
+                    F.col("i").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    negs = (
+        pos.crossJoin(F.broadcast(pk))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("lo") + draw % F.col("span")).alias("neg_partkey"),
+        )
+    )
+    j = negs.join(part, negs.neg_partkey == part.p_partkey, "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_positives"),
+        F.countDistinct("neg_partkey").alias("n_distinct_negs"),
+        F.sum(F.when(F.col("p_partkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dangling"),
+    )
+
+
+@_q(
+    "q_monotonic_ids",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct_ids,
+           true AS ids_unique
+    FROM orders
+    """,
+)
+def q_monotonic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """monotonically_increasing_id() — the distributed surrogate-key
+    generator: partition-prefixed 64-bit ids, unique by construction but
+    NOT stable across runs/layouts, so the CONTRACT here is the
+    uniqueness invariant (n_distinct == n_rows), never the values — the
+    docstring rule any deployment must inherit (stable keys come from
+    content hashes, q_hash_key). Zero shuffle to generate; one aggregate
+    to audit."""
+    orders = load_table(spark, sf_dir, "orders")
+    ids = orders.select(F.monotonically_increasing_id().alias("mid"))
+    return ids.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("mid").alias("n_distinct_ids"),
+    ).select(
+        "n_rows",
+        "n_distinct_ids",
+        (F.col("n_rows") == F.col("n_distinct_ids")).alias("ids_unique"),
+    )
+
+
+@_q(
+    "q_dedup_policy_matrix",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_last,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY value DESC NULLS LAST, event_id)
+               AS rn_best
+      FROM events
+    )
+    SELECT CAST(count(*) FILTER (rn_first = 1) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN rn_first = 1 AND rn_last = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first_eq_last,
+           CAST(SUM(CASE WHEN rn_first = 1 AND rn_best = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_first_eq_best
+    FROM ranked
+    """,
+)
+def q_dedup_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-policy matrix for keyed dedup — keep-FIRST (earliest),
+    keep-LAST (latest), keep-BEST (highest value): all three are
+    row_number picks under different total orders on ONE shuffled
+    partition, and the matrix quantifies how often they choose the same
+    physical row (singleton keys agree trivially; multi-row keys
+    disagree). The reference's drop_duplicates inherited file order
+    (SURVEY §1.4 Q3); this key is the policy decision made explicit and
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    ranked = ev.select(
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn_first"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_last"),
+        F.row_number()
+        .over(w.orderBy(F.col("value").desc_nulls_last(), "event_id"))
+        .alias("rn_best"),
+    )
+    return ranked.agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys"),
+        F.sum(
+            F.when((F.col("rn_first") == 1) & (F.col("rn_last") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_first_eq_last"),
+        F.sum(
+            F.when((F.col("rn_first") == 1) & (F.col("rn_best") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_first_eq_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -15138,6 +15317,8 @@ _CHECK_PRIORITY = [
     "q_rate_smoothed", "q_nested_schema_pruning", "q_entity_sample",
     # round-3 batch 58: collations, day-time intervals, str_to_map
     "q_collation_group", "q_interval_daytime", "q_str_to_map",
+    # round-3 batch 59: negative sampling, monotonic ids, dedup policies
+    "q_negative_sampling", "q_monotonic_ids", "q_dedup_policy_matrix",
 ]
 
 
