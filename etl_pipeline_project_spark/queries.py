@@ -15158,6 +15158,154 @@ def q_dedup_policy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 60 — watermark late-data semantics, parameterized SQL,
+# IDENTIFIER() dynamic references.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_late_drop",
+    """
+    WITH ot AS (
+      SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    ),
+    mx AS (SELECT max(ts) AS mt FROM ot)
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ot, mx
+    WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY
+            <= mt - INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, end to end: run 1 streams the
+    on-time slice through a 1-day-watermarked daily aggregate in APPEND
+    mode (only windows the watermark has closed reach the sink); run 2
+    resumes from the checkpoint and replays a file of LATE rows — all
+    older than the persisted watermark, so the state store drops every
+    one. The sink therefore holds exactly the closed on-time windows:
+    no late contamination, no unfinalized tail window — which is
+    precisely what the twin computes from the batch table. This is the
+    bounded-state guarantee that lets the aggregation run forever at
+    100 TB/day."""
+    import hashlib
+    import os
+
+    from etl_pipeline_project_spark.streaming.ops import read_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/stream_late_{tag}"
+    stage, ckpt, sink = f"{base}/stage", f"{base}/ckpt", f"{base}/sink"
+
+    def run_stream() -> None:
+        src = (
+            spark.readStream.schema(
+                ev.select("ts", "event_id").schema
+            ).parquet(stage)
+        )
+        agg = (
+            src.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").cast("date").cast("string").alias("day"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if not os.path.exists(base):
+        ev.select("ts", "event_id").filter(F.col("ts") >= cut).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        run_stream()  # run 1: on-time slice; watermark advances, windows close
+        ev.select("ts", "event_id").filter(F.col("ts") < cut).write.mode(
+            "append"
+        ).parquet(stage)
+        run_stream()  # run 2: late rows arrive below the watermark -> dropped
+    run_stream()  # idempotent re-invocation
+    return spark.read.parquet(sink)
+
+
+@_q(
+    "q_sql_parameterized",
+    f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           {_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_totalprice > 50000
+    GROUP BY 1
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers) — user inputs bind as
+    TYPED VALUES, never string-spliced into the query text: the
+    SQL-injection-proof templating surface (the reference interpolates
+    f-strings into SQL, `data/transformation_db.py:109` — this is the
+    engine's safe replacement). The parameters reach Catalyst as
+    literals, so pushdown/pruning work exactly as with inline
+    constants."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE) AS total
+        FROM orders_param
+        WHERE o_orderdate >= :start_date AND o_totalprice > :min_total
+        GROUP BY o_orderpriority
+        """,
+        args={"start_date": "1997-01-01", "min_total": 50000},
+    )
+
+
+@_q(
+    "q_sql_identifier",
+    """
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+    """,
+)
+def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() dynamic object references — table names arrive as
+    parameters but resolve through the SAFE identifier channel (no SQL
+    string concatenation, no injection, catalog resolution rules apply):
+    the generic-tooling surface for catalog sweeps like q_dq_uniqueness.
+    One templated count per table, unioned."""
+    parts = []
+    for name in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"idtbl_{name}")
+        parts.append(
+            spark.sql(
+                "SELECT :label AS table_name, COUNT(*) AS n_rows "
+                "FROM IDENTIFIER(:tbl)",
+                args={"label": name, "tbl": f"idtbl_{name}"},
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -15319,6 +15467,8 @@ _CHECK_PRIORITY = [
     "q_collation_group", "q_interval_daytime", "q_str_to_map",
     # round-3 batch 59: negative sampling, monotonic ids, dedup policies
     "q_negative_sampling", "q_monotonic_ids", "q_dedup_policy_matrix",
+    # round-3 batch 60: late-data watermark, parameterized SQL, IDENTIFIER
+    "q_stream_late_drop", "q_sql_parameterized", "q_sql_identifier",
 ]
 
 
