@@ -15306,6 +15306,135 @@ def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 61 — rolling regression slopes, role-playing dimensions.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_rolling_slope",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS x,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT user_id, day,
+             count(*) OVER win AS n,
+             SUM(x) OVER win AS sx,
+             SUM(y) OVER win AS sy,
+             SUM(x * y) OVER win AS sxy,
+             SUM(x * x) OVER win AS sxx
+      FROM daily
+      WINDOW win AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(day AS VARCHAR) AS day,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END
+             AS slope_cents_per_day
+    FROM w WHERE n >= 3
+    """,
+)
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING least-squares trend: per user, the 7-observation windowed
+    slope of daily spend — q_linreg_trend's exact-moment formulation
+    moved into a sliding ROWS frame, so every window's S1/Sxy/Sxx moments
+    are integer sums and the slope is one guarded division (num/den also
+    emitted as exact integers). One user_id exchange carries the daily
+    pre-aggregate and all four moment windows; no per-window refit, no
+    Python."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.expr("CAST(unix_micros(min(ts)) div 86400000000 AS BIGINT)").alias("x"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"),
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    )
+    w = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+    ).filter(F.col("n") >= 3)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return w.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("day").cast("string").alias("day"),
+        F.col("n").alias("n_days"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope_cents_per_day"),
+    )
+
+
+@_q(
+    "q_role_playing_dim",
+    """
+    WITH dd AS (
+      SELECT DISTINCT CAST(d AS DATE) AS d, year(CAST(d AS DATE)) AS yr
+      FROM (SELECT o_orderdate AS d FROM orders
+            UNION ALL SELECT l_shipdate FROM lineitem)
+    )
+    SELECT od.yr AS order_year, sd.yr AS ship_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN dd od ON o_orderdate = od.d
+    JOIN dd sd ON l_shipdate = sd.d
+    GROUP BY 1, 2
+    """,
+)
+def q_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension — ONE date dimension joined twice under two
+    roles (order date, ship date), the standard star-schema pattern a
+    single physical dim table serves through aliases: both joins
+    broadcast the same small dim, the fact table shuffles once for the
+    orders join, and the (order_year × ship_year) matrix exposes the
+    cross-role lag structure. Aliasing correctness (no column capture
+    between the two roles) is exactly what this key pins."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    dd = (
+        orders.select(F.col("o_orderdate").alias("d"))
+        .unionByName(li.select(F.col("l_shipdate").alias("d")))
+        .distinct()
+        .select("d", F.year("d").alias("yr"))
+    )
+    od = dd.select(F.col("d").alias("od_d"), F.col("yr").alias("order_year"))
+    sd = dd.select(F.col("d").alias("sd_d"), F.col("yr").alias("ship_year"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(od), F.col("o_orderdate") == F.col("od_d"))
+        .join(F.broadcast(sd), F.col("l_shipdate") == F.col("sd_d"))
+    )
+    return j.groupBy("order_year", "ship_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -15469,6 +15598,8 @@ _CHECK_PRIORITY = [
     "q_negative_sampling", "q_monotonic_ids", "q_dedup_policy_matrix",
     # round-3 batch 60: late-data watermark, parameterized SQL, IDENTIFIER
     "q_stream_late_drop", "q_sql_parameterized", "q_sql_identifier",
+    # round-3 batch 61: rolling slopes, role-playing dims
+    "q_rolling_slope", "q_role_playing_dim",
 ]
 
 
