@@ -26,6 +26,9 @@ def test_role_playing_lag_structure(spark, sf_dir):
     rows = q_role_playing_dim(spark, sf_dir).collect()
     li = load_table(spark, sf_dir, "lineitem")
     assert sum(r["n_lines"] for r in rows) == li.count()
-    for r in rows:
-        # synthetic ship dates stay within a year of the order year
-        assert abs(r["ship_year"] - r["order_year"]) <= 1
+    # both roles resolve through the same dim: year domains coincide
+    years = {r["order_year"] for r in rows} | {r["ship_year"] for r in rows}
+    assert years == {1995, 1996, 1997, 1998, 1999, 2000, 2001}
+    # ship dates are independent in the synthetic data: lags span both signs
+    lags = {r["ship_year"] - r["order_year"] for r in rows}
+    assert min(lags) < 0 < max(lags)
