@@ -15435,6 +15435,132 @@ def q_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 62 — unknown-member dimension pattern, accumulating-snapshot fact.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_unknown_member",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unknown
+    FROM orders LEFT JOIN dim ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def q_unknown_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNKNOWN-member pattern: fact rows whose dimension key has no
+    dim row (here a dim with 1-in-7 members deliberately missing) map to
+    the reserved 'UNKNOWN' member instead of silently dropping out of an
+    inner join — every fact row survives, the unknown bucket is
+    measurable, and the report totals reconcile to the fact table (THE
+    referential-integrity posture for late-arriving dims at 100 TB;
+    q_dq_referential counts the orphans, this key keeps them). Left
+    broadcast join + coalesce remap, one aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left"
+    )
+    return j.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unknown"),
+    )
+
+
+@_q(
+    "q_accumulating_snapshot",
+    """
+    WITH m AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_first_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(t_signup AS VARCHAR) AS t_signup,
+           CAST(CASE WHEN t_signup IS NOT NULL AND t_first_view > t_signup
+                     THEN (epoch_us(t_first_view) - epoch_us(t_signup))
+                          // 1000000 END AS BIGINT) AS signup_to_view_s,
+           CAST(CASE WHEN t_first_click IS NOT NULL
+                          AND t_first_purchase > t_first_click
+                     THEN (epoch_us(t_first_purchase)
+                           - epoch_us(t_first_click)) // 1000000
+                END AS BIGINT) AS click_to_purchase_s,
+           CAST(t_signup IS NOT NULL AND t_first_view IS NOT NULL
+                AND t_first_click IS NOT NULL
+                AND t_first_purchase IS NOT NULL AS BOOLEAN)
+             AS funnel_complete
+    FROM m
+    """,
+)
+def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCUMULATING-SNAPSHOT fact — the third Kimball fact type (the mart
+    covers transaction facts, q_ohlc_downsample the periodic snapshot):
+    one row per process instance (user funnel) whose milestone columns
+    fill in as events arrive — first signup/view/click/purchase
+    timestamps, inter-milestone lags in integer seconds, completion flag.
+    Built in ONE conditional-min pass over the event stream (no
+    per-milestone scans, no updates-in-place — the rebuild-from-log
+    formulation that scales); incremental maintenance would MERGE by
+    least(min) per column."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    m = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_first_view"),
+        first("click").alias("t_first_click"),
+        first("purchase").alias("t_first_purchase"),
+    )
+    lag_sv = F.when(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_first_view") > F.col("t_signup")),
+        F.expr(
+            "(unix_micros(t_first_view) - unix_micros(t_signup)) div 1000000"
+        ),
+    )
+    lag_cp = F.when(
+        F.col("t_first_click").isNotNull()
+        & (F.col("t_first_purchase") > F.col("t_first_click")),
+        F.expr(
+            "(unix_micros(t_first_purchase) - unix_micros(t_first_click))"
+            " div 1000000"
+        ),
+    )
+    return m.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("t_signup").cast("string").alias("t_signup"),
+        lag_sv.cast("long").alias("signup_to_view_s"),
+        lag_cp.cast("long").alias("click_to_purchase_s"),
+        (
+            F.col("t_signup").isNotNull()
+            & F.col("t_first_view").isNotNull()
+            & F.col("t_first_click").isNotNull()
+            & F.col("t_first_purchase").isNotNull()
+        ).alias("funnel_complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -15600,6 +15726,8 @@ _CHECK_PRIORITY = [
     "q_stream_late_drop", "q_sql_parameterized", "q_sql_identifier",
     # round-3 batch 61: rolling slopes, role-playing dims
     "q_rolling_slope", "q_role_playing_dim",
+    # round-3 batch 62: unknown member, accumulating snapshot
+    "q_unknown_member", "q_accumulating_snapshot",
 ]
 
 
