@@ -611,7 +611,7 @@ def q_sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     back — the oracle checks the round-tripped result."""
     from etl_pipeline_project_spark.sources.sinks import write_overwrite
 
-    out = f"{_SCRATCH}/sink_overwrite"
+    out = f"{_SCRATCH}/sink_overwrite_{spark.sparkContext.applicationId}"
     seg = distinct_values(load_table(spark, sf_dir, "customer"), "c_mktsegment")
     write_overwrite(seg, out)
     write_overwrite(seg, out)  # idempotent by construction
@@ -627,7 +627,7 @@ def q_sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     running the load twice adds zero rows."""
     from etl_pipeline_project_spark.sources.sinks import write_append, write_overwrite
 
-    out = f"{_SCRATCH}/sink_append"
+    out = f"{_SCRATCH}/sink_append_{spark.sparkContext.applicationId}"
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     write_overwrite(base, out)
@@ -680,7 +680,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_project_spark.streaming.ops import read_events_stream
     from etl_pipeline_project_spark.streaming.upsert import foreach_batch_merge
 
-    target = f"{_SCRATCH}/stream_upsert"
+    target = f"{_SCRATCH}/stream_upsert_{spark.sparkContext.applicationId}"
     shutil.rmtree(target, ignore_errors=True)
     for _ in range(2):  # idempotence: second run adds zero rows
         q = (
@@ -3161,8 +3161,8 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_project_spark.sources.sinks import compact_parquet
 
     ev = load_table(spark, sf_dir, "events")
-    landing = f"{_SCRATCH}/compact_landing"
-    compacted = f"{_SCRATCH}/compact_out"
+    landing = f"{_SCRATCH}/compact_landing_{spark.sparkContext.applicationId}"
+    compacted = f"{_SCRATCH}/compact_out_{spark.sparkContext.applicationId}"
     ev.repartition(64).write.mode("overwrite").parquet(landing)
     compact_parquet(spark, landing, compacted, target_partitions=4)
     out = spark.read.parquet(compacted)
@@ -3200,7 +3200,7 @@ def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_project_spark.sources.sinks import write_csv
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = f"{_SCRATCH}/csv_stage"
+    out = f"{_SCRATCH}/csv_stage_{spark.sparkContext.applicationId}"
     write_csv(ev, out, partition_by=["event_type"])
     schema = T.StructType(
         [
@@ -3352,7 +3352,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite of historical data. This is how a 100 TB table takes a new
     column for free; the oracle synthesizes the same null pattern."""
     orders = load_table(spark, sf_dir, "orders")
-    out = f"{_SCRATCH}/schema_evo"
+    out = f"{_SCRATCH}/schema_evo_{spark.sparkContext.applicationId}"
     v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
@@ -3556,7 +3556,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_project_spark.sources.sinks import merge_upsert
 
     orders = load_table(spark, sf_dir, "orders")
-    out = f"{_SCRATCH}/merge_upsert"
+    out = f"{_SCRATCH}/merge_upsert_{spark.sparkContext.applicationId}"
     base = orders.select("o_orderkey", "o_totalprice")
     base.write.mode("overwrite").parquet(out)
     changes = orders.filter(
@@ -3583,7 +3583,7 @@ def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     what make this sound: float partials would make the refreshed state
     depend on merge order."""
     ev = load_table(spark, sf_dir, "events")
-    state_path = f"{_SCRATCH}/agg_state"
+    state_path = f"{_SCRATCH}/agg_state_{spark.sparkContext.applicationId}"
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
@@ -4130,7 +4130,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
     )
-    path = f"{_SCRATCH}/orders_by_year"
+    path = f"{_SCRATCH}/orders_by_year_{spark.sparkContext.applicationId}"
     orders.write.mode("overwrite").partitionBy("o_year").parquet(path)
     back = spark.read.parquet(path).filter(F.col("o_year") == 1997)
     return back.groupBy("o_year", F.month("o_orderdate").alias("o_month")).agg(
@@ -4914,7 +4914,10 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "O"
     )
-    path = f"{_SCRATCH}/orders_orc"
+    # per-session path: a concurrent process overwriting a shared fixture
+    # mid-read raises FILE_NOT_EXIST (write-then-read is only atomic
+    # within one session)
+    path = f"{_SCRATCH}/orders_orc_{spark.sparkContext.applicationId}"
     orders.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("o_orderpriority").agg(
@@ -6339,7 +6342,7 @@ def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    out = f"{_SCRATCH}/json_stage"
+    out = f"{_SCRATCH}/json_stage_{spark.sparkContext.applicationId}"
     docs.write.mode("overwrite").json(out)
     schema = T.StructType(
         [
@@ -11642,7 +11645,7 @@ def q_scan_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     delimiter or newline would corrupt the frame shape). Line-oriented
     reads parallelize by HDFS split at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    out = f"{_SCRATCH}/text_stage"
+    out = f"{_SCRATCH}/text_stage_{spark.sparkContext.applicationId}"
     docs.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), "source", "text").alias(
             "value"
@@ -11883,7 +11886,7 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_id", "value")
     )
-    out = f"{_SCRATCH}/csv_permissive"
+    out = f"{_SCRATCH}/csv_permissive_{spark.sparkContext.applicationId}"
     ev.write.mode("overwrite").option("header", "false").csv(out)
     bad = spark.createDataFrame(
         [("not_a_number,xyz",), ("1e999,,trailing",), ("###",), (",,,,",), ("a,b",)],
@@ -15561,6 +15564,171 @@ def q_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 63 — embedding centroid drift, cross-source duplicate provenance,
+# tokenizer fertility.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_embed_drift",
+    """
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, CAST(i - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS v_fp
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    ),
+    c AS (
+      SELECT label, half, dim, count(*) AS n, SUM(v_fp) AS s
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT a.label, a.dim,
+             abs(a.s * b.n - b.s * a.n) AS num, a.n * b.n AS den
+      FROM c a JOIN c b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(SUM(num) AS BIGINT) AS l1_num_fp,
+           CAST(max(den) AS BIGINT) AS den
+    FROM j GROUP BY 1
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid DRIFT between two deterministic corpus halves,
+    per label: the monitoring signal for 'did my embedding distribution
+    move' (model swap, upstream feature change). Each half's centroid
+    uses the fixed-point int64 accumulation of q_embed_centroid; the
+    per-dim |mean_a − mean_b| comparison cross-multiplies to integers
+    (|s_a·n_b − s_b·n_a|) so the L1 drift numerator is EXACT — no float
+    means compared, no tolerance needed. One (label, half, dim) shuffle,
+    then a dim-count-sized join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("v").cast("double") * 1000000).cast("long").alias("v_fp"),
+    )
+    c = ex.groupBy("label", "half", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_fp").alias("s")
+    )
+    a = c.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("na"), F.col("s").alias("sa")
+    )
+    b = c.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    j = a.join(b, ["label", "dim"]).select(
+        "label",
+        "dim",
+        F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("num"),
+        (F.col("na") * F.col("nb")).alias("den"),
+    )
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("num").cast("long").alias("l1_num_fp"),
+        F.max("den").cast("long").alias("den"),
+    )
+
+
+@_q(
+    "q_cross_source_dups",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLE_SQL} AS s FROM documents),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE 1.0 - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / CAST(GREATEST(len(a.s) + len(b.s)
+                   - len(list_intersect(a.s, b.s)), 1) AS DOUBLE) < 0.4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source,
+           CAST(SUM(CASE WHEN src_a = src_b THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_source
+    FROM pairs
+    """,
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate PROVENANCE: of the near-dup pairs (the exact MinHash-LSH
+    pair set), how many straddle DIFFERENT sources vs stay within one —
+    the syndication/mirror-site signal that decides whether dedup should
+    be source-local (cheap, blocked) or global (the expensive path is
+    only justified if cross-source dups exist). Reuses the banded LSH
+    pair plan + a source-pair classification; the oracle recomputes the
+    pair set exactly all-pairs."""
+    from etl_pipeline_project_spark.operators.dedup_text import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_distance_threshold=0.4
+    )
+    src = docs.select("doc_id", "source")
+    pa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    pb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    lab = pairs.join(F.broadcast(pa), "id_a").join(F.broadcast(pb), "id_b")
+    return lab.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("src_a") != F.col("src_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.sum(F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_same_source"),
+    )
+
+
+@_q(
+    "q_tokenizer_fertility",
+    """
+    WITH t AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+'))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+             AS fertility
+    FROM t GROUP BY 1
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (tokens per word) by source — the corpus-mix
+    cost metric: a source whose text fragments into more subword tokens
+    per word consumes proportionally more of a training budget. Both
+    counts come from one map-only pass (whitespace words + the BPE-ish
+    pretokenizer regex, RE2∩Java-safe: no lookahead); the ratio is one
+    integer→double division per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)")
+        ).alias("n_tokens"),
+    )
+    return t.groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.sum("n_tokens").cast("double") / F.sum("n_words").cast("double")
+        ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -15728,6 +15896,8 @@ _CHECK_PRIORITY = [
     "q_rolling_slope", "q_role_playing_dim",
     # round-3 batch 62: unknown member, accumulating snapshot
     "q_unknown_member", "q_accumulating_snapshot",
+    # round-3 batch 63: embedding drift, cross-source dups, fertility
+    "q_embed_drift", "q_cross_source_dups", "q_tokenizer_fertility",
 ]
 
 
