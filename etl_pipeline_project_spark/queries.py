@@ -15729,6 +15729,78 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 64 — nested document-model denormalization round-trip.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_nest_denormalize",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(first_qty) AS BIGINT) AS sum_first_qty
+    FROM (
+      SELECT o_orderkey, o_orderpriority, count(*) AS n_lines,
+             CAST(min_by(l_quantity,
+                         l_linenumber * 100000000000000
+                         + l_partkey * 10000000 + l_suppkey)
+                  AS BIGINT) AS first_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ) GROUP BY 1
+    """,
+)
+def q_nest_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-model DENORMALIZATION round-trip: orders nest their line
+    items as a SORTED array<struct> (total (linenumber, partkey, suppkey)
+    order — collect_list alone is partition-order-dependent), land as
+    nested parquet, read back, and unnest again — the one-to-many
+    materialization that trades join cost for storage locality (the
+    nested layout answers per-order questions with zero joins at read
+    time). The audit checks line counts and the first line's quantity
+    per order survive both hops exactly."""
+    import hashlib
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{_SCRATCH}/orders_nested_{tag}"
+    if not os.path.exists(base):
+        nested = (
+            li.groupBy("l_orderkey")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+                        )
+                    )
+                ).alias("lines")
+            )
+            .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+            .select("o_orderkey", "o_orderpriority", "lines")
+        )
+        nested.write.mode("overwrite").parquet(base)
+    back = spark.read.parquet(base)
+    per_order = back.select(
+        "o_orderpriority",
+        F.size("lines").alias("n_lines"),
+        F.col("lines")[0]["l_quantity"].cast("long").alias("first_qty"),
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("first_qty").cast("long").alias("sum_first_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -15898,6 +15970,8 @@ _CHECK_PRIORITY = [
     "q_unknown_member", "q_accumulating_snapshot",
     # round-3 batch 63: embedding drift, cross-source dups, fertility
     "q_embed_drift", "q_cross_source_dups", "q_tokenizer_fertility",
+    # round-3 batch 64: nested denormalization round-trip
+    "q_nest_denormalize",
 ]
 
 
