@@ -15354,7 +15354,11 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate and all four moment windows; no per-window refit, no
     Python."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    daily = ev.groupBy(
+    # one explicit user_id exchange up front: hash(user_id) clusters every
+    # (user_id, day) group AND satisfies the downstream user_id window, so
+    # Catalyst inserts no second shuffle (groupBy(user, day) alone would
+    # partition on the pair, which the window can't reuse)
+    daily = ev.repartition("user_id").groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
     ).agg(
         F.expr("CAST(unix_micros(min(ts)) div 86400000000 AS BIGINT)").alias("x"),

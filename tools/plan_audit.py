@@ -514,6 +514,39 @@ def main() -> int:
         )
     )
 
+    p = plan("q_role_playing_dim")
+    checks.append(
+        (
+            "q_role_playing_dim both dim roles broadcast (2+ BroadcastHashJoins)",
+            len(re.findall(r"BroadcastHashJoin", p)) >= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_rolling_slope")
+    checks.append(
+        (
+            "q_rolling_slope daily pre-agg + all four moment windows on one user_id exchange",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) <= 1,
+            p[:300],
+        )
+    )
+    p = plan("q_accumulating_snapshot")
+    checks.append(
+        (
+            "q_accumulating_snapshot one conditional-min pass: single exchange, partial aggregation",
+            "partial" in p.lower() and len(re.findall(r"Exchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_preagg_before_join")
+    checks.append(
+        (
+            "q_preagg_before_join join input is the aggregate, not the fact table",
+            "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
