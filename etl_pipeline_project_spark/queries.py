@@ -15805,6 +15805,146 @@ def q_nest_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 65 — empty-relation propagation, UNION DISTINCT, inline VALUES
+# dims, try_cast matrix.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_empty_relation",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE 1 = 0 GROUP BY 1
+    """,
+)
+def q_empty_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-relation propagation: a contradiction filter collapses the
+    whole join+aggregate to an empty LocalRelation at OPTIMIZATION time —
+    zero tasks, zero scans (PropagateEmptyRelation) — while the SCHEMA
+    survives intact, which is the contract downstream unions/writers
+    depend on. The zero-row result still hash-matches the twin; at
+    100 TB this is the reason a no-op incremental window costs
+    nothing."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.lit(1) == F.lit(0))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct semantics) — completing the set-op matrix
+    (UNION ALL / INTERSECT [ALL] / EXCEPT [ALL] have keys already):
+    engines execute it as union-all + aggregate-distinct, one shuffle on
+    the full width. Small key domain here; the semantics, not the
+    volume, are the contract."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+@_q(
+    "q_inline_dim_join",
+    """
+    WITH sla(o_orderpriority, sla_days) AS (
+      VALUES ('1-URGENT', 2), ('2-HIGH', 5), ('3-MEDIUM', 10),
+             ('4-NOT SPECIFIED', 21), ('5-LOW', 30)
+    )
+    SELECT sla_days,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders JOIN sla USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def q_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension — config-as-code lookup tables (SLA
+    policies, tier maps) declared in the query itself and broadcast into
+    the fact scan: no staging table, no file, versioned with the code.
+    The literal relation is a LocalRelation the planner folds and
+    broadcasts for free; every fact row must match (count reconciles) —
+    the guard that a policy map covers its domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    sla = spark.createDataFrame(
+        [
+            ("1-URGENT", 2),
+            ("2-HIGH", 5),
+            ("3-MEDIUM", 10),
+            ("4-NOT SPECIFIED", 21),
+            ("5-LOW", 30),
+        ],
+        "o_orderpriority string, sla_days int",
+    )
+    return (
+        orders.join(F.broadcast(sla), "o_orderpriority")
+        .groupBy("sla_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@_q(
+    "q_try_cast_matrix",
+    """
+    WITH x AS (
+      SELECT props,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+             TRY_CAST(event_type AS BIGINT) AS type_as_int,
+             TRY_CAST(CAST(ts AS VARCHAR) AS DATE) AS ts_as_date
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k_int) AS BIGINT) AS n_k_parsed,
+           CAST(count(type_as_int) AS BIGINT) AS n_type_parsed,
+           CAST(count(ts_as_date) AS BIGINT) AS n_date_parsed,
+           CAST(SUM(k_int) AS BIGINT) AS sum_k
+    FROM x
+    """,
+)
+def q_try_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast degradation matrix — the ingestion posture for dirty typed
+    fields: JSON-extracted numerics parse (count survives), alphabetic
+    strings degrade to NULL instead of failing the task, and
+    timestamp-string→date round-trips (both engines parse the leading
+    ISO date from 'YYYY-MM-DD HH:MM:SS'). NULL-counting audits make the
+    degradation measurable (pairs with q_try_arith's arithmetic half).
+    Map-only + one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias(
+            "k_int"
+        ),
+        F.expr("try_cast(event_type AS BIGINT)").alias("type_as_int"),
+        F.expr("try_cast(CAST(ts AS STRING) AS DATE)").alias("ts_as_date"),
+    )
+    return x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k_int").alias("n_k_parsed"),
+        F.count("type_as_int").alias("n_type_parsed"),
+        F.count("ts_as_date").alias("n_date_parsed"),
+        F.sum("k_int").cast("long").alias("sum_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -15976,6 +16116,10 @@ _CHECK_PRIORITY = [
     "q_embed_drift", "q_cross_source_dups", "q_tokenizer_fertility",
     # round-3 batch 64: nested denormalization round-trip
     "q_nest_denormalize",
+    # round-3 batch 65: empty relation, UNION DISTINCT, inline dims,
+    # try_cast matrix
+    "q_empty_relation", "q_union_distinct", "q_inline_dim_join",
+    "q_try_cast_matrix",
 ]
 
 
