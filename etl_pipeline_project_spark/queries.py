@@ -15945,6 +15945,191 @@ def q_try_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 66 — vocabulary drift, time-based debounce, hierarchical shares.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_vocab_drift",
+    """
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    df AS (
+      SELECT term,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM df)
+    SELECT term, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(n1 * t0 - n0 * t1 AS BIGINT) AS drift_num,
+           CAST(t0 * t1 AS BIGINT) AS drift_den
+    FROM df, tot
+    ORDER BY abs(n1 * t0 - n0 * t1) DESC, term
+    LIMIT 30
+    """,
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two deterministic corpus halves: per term,
+    the relative-frequency shift n1/t1 − n0/t0 in CROSS-MULTIPLIED exact
+    integer form (n1·t0 − n0·t1 over t0·t1) — the text companion to
+    q_embed_drift and q_ks_test, ranked by absolute shift with a term
+    tie-break. The token counts are one map-side-combinable aggregate;
+    the totals broadcast. Top-30 bounds the contract output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    df = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    tot = df.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    j = df.crossJoin(F.broadcast(tot))
+    num = F.col("n1") * F.col("t0") - F.col("n0") * F.col("t1")
+    return (
+        j.select(
+            "term",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("n1").cast("long").alias("n1"),
+            num.cast("long").alias("drift_num"),
+            (F.col("t0") * F.col("t1")).cast("long").alias("drift_den"),
+        )
+        .orderBy(F.abs(F.col("drift_num")).desc(), "term")
+        .limit(30)
+    )
+
+
+@_q(
+    "q_debounce",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id))
+               AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 300000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+    FROM seq GROUP BY 1
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based DEBOUNCE: an event is suppressed when the same user
+    emitted the same type within the last 5 minutes — the telemetry
+    duplicate-burst filter (double-clicks, retry storms). Complementary
+    to q_per_user_cap (count-based budget): debounce is gap-based, and a
+    chain of sub-threshold events keeps only its first. One lag over the
+    (user, type) partition with a total order; integer-µs gaps; kept +
+    debounced always sums to the input."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+    keep = F.col("gap_us").isNull() | (F.col("gap_us") > 300000000)
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_debounced"),
+    )
+
+
+@_q(
+    "q_hierarchical_share",
+    """
+    WITH base AS (
+      SELECT r_name, n_name,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ),
+    lv AS (
+      SELECT r_name, n_name, cents,
+             SUM(cents) OVER (PARTITION BY r_name) AS region_cents,
+             SUM(cents) OVER () AS total_cents
+      FROM base
+    )
+    SELECT r_name, n_name, CAST(cents AS BIGINT) AS cents,
+           CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+             AS share_of_region,
+           CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             AS region_share_of_total,
+           CAST(cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             AS share_of_total
+    FROM lv
+    """,
+)
+def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share decomposition — nation-within-region and
+    region-within-total proportions from ONE aggregate: the two window
+    levels run over the 25-row nation rollup (never the fact table), each
+    share is a single division of exact cent integers, and the identity
+    share_of_total = share_of_region × region_share_of_total holds to
+    the division's rounding. The drill-path percentages every BI rollup
+    reports."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w_r = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    lv = base.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.sum("cents").over(w_r).alias("region_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+    )
+    return lv.select(
+        "r_name",
+        "n_name",
+        "cents",
+        (F.col("cents").cast("double") / F.col("region_cents").cast("double")).alias(
+            "share_of_region"
+        ),
+        (
+            F.col("region_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("region_share_of_total"),
+        (F.col("cents").cast("double") / F.col("total_cents").cast("double")).alias(
+            "share_of_total"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -16120,6 +16305,8 @@ _CHECK_PRIORITY = [
     # try_cast matrix
     "q_empty_relation", "q_union_distinct", "q_inline_dim_join",
     "q_try_cast_matrix",
+    # round-3 batch 66: vocab drift, debounce, hierarchical shares
+    "q_vocab_drift", "q_debounce", "q_hierarchical_share",
 ]
 
 
