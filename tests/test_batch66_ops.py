@@ -48,3 +48,15 @@ def test_hierarchical_share_identities(spark, sf_dir):
     for s in by_region.values():
         assert abs(s - 1.0) < 1e-9
     assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-9
+
+
+def test_model_score_partitions_points(spark, sf_dir):
+    from etl_pipeline_project_spark.queries import q_model_score_broadcast
+
+    r = q_model_score_broadcast(spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    assert r["n_scored"] == ev.count()
+    assert r["n_above_line"] + r["n_below_line"] + r["n_on_line"] == r["n_scored"]
+    # a least-squares line splits points to both sides
+    assert r["n_above_line"] > 0 and r["n_below_line"] > 0
+    assert r["slope_den"] > 0
