@@ -16299,6 +16299,173 @@ def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 69 — MTD/YTD running totals, business-day arithmetic, aging
+# report.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_mtd_ytd",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(SUM(cents) OVER (PARTITION BY date_trunc('month', day)
+                                 ORDER BY day) AS BIGINT) AS mtd_cents,
+           CAST(SUM(cents) OVER (PARTITION BY date_trunc('quarter', day)
+                                 ORDER BY day) AS BIGINT) AS qtd_cents,
+           CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS ytd_cents
+    FROM daily
+    """,
+)
+def q_mtd_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTD / QTD / YTD running totals — the period-to-date triad every
+    finance dashboard renders: three cumulative windows whose PARTITION
+    keys are calendar truncations of the same date, over the daily
+    aggregate (365 rows — the windows never see the fact table). Exact
+    cents; window frames default to RANGE-to-current which is what
+    period-to-date means. One year keeps the contract output bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w_m = Window.partitionBy(F.date_trunc("month", "day")).orderBy("day")
+    w_q = Window.partitionBy(F.date_trunc("quarter", "day")).orderBy("day")
+    w_y = Window.orderBy("day")
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "cents",
+        F.sum("cents").over(w_m).cast("long").alias("mtd_cents"),
+        F.sum("cents").over(w_q).cast("long").alias("qtd_cents"),
+        F.sum("cents").over(w_y).cast("long").alias("ytd_cents"),
+    )
+
+
+@_q(
+    "q_business_days",
+    """
+    WITH x AS (
+      SELECT o_orderdate AS d0, l_shipdate AS d1
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate
+    ),
+    e AS (
+      -- closed-form weekday count over (d0, d1]: f(k) = 5*(k//7) +
+      -- least(5, k%7 + 1); bdays = f(cal + w - 1) - f(w - 1), w = isodow
+      SELECT date_diff('day', d0, d1) AS cal_days,
+             ((date_diff('day', d0, d1) + isodow(d0) - 1) // 7) * 5
+             + least(5, (date_diff('day', d0, d1) + isodow(d0) - 1) % 7 + 1)
+             - ((isodow(d0) - 1) // 7) * 5
+             - least(5, (isodow(d0) - 1) % 7 + 1)
+               AS bdays
+      FROM x
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(cal_days) AS BIGINT) AS sum_cal_days,
+           CAST(SUM(bdays) AS BIGINT) AS sum_business_days,
+           CAST(max(cal_days - bdays) AS BIGINT) AS max_weekend_days
+    FROM e
+    """,
+)
+def q_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-day interval arithmetic in closed form — weekdays between
+    order and ship dates without a calendar-spine join: weekdays((0,n]
+    from weekday w) = f(n+w−1) − f(w−1) where f(k) = 5·(k div 7) +
+    min(5, k mod 7 + 1), pure integer ops both engines evaluate
+    identically (the calendar-table join is the O(span) alternative; the
+    closed form is O(1) per row — the difference at 10^12 pairs). SLA
+    reporting's canonical date function."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    x = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderdate").alias("d0"), F.col("l_shipdate").alias("d1")
+        )
+    )
+    cal = F.datediff("d1", "d0")
+    # Spark: dayofweek is Sun=1..Sat=7; ISO dow = ((dayofweek+5) % 7) + 1
+    isodow0 = (F.dayofweek("d0") + 5) % 7 + 1
+
+    def f(k):
+        return F.floor(k / 7).cast("long") * 5 + F.least(F.lit(5), k % 7 + 1)
+
+    e = x.select(
+        cal.alias("cal_days"),
+        (
+            f(cal + isodow0 - 1) - f(isodow0 - 1)
+        ).alias("bdays"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cal_days").cast("long").alias("sum_cal_days"),
+        F.sum("bdays").cast("long").alias("sum_business_days"),
+        F.max(F.col("cal_days") - F.col("bdays")).cast("long").alias(
+            "max_weekend_days"
+        ),
+    )
+
+
+@_q(
+    "q_aging_report",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS horizon FROM orders),
+    aged AS (
+      SELECT date_diff('day', o_orderdate, horizon) AS age,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders, mx WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age <= 30 THEN '0-30'
+                WHEN age <= 60 THEN '31-60'
+                WHEN age <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM aged GROUP BY 1
+    """,
+)
+def q_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables AGING report — open orders bucketed by days outstanding
+    at the data horizon (0-30/31-60/61-90/90+), the finance close-process
+    standard: age is integer day arithmetic against a broadcast horizon
+    scalar, buckets are a first-match cascade, money stays in exact
+    cents. One filtered aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("horizon"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("horizon", "o_orderdate").alias("age"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -16480,6 +16647,8 @@ _CHECK_PRIORITY = [
     "q_model_score_broadcast",
     # round-3 batch 68: watermark-bounded dedup, partitioned stream sink
     "q_stream_dedup_watermarked", "q_stream_sink_partitioned",
+    # round-3 batch 69: MTD/YTD, business days, aging report
+    "q_mtd_ytd", "q_business_days", "q_aging_report",
 ]
 
 
