@@ -16466,6 +16466,114 @@ def q_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 70 — grouped-map pandas transform, min-max feature scaling.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_grouped_map_pandas",
+    """
+    WITH o AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN rn * 2 <= n THEN cents ELSE 0 END) AS BIGINT)
+             AS first_half_cents
+    FROM o GROUP BY 1
+    """,
+)
+def q_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP pandas transform (applyInPandas) — the general
+    per-group imperative escape hatch (the UDF surface between scalar
+    pandas_udf and cogroup): each user's events arrive as ONE pandas
+    frame, get sorted by the total (ts, event_id) order in Python, and
+    fold to a per-user summary incl. a sequence-dependent feature (the
+    first half of the ordered stream's spend) that a plain aggregate
+    can't express without windows. Arrow-batched; groups never cross
+    executors; the twin reproduces the fold relationally."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("user_id", "ts", "event_id", "value")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = (pdf["value"] * 100).round(0).astype("int64")
+        n = len(pdf)
+        half = n // 2
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "total_cents": [int(cents.sum())],
+                "first_half_cents": [int(cents.iloc[:half].sum())],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id long, n_events long, total_cents long, first_half_cents long",
+    )
+
+
+@_q(
+    "q_minmax_scale",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             min(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS lo,
+             max(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS hi
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(lo) AS BIGINT) AS lo_cents,
+           CAST(max(hi) AS BIGINT) AS hi_cents,
+           CAST(SUM(CASE WHEN hi > lo
+                         THEN ((cents - lo) * 1000000) // (hi - lo)
+                         ELSE 0 END) AS BIGINT) AS sum_scaled_ppm
+    FROM b GROUP BY 1
+    """,
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling in EXACT integer ppm — (x−min)·10⁶ div
+    (max−min) per group: the [0,1] normalization (as parts-per-million
+    ints) with zero float division per row, so the scaled features are
+    reproducible bit-for-bit on any cluster (q_robust_scaler is the
+    outlier-resistant sibling). One event_type exchange shared by the
+    min/max window and the final aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("event_type")
+    b = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        F.min(cents).over(w).alias("lo"),
+        F.max(cents).over(w).alias("hi"),
+    )
+    scaled = F.when(
+        F.col("hi") > F.col("lo"),
+        F.expr("((cents - lo) * 1000000) div (hi - lo)"),
+    ).otherwise(0)
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lo").cast("long").alias("lo_cents"),
+        F.max("hi").cast("long").alias("hi_cents"),
+        F.sum(scaled).cast("long").alias("sum_scaled_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -16649,6 +16757,8 @@ _CHECK_PRIORITY = [
     "q_stream_dedup_watermarked", "q_stream_sink_partitioned",
     # round-3 batch 69: MTD/YTD, business days, aging report
     "q_mtd_ytd", "q_business_days", "q_aging_report",
+    # round-3 batch 70: grouped-map pandas, min-max scaling
+    "q_grouped_map_pandas", "q_minmax_scale",
 ]
 
 
