@@ -16574,6 +16574,133 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 71 — group-vs-rest comparison, catalog freshness audit.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_group_vs_rest",
+    """
+    WITH g AS (
+      SELECT c_mktsegment AS seg, count(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS s
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM g)
+    SELECT seg, CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS BIGINT) AS cents,
+           -- mean_group vs mean_rest in cross-multiplied exact form:
+           -- sign(s*(tn-n) - (ts-s)*n)
+           CASE WHEN s * (tn - n) > (ts - s) * n THEN 'above_rest'
+                WHEN s * (tn - n) < (ts - s) * n THEN 'below_rest'
+                ELSE 'equal' END AS vs_rest,
+           CAST(s * (tn - n) - (ts - s) * n AS BIGINT) AS diff_num,
+           CAST(n * (tn - n) AS BIGINT) AS diff_den
+    FROM g, t
+    """,
+)
+def q_group_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-vs-REST comparison — each segment's mean order value against
+    the mean of everyone ELSE (the self-excluding baseline that avoids a
+    group diluting its own benchmark): mean_g ⋛ mean_rest cross-multiplies
+    to s·(T_n−n) ⋛ (T_s−s)·n, exact integers, with the difference's
+    numerator/denominator emitted for downstream magnitude math. One
+    aggregate + broadcast totals — the leave-one-group-out pattern at
+    group granularity (row granularity is q_target_encode_loo)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("s"),
+        )
+    )
+    t = g.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    j = g.crossJoin(F.broadcast(t))
+    lhs = F.col("s") * (F.col("tn") - F.col("n"))
+    rhs = (F.col("ts") - F.col("s")) * F.col("n")
+    return j.select(
+        "seg",
+        F.col("n").alias("n_orders"),
+        F.col("s").alias("cents"),
+        F.when(lhs > rhs, "above_rest")
+        .when(lhs < rhs, "below_rest")
+        .otherwise("equal")
+        .alias("vs_rest"),
+        (lhs - rhs).cast("long").alias("diff_num"),
+        (F.col("n") * (F.col("tn") - F.col("n"))).cast("long").alias("diff_den"),
+    )
+
+
+@_q(
+    "q_freshness_audit",
+    """
+    WITH f AS (
+      SELECT 'orders' AS tbl,
+             CAST(max(o_orderdate) AS VARCHAR) AS max_event,
+             count(*) AS n_rows
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(max(l_shipdate) AS VARCHAR), count(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', CAST(max(CAST(ts AS DATE)) AS VARCHAR), count(*)
+      FROM events
+    )
+    SELECT tbl, max_event, CAST(n_rows AS BIGINT) AS n_rows,
+           max_event = max(max_event) OVER () AS is_freshest
+    FROM f
+    """,
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide FRESHNESS audit — per table, the latest event-time
+    high-water mark and row volume, flagged against the freshest table:
+    the staleness monitor a daily pipeline alerts on (a fact table whose
+    max date stops advancing is the classic silent-failure signature;
+    q_dq_uniqueness is the key-integrity sweep, this is the recency
+    sweep). Each probe is a min/max-only scan — parquet footer statistics
+    answer it without reading data pages."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        orders.agg(
+            F.lit("orders").alias("tbl"),
+            F.max("o_orderdate").cast("string").alias("max_event"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .unionByName(
+            li.agg(
+                F.lit("lineitem").alias("tbl"),
+                F.max("l_shipdate").cast("string").alias("max_event"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        .unionByName(
+            ev.agg(
+                F.lit("events").alias("tbl"),
+                F.max(F.col("ts").cast("date")).cast("string").alias("max_event"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    )
+    return f.select(
+        "tbl",
+        "max_event",
+        "n_rows",
+        (
+            F.col("max_event")
+            == F.max("max_event").over(Window.partitionBy())
+        ).alias("is_freshest"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -16759,6 +16886,8 @@ _CHECK_PRIORITY = [
     "q_mtd_ytd", "q_business_days", "q_aging_report",
     # round-3 batch 70: grouped-map pandas, min-max scaling
     "q_grouped_map_pandas", "q_minmax_scale",
+    # round-3 batch 71: group-vs-rest, freshness audit
+    "q_group_vs_rest", "q_freshness_audit",
 ]
 
 
