@@ -16926,6 +16926,105 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 74 — composition-over-time shares, sweep-line max concurrency.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_composition_shares",
+    """
+    WITH g AS (
+      SELECT year(o_orderdate) AS yr, o_orderpriority,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY yr) AS DOUBLE) AS share
+    FROM g
+    """,
+)
+def q_composition_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-over-time: each priority's share WITHIN its year — the
+    stacked-area chart feed (q_pct_of_total is the global single-period
+    form; partitioning the total by period is what makes mix shifts
+    visible). Shares are single integer→double divisions over the
+    year-partitioned window on the small rollup; per-year shares sum to
+    1 by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("yr")
+    return g.select(
+        "yr",
+        "o_orderpriority",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@_q(
+    "q_max_concurrency",
+    """
+    WITH spans AS (
+      SELECT o_custkey, min(o_orderdate) AS d0, max(o_orderdate) AS d1
+      FROM orders GROUP BY 1
+    ),
+    deltas AS (
+      SELECT d0 AS d, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d1 + INTERVAL 1 DAY, -1 FROM spans
+    ),
+    daily AS (
+      SELECT d, SUM(delta) AS net FROM deltas GROUP BY 1
+    ),
+    run AS (
+      SELECT d, SUM(net) OVER (ORDER BY d) AS concurrent FROM daily
+    )
+    SELECT CAST(max(concurrent) AS BIGINT) AS max_concurrent,
+           CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_spans,
+           CAST(min(d) AS VARCHAR) AS first_day,
+           CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_breakpoints
+    FROM run
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line MAX CONCURRENCY over activity spans (each customer's
+    first→last order dates, inclusive): +1 at span start, −1 the day
+    after span end, cumulative-sum the breakpoint deltas, take the max —
+    O(distinct breakpoints) instead of the span×calendar explosion (the
+    interval-overlap JOIN answers per-pair questions, q_interval_overlap;
+    the sweep answers the global gauge — concurrent sessions, license
+    seats, room occupancy). All-integer counter algebra on the
+    date-bounded breakpoint table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spans = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    deltas = spans.select(F.col("d0").alias("d"), F.lit(1).alias("delta")).unionByName(
+        spans.select(F.date_add("d1", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select("d", F.sum("net").over(w).alias("concurrent"))
+    stats = run.agg(
+        F.max("concurrent").cast("long").alias("max_concurrent"),
+        F.min("d").cast("string").alias("first_day"),
+    )
+    n_spans = spans.agg(F.count(F.lit(1)).alias("n_spans"))
+    n_break = daily.agg(F.count(F.lit(1)).alias("n_breakpoints"))
+    return (
+        stats.crossJoin(F.broadcast(n_spans))
+        .crossJoin(F.broadcast(n_break))
+        .select("max_concurrent", "n_spans", "first_day", "n_breakpoints")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17117,6 +17216,8 @@ _CHECK_PRIORITY = [
     "q_cte_reuse", "q_distinct_complex",
     # round-3 batch 73: item similarity, 2-hop neighborhoods
     "q_item_similarity", "q_graph_2hop",
+    # round-3 batch 74: composition shares, max concurrency
+    "q_composition_shares", "q_max_concurrency",
 ]
 
 
