@@ -17025,6 +17025,159 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 75 — backlog curve, SLA compliance.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_backlog_curve",
+    """
+    WITH life AS (
+      SELECT o_orderkey, min(o_orderdate) AS placed,
+             max(l_shipdate) AS done
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+    ),
+    deltas AS (
+      SELECT placed AS d, 1 AS delta FROM life
+      UNION ALL
+      SELECT done + INTERVAL 1 DAY, -1 FROM life WHERE done >= placed
+    ),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY 1),
+    run AS (SELECT d, SUM(net) OVER (ORDER BY d) AS backlog FROM daily)
+    SELECT CAST(max(backlog) AS BIGINT) AS peak_backlog,
+           CAST((SELECT count(*) FROM life) AS BIGINT) AS n_orders,
+           CAST((SELECT count(*) FROM life WHERE done >= placed) AS BIGINT)
+             AS n_closed,
+           CAST(min(CASE WHEN backlog = (SELECT max(backlog) FROM run)
+                         THEN d END) AS VARCHAR) AS peak_day
+    FROM run
+    """,
+)
+def q_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG over time, by interval sweep: +1 the day an
+    order is placed, −1 the day after its last line ships — the
+    cumulative breakpoint counter yields the backlog curve and its peak
+    in O(distinct dates) (the per-day join formulation costs
+    days × orders). Orders whose synthetic ship dates precede placement
+    never close and stay in the terminal backlog — reported, not hidden
+    (n_orders − n_closed). The WIP/throughput gauge of operational
+    reporting."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    life = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(orders.o_orderkey)
+        .agg(
+            F.min("o_orderdate").alias("placed"),
+            F.max("l_shipdate").alias("done"),
+        )
+    )
+    closed = life.filter(F.col("done") >= F.col("placed"))
+    deltas = life.select(F.col("placed").alias("d"), F.lit(1).alias("delta")).unionByName(
+        closed.select(F.date_add("done", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select("d", F.sum("net").over(w).alias("backlog"))
+    peak = run.agg(F.max("backlog").alias("peak"))
+    peak_day = (
+        run.crossJoin(F.broadcast(peak))
+        .filter(F.col("backlog") == F.col("peak"))
+        .agg(F.min("d").cast("string").alias("peak_day"))
+    )
+    stats = life.agg(F.count(F.lit(1)).alias("n_orders")).crossJoin(
+        F.broadcast(closed.agg(F.count(F.lit(1)).alias("n_closed")))
+    )
+    return (
+        peak.select(F.col("peak").cast("long").alias("peak_backlog"))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(peak_day))
+        .select("peak_backlog", "n_orders", "n_closed", "peak_day")
+    )
+
+
+@_q(
+    "q_sla_compliance",
+    """
+    WITH sla(o_orderpriority, sla_bdays) AS (
+      VALUES ('1-URGENT', 5), ('2-HIGH', 10), ('3-MEDIUM', 20),
+             ('4-NOT SPECIFIED', 40), ('5-LOW', 60)
+    ),
+    x AS (
+      SELECT o_orderpriority, sla_bdays,
+             date_diff('day', o_orderdate, l_shipdate) AS cal,
+             isodow(o_orderdate) AS w
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN sla USING (o_orderpriority)
+      WHERE l_shipdate >= o_orderdate
+    ),
+    b AS (
+      SELECT o_orderpriority, sla_bdays,
+             ((cal + w - 1) // 7) * 5 + least(5, (cal + w - 1) % 7 + 1)
+             - ((w - 1) // 7) * 5 - least(5, (w - 1) % 7 + 1) AS bdays
+      FROM x
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN bdays <= sla_bdays THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_sla,
+           CAST(SUM(CASE WHEN bdays <= sla_bdays THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS compliance
+    FROM b GROUP BY 1
+    """,
+)
+def q_sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA COMPLIANCE per priority — the composition the pieces exist
+    for: inline VALUES policy dim (q_inline_dim_join) × closed-form
+    business days (q_business_days) × a single-division compliance rate.
+    Per line: business days from order to ship vs the priority's SLA
+    budget, all-integer comparison; the dashboard number every ops
+    review opens with."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sla = spark.createDataFrame(
+        [
+            ("1-URGENT", 5),
+            ("2-HIGH", 10),
+            ("3-MEDIUM", 20),
+            ("4-NOT SPECIFIED", 40),
+            ("5-LOW", 60),
+        ],
+        "o_orderpriority string, sla_bdays int",
+    )
+    x = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sla), "o_orderpriority")
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+    )
+    cal = F.datediff("l_shipdate", "o_orderdate")
+    w0 = (F.dayofweek("o_orderdate") + 5) % 7 + 1
+
+    def f(k):
+        return F.floor(k / 7).cast("long") * 5 + F.least(F.lit(5), k % 7 + 1)
+
+    b = x.select(
+        "o_orderpriority",
+        "sla_bdays",
+        (f(cal + w0 - 1) - f(w0 - 1)).alias("bdays"),
+    )
+    within = F.when(F.col("bdays") <= F.col("sla_bdays"), 1).otherwise(0)
+    return b.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(within).cast("long").alias("n_within_sla"),
+        (F.sum(within).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "compliance"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17218,6 +17371,8 @@ _CHECK_PRIORITY = [
     "q_item_similarity", "q_graph_2hop",
     # round-3 batch 74: composition shares, max concurrency
     "q_composition_shares", "q_max_concurrency",
+    # round-3 batch 75: backlog curve, SLA compliance
+    "q_backlog_curve", "q_sla_compliance",
 ]
 
 
