@@ -17178,6 +17178,93 @@ def q_sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 76 — centered moving average, multi-offset seasonal lags.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_centered_ma",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS ma_num,
+           CAST(count(*) OVER w AS BIGINT) AS ma_den,
+           CAST(SUM(cents) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS centered_ma
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def q_centered_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTERED 7-day moving average — the trend smoother that does not
+    lag the signal (trailing frames shift the trend half a window late;
+    the centered ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING frame is the
+    decomposition-analysis standard). Edges shrink the window naturally
+    (count(*) OVER w is the true denominator — no padding bias). Exact
+    integer numerator/denominator emitted beside the single-division
+    mean; the window runs over the daily aggregate, not the event
+    stream. Completes the frame matrix: trailing / unbounded / RANGE /
+    centered."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("ma_num"),
+        F.count(F.lit(1)).over(w).cast("long").alias("ma_den"),
+        (
+            F.sum("cents").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("centered_ma"),
+    )
+
+
+@_q(
+    "q_multi_offset_lags",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(cents - lag(cents, 1) OVER w AS BIGINT) AS dod_cents,
+           CAST(cents - lag(cents, 7) OVER w AS BIGINT) AS wow_cents,
+           CAST(cents - lag(cents, 14) OVER w AS BIGINT) AS w2w_cents
+    FROM daily WINDOW w AS (ORDER BY day)
+    """,
+)
+def q_multi_offset_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-offset seasonal deltas in ONE window pass — day-over-day,
+    week-over-week and fortnight comparisons share a single sort (three
+    lag() offsets over the same WINDOW spec; re-sorting per offset is
+    the naive 3× plan). Integer cent deltas, NULL where the offset
+    precedes the series — the period-comparison row every daily KPI
+    table carries. The window runs over the day-bounded aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "cents",
+        (F.col("cents") - F.lag("cents", 1).over(w)).cast("long").alias("dod_cents"),
+        (F.col("cents") - F.lag("cents", 7).over(w)).cast("long").alias("wow_cents"),
+        (F.col("cents") - F.lag("cents", 14).over(w)).cast("long").alias("w2w_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17373,6 +17460,8 @@ _CHECK_PRIORITY = [
     "q_composition_shares", "q_max_concurrency",
     # round-3 batch 75: backlog curve, SLA compliance
     "q_backlog_curve", "q_sla_compliance",
+    # round-3 batch 76: centered MA, multi-offset lags
+    "q_centered_ma", "q_multi_offset_lags",
 ]
 
 
