@@ -17265,6 +17265,125 @@ def q_multi_offset_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 77 — temporal co-occurrence, conversion by entry path.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_temporal_cooccurrence",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_id < b.event_id
+       AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+       AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_cooccur
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_temporal_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL co-occurrence basket: event-type pairs fired by the same
+    user within one hour — market-basket analysis where the basket is a
+    TIME WINDOW instead of an order (the cross-sell/context signal for
+    behavioral data). The pair join is user-equi + time-band, so the
+    blow-up is within-user-within-hour local, never a global product;
+    (event_id, type) orderings dedup each unordered pair exactly once.
+    One shuffle on user_id; integer-µs band."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (
+            F.abs(F.unix_micros(F.col("a.ts")) - F.unix_micros(F.col("b.ts")))
+            <= 3600000000
+        )
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_cooccur")
+    )
+
+
+@_q(
+    "q_conversion_by_path",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= 3 GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, 1 AS converted FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(SUM(COALESCE(converted, 0)) AS BIGINT) AS n_converted,
+           CAST(SUM(COALESCE(converted, 0)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS conversion_rate
+    FROM paths LEFT JOIN conv USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_conversion_by_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate BY ENTRY PATH — which openings convert: the
+    first-3-event path (q_session_paths' deterministic reassembly) joined
+    against ever-purchased flags, one rate per path (single integer
+    division). The onboarding-optimization table: path mining tells you
+    what users do first; this key tells you which of those beginnings
+    end in revenue. Two user_id-keyed aggregates + one broadcastable
+    flag join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    j = paths.join(conv, "user_id", "left")
+    return j.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.coalesce("converted", F.lit(0))).cast("long").alias("n_converted"),
+        (
+            F.sum(F.coalesce("converted", F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17462,6 +17581,8 @@ _CHECK_PRIORITY = [
     "q_backlog_curve", "q_sla_compliance",
     # round-3 batch 76: centered MA, multi-offset lags
     "q_centered_ma", "q_multi_offset_lags",
+    # round-3 batch 77: temporal co-occurrence, conversion by path
+    "q_temporal_cooccurrence", "q_conversion_by_path",
 ]
 
 
