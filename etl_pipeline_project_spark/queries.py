@@ -17384,6 +17384,120 @@ def q_conversion_by_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 78 — bit-shift decayed frequency, decile spread.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_decayed_frequency",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS horizon FROM events),
+    w AS (
+      SELECT user_id,
+             date_diff('day', CAST(ts AS DATE), horizon) // 7 AS age_w
+      FROM events, mx
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN age_w >= 20 THEN 0
+                         ELSE (1048576 >> age_w) END) AS BIGINT)
+             AS decayed_score_fp
+    FROM w GROUP BY 1
+    """,
+)
+def q_decayed_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-DECAYED frequency with EXACT half-life weights: each event
+    contributes 2^20 >> age_weeks fixed-point units (a one-week half-life
+    as a pure integer bit shift — no float exp(), no accumulation-order
+    drift, and the score is mergeable across partitions like any integer
+    sum). The engagement score that ranks a user active yesterday above
+    one equally active last month; weights vanish exactly at 20 weeks.
+    One grouped aggregate over a broadcast horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("horizon"))
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.floor(F.datediff("horizon", F.col("ts").cast("date")) / 7)
+        .cast("int")
+        .alias("age_w"),
+    )
+    weight = F.when(F.col("age_w") >= 20, F.lit(0)).otherwise(
+        F.expr("shiftright(1048576, age_w)")
+    )
+    return w.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(weight).cast("long").alias("decayed_score_fp"),
+    )
+
+
+@_q(
+    "q_decile_spread",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v, count(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY v) AS cumn,
+             SUM(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    ),
+    q AS (
+      SELECT event_type,
+             min(CASE WHEN cumn * 10 >= tot THEN v END) AS p10,
+             min(CASE WHEN cumn * 10 >= tot * 9 THEN v END) AS p90
+      FROM cum GROUP BY 1
+    )
+    SELECT event_type, CAST(p10 AS BIGINT) AS p10_cents,
+           CAST(p90 AS BIGINT) AS p90_cents,
+           CAST(p90 AS DOUBLE) / CAST(p10 AS DOUBLE) AS spread_ratio
+    FROM q
+    """,
+)
+def q_decile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P90/P10 DECILE SPREAD per group — the dispersion/inequality ratio
+    (compensation analytics, latency SLOs): both endpoints come from the
+    count-based discrete-percentile plan (distinct values collapse
+    map-side, integer CDF rule 10·cum ≥ k·n), and the spread is ONE
+    division of two exact data values. No sort-based percentile
+    buffering anywhere."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = ev.groupBy(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "v",
+        F.sum("n").over(wc).alias("cumn"),
+        F.sum("n").over(wa).alias("tot"),
+    )
+    q = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cumn") * 10 >= F.col("tot"), F.col("v"))).alias(
+            "p10"
+        ),
+        F.min(
+            F.when(F.col("cumn") * 10 >= F.col("tot") * 9, F.col("v"))
+        ).alias("p90"),
+    )
+    return q.select(
+        "event_type",
+        F.col("p10").cast("long").alias("p10_cents"),
+        F.col("p90").cast("long").alias("p90_cents"),
+        (F.col("p90").cast("double") / F.col("p10").cast("double")).alias(
+            "spread_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17583,6 +17697,8 @@ _CHECK_PRIORITY = [
     "q_centered_ma", "q_multi_offset_lags",
     # round-3 batch 77: temporal co-occurrence, conversion by path
     "q_temporal_cooccurrence", "q_conversion_by_path",
+    # round-3 batch 78: decayed frequency, decile spread
+    "q_decayed_frequency", "q_decile_spread",
 ]
 
 
