@@ -17498,6 +17498,131 @@ def q_decile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 79 — one-hot encoding, per-column checksums.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_onehot_encode",
+    """
+    WITH oh AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent,
+             CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS high,
+             CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS medium,
+             CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                  THEN 1 ELSE 0 END AS notspec,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS low
+      FROM orders
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(urgent) AS BIGINT) AS n_urgent,
+           CAST(SUM(high) AS BIGINT) AS n_high,
+           CAST(SUM(medium) AS BIGINT) AS n_medium,
+           CAST(SUM(notspec) AS BIGINT) AS n_notspec,
+           CAST(SUM(low) AS BIGINT) AS n_low
+    FROM oh GROUP BY 1
+    """,
+)
+def q_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-HOT encoding with a DECLARED category vocabulary — the fixed-
+    schema form (indicator columns enumerated in code, never inferred:
+    schema stability is what lets yesterday's model read today's
+    features; pivot-style inference breaks the contract when a category
+    vanishes from a batch). Rolled up per customer the indicators become
+    count features; row-wise each sums to 1. Map-only encode + one
+    grouped aggregate — completes the encoder family (frequency /
+    target-LOO / min-max / robust / hashing live in earlier keys)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cats = {
+        "n_urgent": "1-URGENT",
+        "n_high": "2-HIGH",
+        "n_medium": "3-MEDIUM",
+        "n_notspec": "4-NOT SPECIFIED",
+        "n_low": "5-LOW",
+    }
+    aggs = [F.count(F.lit(1)).alias("n_orders")] + [
+        F.sum(F.when(F.col("o_orderpriority") == v, 1).otherwise(0))
+        .cast("long")
+        .alias(k)
+        for k, v in cats.items()
+    ]
+    return orders.groupBy(
+        F.col("o_custkey").cast("long").alias("custkey")
+    ).agg(*aggs)
+
+
+@_q(
+    "q_column_checksums",
+    """
+    WITH h AS (
+      SELECT
+        CAST('o_orderkey' AS VARCHAR) AS col,
+        SUM(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+                 AS BIGINT)) AS checksum,
+        count(o_orderkey) AS n_nonnull
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+             SUM(CAST('0x' || substr(md5(o_orderpriority), 1, 12)
+                      AS BIGINT)),
+             count(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice_cents',
+             SUM(CAST('0x' || substr(md5(CAST(CAST(ROUND(o_totalprice * 100,
+                      0) AS BIGINT) AS VARCHAR)), 1, 12) AS BIGINT)),
+             count(o_totalprice)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate',
+             SUM(CAST('0x' || substr(md5(CAST(o_orderdate AS VARCHAR)), 1, 12)
+                      AS BIGINT)),
+             count(o_orderdate)
+      FROM orders
+    )
+    SELECT col, CAST(checksum AS BIGINT) AS checksum,
+           CAST(n_nonnull AS BIGINT) AS n_nonnull
+    FROM h
+    """,
+)
+def q_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COLUMN content checksums — drift LOCALIZATION for
+    reconciliation: q_table_checksum says 'the tables differ', this key
+    says WHICH column (each column's order-insensitive md5-prefix sum is
+    compared independently; a migration that mangled only timestamps
+    flags only the date column). Canonical renderings (cents as integers,
+    ISO dates) keep the checksum engine-portable; sums are commutative so
+    1000 partials merge exactly. One scan per column probe — or one
+    multi-aggregate scan, as Spark plans it."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cksum(rendered: F.Column, name: str, src_col: str):
+        h = F.conv(F.substring(F.md5(rendered.cast("binary")), 1, 12), 16, 10)
+        return orders.agg(
+            F.lit(name).alias("col"),
+            F.sum(h.cast("long")).alias("checksum"),
+            F.count(src_col).alias("n_nonnull"),
+        )
+
+    parts = [
+        cksum(F.col("o_orderkey").cast("string"), "o_orderkey", "o_orderkey"),
+        cksum(F.col("o_orderpriority"), "o_orderpriority", "o_orderpriority"),
+        cksum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            "o_totalprice_cents",
+            "o_totalprice",
+        ),
+        cksum(F.col("o_orderdate").cast("string"), "o_orderdate", "o_orderdate"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17699,6 +17824,8 @@ _CHECK_PRIORITY = [
     "q_temporal_cooccurrence", "q_conversion_by_path",
     # round-3 batch 78: decayed frequency, decile spread
     "q_decayed_frequency", "q_decile_spread",
+    # round-3 batch 79: one-hot encoding, per-column checksums
+    "q_onehot_encode", "q_column_checksums",
 ]
 
 
