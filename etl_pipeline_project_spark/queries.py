@@ -17623,6 +17623,93 @@ def q_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch 80 — SELECT * EXCEPT projection, all-ties mode.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_select_except",
+    """
+    SELECT * EXCLUDE (o_comment_hash)
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             md5(CAST(o_orderkey AS VARCHAR)) AS o_comment_hash
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    """,
+)
+def q_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(...) — subtractive projection: keep everything BUT
+    the named columns (DuckDB spells it EXCLUDE), the wide-table
+    ergonomics that makes 'drop the 3 PII columns from this 400-column
+    table' a one-liner instead of a 397-name list — and, unlike an
+    explicit list, it keeps passing NEW columns through as the schema
+    evolves. Column pruning still reaches the scan: the excluded
+    column's expression is never evaluated downstream."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias(
+            "o_comment_hash"
+        ),
+    )
+    wide.createOrReplaceTempView("orders_wide_exc")
+    return spark.sql("SELECT * EXCEPT (o_comment_hash) FROM orders_wide_exc")
+
+
+@_q(
+    "q_mode_all_ties",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT user_id, event_type, n,
+             max(n) OVER (PARTITION BY user_id) AS mx
+      FROM c
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(max(mx) AS BIGINT) AS mode_count,
+           string_agg(CASE WHEN n = mx THEN event_type END, ','
+                      ORDER BY event_type) AS modes,
+           CAST(SUM(CASE WHEN n = mx THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_modes
+    FROM m GROUP BY 1
+    """,
+)
+def q_mode_all_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-ties mode: when several values share the maximum frequency,
+    emit the COMPLETE mode set as a sorted list (q_agg_mode picks one
+    deterministic winner; hiding multimodality is how a 'typical value'
+    report lies about a bimodal distribution — n_modes > 1 is itself the
+    signal). Frequency table + per-key max window + ordered reassembly,
+    all on one user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    m = c.select(
+        "user_id", "event_type", "n", F.max("n").over(w).alias("mx")
+    )
+    return m.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.max("mx").cast("long").alias("mode_count"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("n") == F.col("mx"), F.col("event_type"))
+                )
+            ),
+            ",",
+        ).alias("modes"),
+        F.sum(F.when(F.col("n") == F.col("mx"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_modes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17826,6 +17913,8 @@ _CHECK_PRIORITY = [
     "q_decayed_frequency", "q_decile_spread",
     # round-3 batch 79: one-hot encoding, per-column checksums
     "q_onehot_encode", "q_column_checksums",
+    # round-3 batch 80: SELECT * EXCEPT, all-ties mode
+    "q_select_except", "q_mode_all_ties",
 ]
 
 
