@@ -50,30 +50,40 @@ def main() -> None:
     # heavy key would triple a wall-clock dominated by exactly the keys
     # that need it least).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key in sorted(REGISTRY):
-        t0 = time.perf_counter()
-        REGISTRY[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        warm = time.perf_counter() - t0
-        n_timed = 1 if warm > HEAVY_CUTOFF_S else N_RUNS - 1
-        runs = []
-        for _ in range(n_timed):
+        # one broken key must not zero out the whole benchmark: record the
+        # failure, keep timing the rest, and surface it in the JSON line
+        try:
             t0 = time.perf_counter()
-            REGISTRY[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        timings[key] = round(statistics.median(runs), 4)
+            REGISTRY[key](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            warm = time.perf_counter() - t0
+            n_timed = 1 if warm > HEAVY_CUTOFF_S else N_RUNS - 1
+            runs = []
+            for _ in range(n_timed):
+                t0 = time.perf_counter()
+                REGISTRY[key](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            timings[key] = round(statistics.median(runs), 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[key] = f"{type(exc).__name__}: {exc}"[:300]
+            sys.stderr.write(f"BENCH ERROR {key}: {errors[key]}\n")
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_median_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "total_median_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -11881,18 +11881,37 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's parser only populates _corrupt_record for rows it actually
     parses in the same pass. Counts and cent sums must equal the parquet
     source exactly."""
+    import hashlib
+    import os
+
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_id", "value")
     )
-    out = f"{_SCRATCH}/csv_permissive_{spark.sparkContext.applicationId}"
-    ev.write.mode("overwrite").option("header", "false").csv(out)
-    bad = spark.createDataFrame(
-        [("not_a_number,xyz",), ("1e999,,trailing",), ("###",), (",,,,",), ("a,b",)],
-        "value string",
+    # build-once per (session, sf): re-invoking must NOT overwrite the
+    # staging dir — Spark's CacheManager reuses the prior invocation's
+    # cached plan (identical path ⇒ identical logical plan), and if its
+    # partitions were evicted the recompute would read the just-deleted
+    # files (FileNotFoundException under memory pressure at sf0.1)
+    sftag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = (
+        f"{_SCRATCH}/csv_permissive_"
+        f"{spark.sparkContext.applicationId}_{sftag}"
     )
-    bad.coalesce(1).write.mode("append").text(out)
+    if not os.path.exists(out):
+        ev.write.mode("overwrite").option("header", "false").csv(out)
+        bad = spark.createDataFrame(
+            [
+                ("not_a_number,xyz",),
+                ("1e999,,trailing",),
+                ("###",),
+                (",,,,",),
+                ("a,b",),
+            ],
+            "value string",
+        )
+        bad.coalesce(1).write.mode("append").text(out)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
