@@ -17578,30 +17578,31 @@ def q_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
       SELECT
         CAST('o_orderkey' AS VARCHAR) AS col,
-        SUM(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
-                 AS BIGINT)) AS checksum,
+        SUM(CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)
+                 AS BIGINT) AS HUGEINT)) AS checksum,
         count(o_orderkey) AS n_nonnull
       FROM orders
       UNION ALL
       SELECT 'o_orderpriority',
-             SUM(CAST('0x' || substr(md5(o_orderpriority), 1, 12)
-                      AS BIGINT)),
+             SUM(CAST(CAST('0x' || substr(md5(o_orderpriority), 1, 12)
+                      AS BIGINT) AS HUGEINT)),
              count(o_orderpriority)
       FROM orders
       UNION ALL
       SELECT 'o_totalprice_cents',
-             SUM(CAST('0x' || substr(md5(CAST(CAST(ROUND(o_totalprice * 100,
-                      0) AS BIGINT) AS VARCHAR)), 1, 12) AS BIGINT)),
+             SUM(CAST(CAST('0x' || substr(md5(CAST(CAST(ROUND(o_totalprice
+                      * 100, 0) AS BIGINT) AS VARCHAR)), 1, 12) AS BIGINT)
+                      AS HUGEINT)),
              count(o_totalprice)
       FROM orders
       UNION ALL
       SELECT 'o_orderdate',
-             SUM(CAST('0x' || substr(md5(CAST(o_orderdate AS VARCHAR)), 1, 12)
-                      AS BIGINT)),
+             SUM(CAST(CAST('0x' || substr(md5(CAST(o_orderdate AS VARCHAR)),
+                      1, 12) AS BIGINT) AS HUGEINT)),
              count(o_orderdate)
       FROM orders
     )
-    SELECT col, CAST(checksum AS BIGINT) AS checksum,
+    SELECT col, CAST(checksum AS VARCHAR) AS checksum,
            CAST(n_nonnull AS BIGINT) AS n_nonnull
     FROM h
     """,
@@ -17618,10 +17619,15 @@ def q_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def cksum(rendered: F.Column, name: str, src_col: str):
+        # 48-bit prefixes overflow int64 beyond ~10^5 rows: accumulate in
+        # decimal(38,0) (exact to ~10^24 rows) and emit the string form
         h = F.conv(F.substring(F.md5(rendered.cast("binary")), 1, 12), 16, 10)
         return orders.agg(
             F.lit(name).alias("col"),
-            F.sum(h.cast("long")).alias("checksum"),
+            F.sum(h.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
             F.count(src_col).alias("n_nonnull"),
         )
 
