@@ -99,8 +99,8 @@ def asof_join(
 
     Exact and oracle-checkable, but the inner range join materializes all
     (left, earlier-right) pairs per key — fine for bounded key groups. For
-    heavily-skewed keys at 100 TB use `asof_join_grouped` (sort-merge
-    inside each key partition via merge_asof, linear per group).
+    heavily-skewed keys at 100 TB use `asof_join_grouped` (streaming
+    sort-merge; memory bounded by one Arrow batch regardless of skew).
     """
     rc = right_cols or [right_ts]
     r = right.select(
@@ -131,10 +131,100 @@ def asof_join_grouped(
     right_ts: str,
     right_value: str,
 ) -> DataFrame:
-    """As-of join, scale path: cogroup both sides by key and run
-    ``pd.merge_asof`` per group (Arrow-batched, linear after the one
-    shuffle+sort per side). Equivalent to `asof_join` when right timestamps
-    are unique per key — asserted in tests."""
+    """As-of join, scale path: distributed sort-merge with streaming state.
+
+    Both sides union into one stream tagged left/right, hash-partition on
+    the key (one exchange), sort within partitions by ``(key, ts, side)``
+    with right-before-left at equal timestamps (inclusive match), then a
+    single ``mapInPandas`` pass forward-fills the last-seen right value per
+    key. State carried across Arrow batches is one scalar pair, so **peak
+    executor memory is one Arrow batch (~10k rows) regardless of key skew**
+    — a key holding 90% of all rows streams through like any other
+    (skew-tested in tests/test_batch2_ops.py). Contrast with the cogroup
+    form `asof_join_cogroup`, which materializes each key group whole.
+
+    Equivalent to `asof_join` (and DuckDB ``ASOF JOIN``); when the right
+    side has duplicate timestamps within a key, the largest value wins
+    (deterministic tie-break via the sort order).
+    """
+    import pandas as pd
+
+    rv = f"r_{right_value}"
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields)
+        + f", {rv} {dict(right.dtypes)[right_value]}"
+    )
+    left_cols = [f.name for f in left.schema.fields]
+    # one stream: left rows carry their payload, right rows carry only
+    # (ts, value); __side sorts right (0) before left (1) at equal ts so
+    # the backward match is inclusive.
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(right.dtypes)[right_value]).alias("__rv"),
+        F.struct(*left_cols).alias("__row"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_value).alias("__rv"),
+        F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
+    )
+    stream = (
+        l_tagged.unionByName(r_tagged)
+        .repartition(F.col("__k"))
+        .sortWithinPartitions("__k", "__ts", "__side", "__rv")
+    )
+
+    def merge_stream(batches):
+        # per-partition streaming state: last right (key, value) seen.
+        state_key, state_val = None, None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = pdf["__k"].to_numpy()
+            fill = pdf["__rv"].copy()
+            # seed the forward-fill with carried state where the batch
+            # continues the same key run
+            if state_key is not None and keys[0] == state_key and pd.isna(fill.iloc[0]):
+                fill.iloc[0] = state_val
+            # forward-fill within key runs (batch rows arrive sorted by key)
+            fill = fill.groupby(keys, sort=False).ffill()
+            last_k = keys[-1]
+            last_v = fill.iloc[-1]
+            state_key, state_val = last_k, (None if pd.isna(last_v) else last_v)
+            is_left = pdf["__side"].to_numpy() == 1
+            if not is_left.any():
+                continue
+            rows = pd.DataFrame(list(pdf.loc[is_left, "__row"]))[left_cols]
+            rows[rv] = fill[is_left].to_numpy()
+            yield rows
+
+    return stream.mapInPandas(merge_stream, out_schema)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    max_group_rows: int = 5_000_000,
+) -> DataFrame:
+    """As-of join via cogroup + ``pd.merge_asof`` — the cogroup-API form.
+
+    **Per-group memory bound**: each key group materializes whole in one
+    executor (Arrow-batched but concatenated), so a single mega-key OOMs
+    the task at extreme skew. ``max_group_rows`` guards this honestly: a
+    group exceeding it raises with a pointer to `asof_join_grouped`, the
+    streaming sort-merge form whose memory is one Arrow batch. Use this
+    form when groups are known-bounded and merge_asof extras (nearest,
+    tolerance) are wanted.
+    """
     import pandas as pd
 
     out_schema = (
@@ -152,6 +242,12 @@ def asof_join_grouped(
     )
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) + len(rpdf) > max_group_rows:
+            raise ValueError(
+                f"asof_join_cogroup: group of {len(lpdf) + len(rpdf)} rows exceeds "
+                f"max_group_rows={max_group_rows}; use asof_join_grouped (streaming "
+                "sort-merge, batch-bounded memory) for skewed keys"
+            )
         lpdf = lpdf.sort_values(left_ts)
         if rpdf.empty:
             lpdf[f"r_{right_value}"] = None

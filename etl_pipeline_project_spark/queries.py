@@ -3627,15 +3627,18 @@ def q_incr_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join, cogroup scale path: both sides shuffle once on the key,
-    then ``pd.merge_asof`` runs per group (Arrow-batched, linear in group
-    size) — the shape for dense per-key timelines where the composition
-    form's range-join candidate set explodes. Same semantics as
-    q_join_asof (asserted equivalent in tests); DuckDB's native ASOF JOIN
-    is the oracle."""
+    """As-of join, streaming scale path: both sides union into one stream,
+    hash-partition on the key, sort within partitions by (key, ts, side),
+    then one ``mapInPandas`` pass forward-fills the last right value —
+    executor memory is one Arrow batch regardless of key skew (the round-3
+    cogroup form held whole key groups; it survives as asof_join_cogroup
+    with an explicit max_group_rows guard). The shape for dense per-key
+    timelines where the composition form's range-join candidate set
+    explodes. Same semantics as q_join_asof (asserted equivalent in
+    tests); DuckDB's native ASOF JOIN is the oracle."""
     from etl_pipeline_project_spark.operators.joins import asof_join_grouped
 
-    # project before the cogroup: every column here crosses Arrow twice
+    # project before the stream union: every column here crosses Arrow twice
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     clicks = (
         load_table(spark, sf_dir, "events")
@@ -17746,200 +17749,144 @@ def q_mode_all_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_PRIORITY = [
-    # --- r3 slots 1-4: the four round-2 failures, now fixed ---
-    # q_stream_dedup/q_stream_window: events.ts arrives TIMESTAMP_NTZ under
-    # Spark 4.1 native nanos reads; watermarks reject NTZ (normalized to
-    # TimestampType in readers/streaming). fact_pengeluaran/pemasukan:
-    # DECIMAL(38,9) money columns hash differently between the driver's
-    # DuckDB and Spark fetch paths (now DOUBLE at the contract surface).
-    "q_stream_dedup", "q_stream_window",
-    "q_mart_fact_pengeluaran", "q_mart_fact_pemasukan",
-    # --- r3 slots 5-50: rotation — keys with no driver evidence yet
-    # (round 2 checked exactly the first 50 registry keys; these sat
-    # behind that horizon) ---
-    "q_stream_join", "q_unpivot", "q_funnel",
-    "q_retention_cohort", "q_window_range_time", "q_gap_fill",
-    "q_compact_files", "q_scan_csv_roundtrip", "q_balanced_sample",
-    "q_length_histogram", "q_set_except_all", "q_join_null_safe",
-    "q_schema_evolution", "q_pack_sequences", "q_vocab_coverage",
-    "q_source_entropy", "q_merge_upsert", "q_incr_agg_maintenance",
-    "q_join_asof_grouped", "q_udaf_grouped_median", "q_udtf_split",
-    "q_search_bm25", "q_knn_classify", "q_dedup_containment",
-    "q_stream_session", "q_geo_radius_join", "q_join_bucketed",
-    "q_anti_null_semantics", "q_explode_outer",
-    "q_sink_partitioned", "q_agg_argmax", "q_agg_conditional", "q_dq_checks",
-    "q_text_ttr", "q_string_suite", "q_date_suite", "q_grid_zero_fill",
-    "q_multimodal_resize", "q_event_transitions", "q_adoption_curve",
-    "q_wow_change", "q_agg_bitwise", "q_map_ops",
-    "q_stream_stream_join", "q_pct_of_total", "q_dq_referential",
-    # --- beyond the r3 horizon: remaining never-checked keys, in line for
-    # the r4 rotation ---
-    "q_time_weighted_avg",
-    "q_ohlc_downsample", "q_derivative", "q_scan_orc_roundtrip",
-    "q_interp_linear", "q_scd2_pit_join",
-    "q_decontaminate",
-    "q_agg_mode", "q_linreg_trend",
-    "q_percentile_disc", "q_window_rank_semantics",
-    "q_skyline", "q_running_distinct", "q_iqr_outliers",
-    "q_ntile_quartiles", "q_heavy_hitters", "q_gini",
-    "q_text_repetition", "q_hhi", "q_interval_overlap",
-    "q_rolling_median", "q_mad_outliers", "q_rollup_cascade",
-    "q_sql_q1", "q_sql_q3", "q_sql_q18", "q_market_basket",
+    # --- round-4 rotation: the driver samples ~50 keys in registry order;
+    # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
+    # round-3 verdict, every key with NO driver evidence yet moves to the
+    # front (original relative order preserved) so CORRECTNESS_r04+ turns
+    # judge-verified coverage into driver-verified evidence. Previously
+    # driver-green keys follow; they keep regression coverage via pytest +
+    # tools/oracle_check.py full replays.
+    # --- never driver-checked (253 keys, r1-r3) ---
+    "q_time_weighted_avg", "q_ohlc_downsample", "q_derivative",
+    "q_scan_orc_roundtrip", "q_interp_linear", "q_scd2_pit_join",
+    "q_decontaminate", "q_agg_mode", "q_linreg_trend",
+    "q_percentile_disc", "q_window_rank_semantics", "q_skyline",
+    "q_running_distinct", "q_iqr_outliers", "q_ntile_quartiles",
+    "q_heavy_hitters", "q_gini", "q_text_repetition",
+    "q_hhi", "q_interval_overlap", "q_rolling_median",
+    "q_mad_outliers", "q_rollup_cascade", "q_sql_q1",
+    "q_sql_q3", "q_sql_q18", "q_market_basket",
     "q_moments_skew_kurt", "q_k_anonymize", "q_regex_suite",
-    "q_hash_split", "q_scan_json_roundtrip",
-    "q_pagerank_nations", "q_sql_q7", "q_sql_q10", "q_udf_arrow_batch",
-    "q_robust_scaler", "q_window_first_last",
-    "q_sql_q14", "q_sql_q4_exists", "q_graph_triangles", "q_zorder_cluster",
-    "q_ab_welch_ttest", "q_golden_record",
-    "q_sql_q6", "q_sql_q8", "q_sql_q13", "q_sql_q15", "q_sql_q17",
-    "q_sql_q19", "q_sql_q22",
-    # round-3 TPC-H completion batch
-    "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q12", "q_sql_q16",
-    "q_sql_q20", "q_sql_q21",
-    # round-3 LLM-pipeline + TSDB additions
-    "q_text_lm_quality", "q_ewma",
-    # round-3 batch 26: TSDB completions + reconciliation
+    "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
+    "q_sql_q7", "q_sql_q10", "q_udf_arrow_batch",
+    "q_robust_scaler", "q_window_first_last", "q_sql_q14",
+    "q_sql_q4_exists", "q_graph_triangles", "q_zorder_cluster",
+    "q_ab_welch_ttest", "q_golden_record", "q_sql_q6",
+    "q_sql_q8", "q_sql_q13", "q_sql_q15",
+    "q_sql_q17", "q_sql_q19", "q_sql_q22",
+    "q_sql_q2", "q_sql_q9", "q_sql_q11",
+    "q_sql_q12", "q_sql_q16", "q_sql_q20",
+    "q_sql_q21", "q_text_lm_quality", "q_ewma",
     "q_locf_fill", "q_counter_increase", "q_autocorr_lag1",
-    "q_table_checksum", "q_table_diff",
-    # round-3 batch 27: training-data featurization
-    "q_feature_hash", "q_embed_quantize_int8", "q_domain_mix_sample",
-    "q_numeric_histogram",
-    # round-3 batch 28: bitmap distinct, chi-square, Holt smoothing
+    "q_table_checksum", "q_table_diff", "q_feature_hash",
+    "q_embed_quantize_int8", "q_domain_mix_sample", "q_numeric_histogram",
     "q_bitmap_distinct", "q_chi_square", "q_holt_linear",
-    # round-3 batch 29: anomaly bands, classifier + ranking evaluation
     "q_bollinger_bands", "q_eval_metrics", "q_ndcg_bm25",
-    # round-3 batch 30: change detection + dependence statistics
-    "q_cusum_detect", "q_mutual_information",
-    # round-3 batch 31: hopping windows, KS drift test
-    "q_agg_window_hopping", "q_ks_test",
-    # round-3 batch 32: catalog DQ sweep, partition-layout migration
-    "q_dq_uniqueness", "q_partition_migration",
-    # round-3 batch 33: rolling exact distinct via daily bitmaps
-    "q_rolling_mau",
-    # round-3 batch 34: attribution, streaks, rank statistics, recursion
-    "q_attribution_last_touch", "q_streak_longest", "q_weighted_median",
-    "q_spearman_rho", "q_mann_whitney_u", "q_tree_reachability",
-    # round-3 batch 35: LLM-pipeline deepening
-    "q_boilerplate_strip", "q_doc_keywords", "q_quantile_normalize",
-    "q_vector_normalize", "q_split_leakage",
-    # round-3 batch 36: lakehouse tier
+    "q_cusum_detect", "q_mutual_information", "q_agg_window_hopping",
+    "q_ks_test", "q_dq_uniqueness", "q_partition_migration",
+    "q_rolling_mau", "q_attribution_last_touch", "q_streak_longest",
+    "q_weighted_median", "q_spearman_rho", "q_mann_whitney_u",
+    "q_tree_reachability", "q_boilerplate_strip", "q_doc_keywords",
+    "q_quantile_normalize", "q_vector_normalize", "q_split_leakage",
     "q_file_stats_pruning", "q_snapshot_time_travel", "q_compaction_plan",
-    "q_join_theta_bnl",
-    # round-3 batch 37: SAX, conversion lag, FIFO costing
-    "q_sax_symbolize", "q_time_to_convert", "q_inventory_fifo",
-    # round-3 batch 38: modern SQL/engine surface
-    "q_variant_json", "q_lateral_topk", "q_scalar_subquery_corr",
-    "q_try_arith", "q_hint_suite", "q_observe_metrics",
-    # round-3 batch 39: streaming hopping windows + deterministic sketches
-    "q_stream_hopping", "q_cms_heavy_hitters", "q_bloom_membership",
-    # round-3 batch 40: calendar exactness, t-closeness, retention sweep
-    "q_tz_convert", "q_iso_week_rollup", "q_emd_tcloseness",
-    "q_retention_sweep",
-    # round-3 batch 41: exact allocation, Benford, RFM, association rules,
-    # survival table, dup-shingle coverage, range-partition planning
-    "q_alloc_largest_remainder", "q_benford_digits", "q_rfm_segments",
-    "q_assoc_confidence", "q_survival_table", "q_dup_ngram_coverage",
-    "q_partition_bounds",
-    # round-3 batch 42: KMV sketch, union-by-name, l-diversity, text
-    # round-trip, LTV cohort curves
+    "q_join_theta_bnl", "q_sax_symbolize", "q_time_to_convert",
+    "q_inventory_fifo", "q_variant_json", "q_lateral_topk",
+    "q_scalar_subquery_corr", "q_try_arith", "q_hint_suite",
+    "q_observe_metrics", "q_stream_hopping", "q_cms_heavy_hitters",
+    "q_bloom_membership", "q_tz_convert", "q_iso_week_rollup",
+    "q_emd_tcloseness", "q_retention_sweep", "q_alloc_largest_remainder",
+    "q_benford_digits", "q_rfm_segments", "q_assoc_confidence",
+    "q_survival_table", "q_dup_ngram_coverage", "q_partition_bounds",
     "q_kmv_distinct", "q_union_by_name", "q_l_diversity",
-    "q_scan_text_roundtrip", "q_ltv_cohort_curve",
-    # round-3 batch 43: ordered string agg, log2 histogram, seasonal
-    # anomalies, PERMISSIVE ingestion, complete-mode streaming
-    "q_string_agg_ordered", "q_log2_histogram", "q_seasonal_residual",
-    "q_scan_csv_permissive", "q_stream_complete_agg",
-    # round-3 batch 44: struct ordering, array lambdas, AUC-ROC, vacuum
-    "q_struct_ops", "q_lambda_array_suite", "q_auc_roc", "q_vacuum_plan",
-    # round-3 batch 45: Python DataSource, pipe SQL, GROUP BY ALL, MERGE
-    "q_scan_python_datasource", "q_sql_pipe", "q_group_by_all",
-    "q_merge_all_clauses",
-    # round-3 batch 46: FD audit, null ordering, array set ops, id gaps
-    "q_fd_audit", "q_null_ordering", "q_array_set_ops", "q_id_gap_ranges",
-    # round-3 batch 47: revenue bridge, ABC classes, tier migration,
-    # inter-arrival cadence
-    "q_price_volume_bridge", "q_abc_classes", "q_segment_migration",
-    "q_interarrival_histogram",
-    # round-3 batch 48: dup spans, corpus report, cluster sizes
-    "q_dup_span_detect", "q_corpus_report", "q_cluster_size_stats",
-    # round-3 batch 49: normalized dedup, session paths, peaks, VWAP,
-    # run-length history compression
-    "q_dedup_normalized", "q_session_paths", "q_peak_detect", "q_vwap",
-    "q_history_compress",
-    # round-3 batch 50: binary-file source, nearest as-of, gains table,
-    # keyset pagination
-    "q_scan_binaryfile", "q_join_asof_nearest", "q_gains_table",
-    "q_keyset_pagination",
-    # round-3 batch 51: INTERSECT ALL, linear attribution, seasonality
-    # index, feature assembly
-    "q_set_intersect_all", "q_attribution_linear", "q_seasonality_index",
-    "q_feature_assembly",
-    # round-3 batch 52: CEP pattern, inverted index, daily bands, lang eval
-    "q_pattern_match_triple", "q_inverted_index_stats",
-    "q_daily_percentile_bands", "q_langid_eval",
-    # round-3 batch 53: bucketed agg, salted agg, DPP, checkpoint resume
-    "q_agg_bucketed", "q_agg_salted_skew", "q_join_dpp",
-    "q_stream_checkpoint_resume",
-    # round-3 batch 54: map lambdas, SQL-registered UDF, watermark
-    # incremental, dead-letter routing
-    "q_lambda_map_suite", "q_udf_sql_registered",
-    "q_incremental_watermark", "q_dead_letter_route",
-    # round-3 batch 55: per-entity caps, LOO target encoding, profile
-    # drift, bounce rate
+    "q_scan_text_roundtrip", "q_ltv_cohort_curve", "q_string_agg_ordered",
+    "q_log2_histogram", "q_seasonal_residual", "q_scan_csv_permissive",
+    "q_stream_complete_agg", "q_struct_ops", "q_lambda_array_suite",
+    "q_auc_roc", "q_vacuum_plan", "q_scan_python_datasource",
+    "q_sql_pipe", "q_group_by_all", "q_merge_all_clauses",
+    "q_fd_audit", "q_null_ordering", "q_array_set_ops",
+    "q_id_gap_ranges", "q_price_volume_bridge", "q_abc_classes",
+    "q_segment_migration", "q_interarrival_histogram", "q_dup_span_detect",
+    "q_corpus_report", "q_cluster_size_stats", "q_dedup_normalized",
+    "q_session_paths", "q_peak_detect", "q_vwap",
+    "q_history_compress", "q_scan_binaryfile", "q_join_asof_nearest",
+    "q_gains_table", "q_keyset_pagination", "q_set_intersect_all",
+    "q_attribution_linear", "q_seasonality_index", "q_feature_assembly",
+    "q_pattern_match_triple", "q_inverted_index_stats", "q_daily_percentile_bands",
+    "q_langid_eval", "q_agg_bucketed", "q_agg_salted_skew",
+    "q_join_dpp", "q_stream_checkpoint_resume", "q_lambda_map_suite",
+    "q_udf_sql_registered", "q_incremental_watermark", "q_dead_letter_route",
     "q_per_user_cap", "q_target_encode_loo", "q_profile_drift",
-    "q_session_bounce",
-    # round-3 batch 56: pre-agg before join, 4-4-5 fiscal, dynamic
-    # partition overwrite
-    "q_preagg_before_join", "q_fiscal_445", "q_dynamic_partition_overwrite",
-    # round-3 batch 57: smoothed rates, nested pruning, entity sampling
-    "q_rate_smoothed", "q_nested_schema_pruning", "q_entity_sample",
-    # round-3 batch 58: collations, day-time intervals, str_to_map
-    "q_collation_group", "q_interval_daytime", "q_str_to_map",
-    # round-3 batch 59: negative sampling, monotonic ids, dedup policies
-    "q_negative_sampling", "q_monotonic_ids", "q_dedup_policy_matrix",
-    # round-3 batch 60: late-data watermark, parameterized SQL, IDENTIFIER
-    "q_stream_late_drop", "q_sql_parameterized", "q_sql_identifier",
-    # round-3 batch 61: rolling slopes, role-playing dims
-    "q_rolling_slope", "q_role_playing_dim",
-    # round-3 batch 62: unknown member, accumulating snapshot
-    "q_unknown_member", "q_accumulating_snapshot",
-    # round-3 batch 63: embedding drift, cross-source dups, fertility
-    "q_embed_drift", "q_cross_source_dups", "q_tokenizer_fertility",
-    # round-3 batch 64: nested denormalization round-trip
-    "q_nest_denormalize",
-    # round-3 batch 65: empty relation, UNION DISTINCT, inline dims,
-    # try_cast matrix
+    "q_session_bounce", "q_preagg_before_join", "q_fiscal_445",
+    "q_dynamic_partition_overwrite", "q_rate_smoothed", "q_nested_schema_pruning",
+    "q_entity_sample", "q_collation_group", "q_interval_daytime",
+    "q_str_to_map", "q_negative_sampling", "q_monotonic_ids",
+    "q_dedup_policy_matrix", "q_stream_late_drop", "q_sql_parameterized",
+    "q_sql_identifier", "q_rolling_slope", "q_role_playing_dim",
+    "q_unknown_member", "q_accumulating_snapshot", "q_embed_drift",
+    "q_cross_source_dups", "q_tokenizer_fertility", "q_nest_denormalize",
     "q_empty_relation", "q_union_distinct", "q_inline_dim_join",
-    "q_try_cast_matrix",
-    # round-3 batch 66: vocab drift, debounce, hierarchical shares
-    "q_vocab_drift", "q_debounce", "q_hierarchical_share",
-    # round-3 batch 67: broadcast-model scoring
-    "q_model_score_broadcast",
-    # round-3 batch 68: watermark-bounded dedup, partitioned stream sink
-    "q_stream_dedup_watermarked", "q_stream_sink_partitioned",
-    # round-3 batch 69: MTD/YTD, business days, aging report
-    "q_mtd_ytd", "q_business_days", "q_aging_report",
-    # round-3 batch 70: grouped-map pandas, min-max scaling
-    "q_grouped_map_pandas", "q_minmax_scale",
-    # round-3 batch 71: group-vs-rest, freshness audit
-    "q_group_vs_rest", "q_freshness_audit",
-    # round-3 batch 72: CTE reuse, distinct complex types
-    "q_cte_reuse", "q_distinct_complex",
-    # round-3 batch 73: item similarity, 2-hop neighborhoods
-    "q_item_similarity", "q_graph_2hop",
-    # round-3 batch 74: composition shares, max concurrency
-    "q_composition_shares", "q_max_concurrency",
-    # round-3 batch 75: backlog curve, SLA compliance
-    "q_backlog_curve", "q_sla_compliance",
-    # round-3 batch 76: centered MA, multi-offset lags
-    "q_centered_ma", "q_multi_offset_lags",
-    # round-3 batch 77: temporal co-occurrence, conversion by path
-    "q_temporal_cooccurrence", "q_conversion_by_path",
-    # round-3 batch 78: decayed frequency, decile spread
-    "q_decayed_frequency", "q_decile_spread",
-    # round-3 batch 79: one-hot encoding, per-column checksums
-    "q_onehot_encode", "q_column_checksums",
-    # round-3 batch 80: SELECT * EXCEPT, all-ties mode
-    "q_select_except", "q_mode_all_ties",
+    "q_try_cast_matrix", "q_vocab_drift", "q_debounce",
+    "q_hierarchical_share", "q_model_score_broadcast", "q_stream_dedup_watermarked",
+    "q_stream_sink_partitioned", "q_mtd_ytd", "q_business_days",
+    "q_aging_report", "q_grouped_map_pandas", "q_minmax_scale",
+    "q_group_vs_rest", "q_freshness_audit", "q_cte_reuse",
+    "q_distinct_complex", "q_item_similarity", "q_graph_2hop",
+    "q_composition_shares", "q_max_concurrency", "q_backlog_curve",
+    "q_sla_compliance", "q_centered_ma", "q_multi_offset_lags",
+    "q_temporal_cooccurrence", "q_conversion_by_path", "q_decayed_frequency",
+    "q_decile_spread", "q_onehot_encode", "q_column_checksums",
+    "q_select_except", "q_mode_all_ties", "q_text_pii_redact",
+    "q_stratified_sample", "q_token_stats_by_source", "q_dedup_groups",
+    "q_join_full_outer", "q_window_distribution", "q_agg_grouping_sets",
+    "q_scd2_dim", "q_cdc_apply", "q_profile_stats",
+    "q_corr_exact", "q_array_ops", "q_doc_chunk",
+    "q_text_ngram_freq", "q_fuzzy_match", "q_embed_centroid",
+    "q_quantiles_approx",
+    # --- driver-green in r1-r3 (132 keys) ---
+    "q_stream_dedup", "q_stream_window", "q_mart_fact_pengeluaran",
+    "q_mart_fact_pemasukan", "q_stream_join", "q_unpivot",
+    "q_funnel", "q_retention_cohort", "q_window_range_time",
+    "q_gap_fill", "q_compact_files", "q_scan_csv_roundtrip",
+    "q_balanced_sample", "q_length_histogram", "q_set_except_all",
+    "q_join_null_safe", "q_schema_evolution", "q_pack_sequences",
+    "q_vocab_coverage", "q_source_entropy", "q_merge_upsert",
+    "q_incr_agg_maintenance", "q_join_asof_grouped", "q_udaf_grouped_median",
+    "q_udtf_split", "q_search_bm25", "q_knn_classify",
+    "q_dedup_containment", "q_stream_session", "q_geo_radius_join",
+    "q_join_bucketed", "q_anti_null_semantics", "q_explode_outer",
+    "q_sink_partitioned", "q_agg_argmax", "q_agg_conditional",
+    "q_dq_checks", "q_text_ttr", "q_string_suite",
+    "q_date_suite", "q_grid_zero_fill", "q_multimodal_resize",
+    "q_event_transitions", "q_adoption_curve", "q_wow_change",
+    "q_agg_bitwise", "q_map_ops", "q_stream_stream_join",
+    "q_pct_of_total", "q_dq_referential", "q_scan_table",
+    "q_scan_union_files", "q_scan_project_ids", "q_project_select",
+    "q_rename_cols", "q_filter_notnull", "q_filter_predicate",
+    "q_join_left_equi", "q_join_anti_incremental", "q_dedup_keyed",
+    "q_distinct_values", "q_union_all", "q_time_dimension",
+    "q_ts_parse", "q_concat_key", "q_hash_key",
+    "q_string_join_array", "q_coalesce", "q_cast_types",
+    "q_conditional_expr", "q_agg_sum_by_dim", "q_agg_rollup",
+    "q_agg_count_distinct", "q_window_rank", "q_sort_limit",
+    "q_agg_window_day", "q_sink_overwrite", "q_sink_append",
+    "q_stream_ingest", "q_stream_upsert", "q_stream_stateful",
+    "q_text_token_count", "q_text_quality", "q_text_lang_id",
+    "q_doc_fingerprint", "q_dedup_exact_docs", "q_ngram_jaccard",
+    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_ann_bruteforce",
+    "q_embed_neardup", "q_ann_ivf", "q_multimodal_meta",
+    "q_multimodal_features", "q_multimodal_frame_sample", "q_mart_dim_waktu",
+    "q_mart_dim_place", "q_mart_dim_user", "q_mart_dim_vendor",
+    "q_mart_dim_departemen", "q_mart_dim_proyek", "q_mart_dim_penyumbang",
+    "q_mart_fact_maps", "q_mart_fact_twitter", "q_mart_analytics",
+    "q_ops_load_incremental", "q_set_intersect", "q_set_except",
+    "q_pivot", "q_agg_cube", "q_sessionize",
+    "q_join_asof", "q_sql_entry", "q_join_semi",
+    "q_join_range", "q_window_running", "q_window_lag",
+    "q_null_fill", "q_quantiles", "q_json_extract",
+    "q_explode_collect", "q_sql_q5", "q_udf_pandas_scalar",
+    "q_tfidf_top_terms", "q_winsorized_agg", "q_outlier_zscore",
+    "q_interval_months", "q_bloom_prune_semi", "q_join_skew_salted",
+    "q_clean_pipeline", "q_agg_approx_distinct", "q_ann_lsh",
 ]
 
 
