@@ -76,14 +76,33 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "total_median_sec_all_queries",
-        "value": total,
+        # a partial total (some keys errored) is NOT comparable round-over-
+        # round — summing only the survivors would masquerade as a speedup.
+        # value goes null on any error; the partial sum moves to its own
+        # clearly-named field.
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
     }
     if errors:
         out["errors"] = errors
+        out["partial"] = True
+        out["n_errors"] = len(errors)
+        out["partial_total_sec"] = total
     print(json.dumps(out))
+    # also persist the per-key timings in-repo: the driver's BENCH file
+    # keeps only a truncated tail of stdout, which hides per-key
+    # regressions (and hid everything when a round crashed)
+    try:
+        art = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_local_sf{_sf_of(sf_dir)}.json",
+        )
+        with open(art, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -59,5 +59,19 @@ def cents_mod97_udf(v: pd.Series) -> pd.Series:
     """Deterministic integer checksum feature (cents % 97) — exists as the
     SQL-catalog registration example (`q_udf_sql_registered`): registered
     via ``spark.udf.register`` so pure-SQL callers reach the Arrow-batched
-    Python path."""
-    return ((v * 100).round(0).astype("int64")) % 97
+    Python path.
+
+    Mirrors the SQL twin ``CAST(ROUND(value*100, 0) AS BIGINT) % 97``
+    exactly on the FULL input domain, not just today's data: ROUND is
+    half-away-from-zero (pandas ``Series.round`` is half-even — 2.5 vs 3),
+    and SQL ``%`` follows the dividend's sign (pandas ``%`` is Python
+    modulo, always non-negative for a positive divisor — negative inputs
+    would diverge). Nulls pass through as nulls."""
+    import numpy as np
+
+    mask = v.isna()
+    a = v.fillna(0).astype("float64").to_numpy()
+    cents = np.sign(a) * np.floor(np.abs(a) * 100.0 + 0.5)  # half away from 0
+    out = pd.Series(np.fmod(cents, 97.0), index=v.index).astype("Int64")
+    out[mask] = pd.NA
+    return out

@@ -604,6 +604,63 @@ def q_agg_window_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCRATCH = "/root/repo/.scratch"
 
 
+def _fp_tag(sf_dir: str, table: str) -> str:
+    """Scratch-fixture cache key: sf_dir + a cheap content fingerprint of
+    the fixture's source table (parquet footer row count + byte size, read
+    without scanning data). Regenerating testdata at the same path changes
+    the tag, so a fixture staged from a previous generation can never be
+    silently served against the new live-table oracle — it just becomes an
+    orphan directory."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        fp = f"{pq.ParquetFile(path).metadata.num_rows}:{os.path.getsize(path)}"
+    except Exception:
+        fp = "absent"
+    return hashlib.md5(f"{sf_dir}|{table}|{fp}".encode()).hexdigest()[:10]
+
+
+def _staged_fixture(name: str, tag: str, build) -> str:
+    """Build-once scratch fixture with crash- and concurrency-safe staging.
+
+    ``build(tmp)`` assembles the COMPLETE fixture into a private temp dir,
+    which is then os.rename()d into place as the last step (atomic on a
+    local FS / object-store manifest commit in a deployment). Two
+    guarantees the bare ``if not os.path.exists(base): write(base)``
+    pattern lacks:
+
+    - an interrupted first build leaves only an orphaned ``.tmp-*`` dir
+      that later runs ignore and rebuild — never a partial fixture that
+      every later run silently reuses;
+    - two concurrent processes (bench + pytest) race safely: both may
+      build, exactly one rename wins, the loser discards its temp dir and
+      reads the winner's.
+    """
+    import os
+    import shutil
+    import uuid
+
+    base = f"{_SCRATCH}/{name}_{tag}"
+    if os.path.exists(base):
+        return base
+    os.makedirs(_SCRATCH, exist_ok=True)
+    tmp = f"{base}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    try:
+        build(tmp)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return base
+
+
 @_q("q_sink_overwrite", "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL")
 def q_sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-refresh sink (`data/transformation_dw.py:154-156` WRITE_TRUNCATE,
@@ -4023,7 +4080,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build it once per input dataset (sf-tagged table names) and reuse it
     # on every subsequent call — re-bucketing per query would charge the
     # write to every join, which is exactly what bucketing exists to avoid
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "orders")
     t_orders, t_li = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
     if not spark.catalog.tableExists(t_orders) or not spark.catalog.tableExists(t_li):
         # explicit paths: saveAsTable would otherwise land in
@@ -9169,7 +9226,7 @@ def q_partition_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import hashlib
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     v1_path = f"{_SCRATCH}/events_v1_{tag}"
     v2_path = f"{_SCRATCH}/events_v2_{tag}"
     import os
@@ -9950,7 +10007,7 @@ def q_file_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     ev = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     path = f"{_SCRATCH}/events_clustered_{tag}"
     if not os.path.exists(path):
         ev.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
@@ -10012,7 +10069,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     orders = load_table(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "orders")
     base = f"{_SCRATCH}/orders_versions_{tag}"
     manifest_path = f"{base}/manifest.json"
     cut = F.lit("1998-01-01").cast("timestamp")
@@ -10076,7 +10133,7 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.col("ts").cast("date")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     path = f"{_SCRATCH}/events_daily_{tag}"
     if not os.path.exists(path):
         ev.repartition(F.col("day")).write.mode("overwrite").partitionBy(
@@ -11043,7 +11100,7 @@ def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
         F.col("ts").cast("date") >= F.date_sub(asof, F.col("keep_days")),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     path = f"{_SCRATCH}/events_retained_{tag}"
     tagged.filter(F.col("keep")).select(ev.columns).write.mode(
         "overwrite"
@@ -11892,18 +11949,15 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_id", "value")
     )
-    # build-once per (session, sf): re-invoking must NOT overwrite the
-    # staging dir — Spark's CacheManager reuses the prior invocation's
+    # build-once per content fingerprint: re-invoking must NOT overwrite
+    # the staging dir — Spark's CacheManager reuses the prior invocation's
     # cached plan (identical path ⇒ identical logical plan), and if its
     # partitions were evicted the recompute would read the just-deleted
-    # files (FileNotFoundException under memory pressure at sf0.1)
-    sftag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    out = (
-        f"{_SCRATCH}/csv_permissive_"
-        f"{spark.sparkContext.applicationId}_{sftag}"
-    )
-    if not os.path.exists(out):
-        ev.write.mode("overwrite").option("header", "false").csv(out)
+    # files (FileNotFoundException under memory pressure at sf0.1).
+    # _staged_fixture publishes the csv + bad-rows append atomically, so
+    # an interrupted first run can never leave a partial fixture behind.
+    def _build(tmp: str) -> None:
+        ev.write.mode("overwrite").option("header", "false").csv(tmp)
         bad = spark.createDataFrame(
             [
                 ("not_a_number,xyz",),
@@ -11914,7 +11968,9 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "value string",
         )
-        bad.coalesce(1).write.mode("append").text(out)
+        bad.coalesce(1).write.mode("append").text(tmp)
+
+    out = _staged_fixture("csv_permissive", _fp_tag(sf_dir, "events"), _build)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -12162,28 +12218,30 @@ def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     orders = load_table(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{_SCRATCH}/orders_vacuum_{tag}"
-    manifest_path = f"{base}/manifest.json"
     cut = F.lit("1997-01-01").cast("date")
-    if not os.path.exists(manifest_path):
+
+    def _build(tmp: str) -> None:
         orders.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(
-            f"{base}/gen1"
+            f"{tmp}/gen1"
         )
         orders.filter(F.col("o_orderdate") >= cut).write.mode("overwrite").parquet(
-            f"{base}/gen2"
+            f"{tmp}/gen2"
         )
-        spark.read.parquet(f"{base}/gen1", f"{base}/gen2").write.mode(
+        spark.read.parquet(f"{tmp}/gen1", f"{tmp}/gen2").write.mode(
             "overwrite"
-        ).parquet(f"{base}/gen3")
+        ).parquet(f"{tmp}/gen3")
         manifest = {
             "v1": ["gen1"],
             "v2": ["gen1", "gen2"],
             "v3": ["gen3"],
             "current": "v3",
         }
-        with open(manifest_path, "w") as fh:
+        # manifest written last inside tmp; the fixture publishes whole
+        with open(f"{tmp}/manifest.json", "w") as fh:
             json.dump(manifest, fh)
+
+    base = _staged_fixture("orders_vacuum", _fp_tag(sf_dir, "orders"), _build)
+    manifest_path = f"{base}/manifest.json"
     with open(manifest_path) as fh:
         manifest = json.load(fh)
     current = manifest[manifest["current"]]
@@ -13356,17 +13414,20 @@ def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 1-in-50 sample keeps the per-file fixture bounded at
     # every sf (blob-store staging cost, not an engine property)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{_SCRATCH}/blob_stage_{tag}"
-    if not os.path.exists(base):
-        os.makedirs(base, exist_ok=True)
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
         # one file per doc: filename carries (source, doc_id); written once
-        # per sf_dir via the driver-side loop ONLY because the local FS
-        # sink for per-record files is the fixture itself — a real
+        # per dataset fingerprint via the driver-side loop ONLY because the
+        # local FS sink for per-record files is the fixture itself — a real
         # deployment writes blobs from executors (foreachPartition)
         for r in docs.select("doc_id", "source", "text").toLocalIterator():
-            with open(f"{base}/{r['source']}__{r['doc_id']}.bin", "wb") as fh:
+            with open(f"{tmp}/{r['source']}__{r['doc_id']}.bin", "wb") as fh:
                 fh.write(r["text"].encode("ascii"))
+
+    # atomic publish: an interrupted first run leaves an orphaned tmp dir,
+    # never a partial blob set silently reused by later runs
+    base = _staged_fixture("blob_stage", _fp_tag(sf_dir, "documents"), _build)
     back = spark.read.format("binaryFile").load(base)
     parsed = back.select(
         F.regexp_extract(
@@ -13983,7 +14044,7 @@ def q_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "lineitem")
     t_li = f"bq_lineitem_{tag}"
     if not spark.catalog.tableExists(t_li):
         li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
@@ -14055,7 +14116,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     orders = load_table(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "orders")
     base = f"{_SCRATCH}/orders_by_year_{tag}"
     if not os.path.exists(base):
         orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy(
@@ -14095,7 +14156,7 @@ def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     base = f"{_SCRATCH}/stream_ckpt_{tag}"
     stage, ckpt, sink = f"{base}/stage", f"{base}/ckpt", f"{base}/sink"
 
@@ -14239,36 +14300,38 @@ def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     ev = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{_SCRATCH}/wm_incr_{tag}"
-    wm_path = f"{base}/watermark.json"
-    target = f"{base}/target"
     cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
 
-    def watermark() -> str | None:
-        if not os.path.exists(wm_path):
+    def watermark(state: str) -> str | None:
+        if not os.path.exists(f"{state}/watermark.json"):
             return None
-        with open(wm_path) as fh:
+        with open(f"{state}/watermark.json") as fh:
             return json.load(fh)["max_ts"]
 
-    def advance(df: DataFrame) -> int:
-        new = df if watermark() is None else df.filter(
-            F.col("ts") > F.lit(watermark()).cast("timestamp")
+    def advance(df: DataFrame, state: str) -> int:
+        wm = watermark(state)
+        new = df if wm is None else df.filter(
+            F.col("ts") > F.lit(wm).cast("timestamp")
         )
         n = new.count()
         if n:
-            new.write.mode("append").parquet(target)
+            new.write.mode("append").parquet(f"{state}/target")
             mx = new.agg(F.max("ts")).first()[0]
-            os.makedirs(base, exist_ok=True)
-            with open(wm_path, "w") as fh:
+            os.makedirs(state, exist_ok=True)
+            with open(f"{state}/watermark.json", "w") as fh:
                 json.dump({"max_ts": str(mx)}, fh)
         return n
 
-    if not os.path.exists(wm_path):
-        advance(ev.filter(F.col("ts") < cut))  # run 1: backlog
-        advance(ev)  # run 2: only rows past the watermark survive the filter
-    n3 = advance(ev)  # run 3: nothing new
-    loaded = spark.read.parquet(target)
+    def _build(tmp: str) -> None:
+        # runs 1+2 stage into a private dir and publish atomically — a
+        # crash between them can never leave a half-advanced watermark
+        # behind, and concurrent processes can't double-append the backlog
+        advance(ev.filter(F.col("ts") < cut), tmp)  # run 1: backlog
+        advance(ev, tmp)  # run 2: only rows past the watermark survive
+
+    base = _staged_fixture("wm_incr", _fp_tag(sf_dir, "events"), _build)
+    n3 = advance(ev, base)  # run 3: nothing new
+    loaded = spark.read.parquet(f"{base}/target")
     return loaded.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
@@ -14670,7 +14733,7 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
     import os
 
     orders = load_table(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "orders")
     base = f"{_SCRATCH}/orders_dpo_{tag}"
     marker = f"{base}/_restated"
     src = orders.withColumn("yr", F.year("o_orderdate"))
@@ -14765,7 +14828,7 @@ def q_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "customer")
     base = f"{_SCRATCH}/cust_nested_{tag}"
     if not os.path.exists(base):
         nested = cust.select(
@@ -15221,7 +15284,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit("2024-01-10 00:00:00").cast("timestamp")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     base = f"{_SCRATCH}/stream_late_{tag}"
     stage, ckpt, sink = f"{base}/stage", f"{base}/ckpt", f"{base}/sink"
 
@@ -15795,9 +15858,7 @@ def q_nest_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = f"{_SCRATCH}/orders_nested_{tag}"
-    if not os.path.exists(base):
+    def _build(tmp: str) -> None:
         nested = (
             li.groupBy("l_orderkey")
             .agg(
@@ -15812,7 +15873,9 @@ def q_nest_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(orders, F.col("l_orderkey") == orders.o_orderkey)
             .select("o_orderkey", "o_orderpriority", "lines")
         )
-        nested.write.mode("overwrite").parquet(base)
+        nested.write.mode("overwrite").parquet(tmp)
+
+    base = _staged_fixture("orders_nested", _fp_tag(sf_dir, "lineitem"), _build)
     back = spark.read.parquet(base)
     per_order = back.select(
         "o_orderpriority",
@@ -16302,7 +16365,7 @@ def q_stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_project_spark.streaming.ops import read_events_stream
 
     ev = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     base = f"{_SCRATCH}/stream_part_{tag}"
     sink, ckpt = f"{base}/sink", f"{base}/ckpt"
     q = (

@@ -81,3 +81,44 @@ def read_jdbc(
             f"JDBC read failed — is the driver jar for {url.split(':')[1] if ':' in url else url} "
             f"on spark.jars? ({e})"
         ) from e
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is usable as a data source
+    (``org.apache.spark:spark-avro_2.13`` — not bundled with pyspark).
+
+    Class.forName is NOT sufficient here: this container resolves
+    ``o.a.s.sql.avro.AvroFileFormat`` yet the ServiceLoader registration
+    is absent, so writes still fail with "Failed to find data source".
+    The probe therefore asks Spark's own ``DataSource.lookupDataSource``
+    — exactly the check the reader/writer performs."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Avro sink — the row-oriented interchange format for Kafka/schema-
+    registry pipelines. Gated on the spark-avro jar; probed per-session so
+    the path lights up automatically in a container that ships the jar."""
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "spark-avro jar not on the classpath in this environment; "
+            "deploy with org.apache.spark:spark-avro to enable (parquet "
+            "sinks in sources/sinks.py are the in-container equivalent)"
+        )
+    df.write.format("avro").mode(mode).save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — gated like `write_avro`."""
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro jar not on the classpath in this environment; "
+            "deploy with org.apache.spark:spark-avro to enable"
+        )
+    return spark.read.format("avro").load(path)

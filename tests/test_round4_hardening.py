@@ -104,3 +104,54 @@ def test_asof_cogroup_matches_within_bound(spark):
     a = {r["lid"]: r["r_val"] for r in cg.collect()}
     b = {r["lid"]: r["r_val"] for r in stream.collect()}
     assert a == b
+
+
+def test_cents_mod97_matches_sql_on_negatives_and_half_cents(spark):
+    """The registered UDF must agree with CAST(ROUND(v*100,0) AS BIGINT) % 97
+    on negative values (SQL % follows the dividend sign) and exact half-cent
+    inputs (SQL ROUND is half-away-from-zero, pandas round is half-even)."""
+    from etl_pipeline_project_spark.functions.udfs import cents_mod97_udf
+
+    vals = [1.0, -1.0, 0.985, -0.985, 2.5, -2.5, 0.125, -0.125,
+            123.456, -123.456, 0.0, None, 970.005, -970.005]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = df.select(
+        "value", cents_mod97_udf("value").alias("udf_mod")
+    )
+    want = df.selectExpr(
+        "value",
+        "CAST(ROUND(value * 100, 0) AS BIGINT) % 97 AS sql_mod",
+    )
+    j = got.join(want, ["value"], "inner") if None not in vals else (
+        got.join(want, got["value"].eqNullSafe(want["value"]))
+        .select(got["value"], "udf_mod", "sql_mod")
+    )
+    rows = j.collect()
+    assert len(rows) >= len(vals)
+    for r in rows:
+        assert r["udf_mod"] == r["sql_mod"], (r["value"], r["udf_mod"], r["sql_mod"])
+
+
+def test_avro_connector_gates_or_roundtrips(spark):
+    """Avro connector flips on jar presence: round-trips when the
+    spark-avro jar is on the classpath, raises an actionable
+    NotImplementedError otherwise (this container ships without it)."""
+    import pytest as _pytest
+
+    from etl_pipeline_project_spark.sources.lakehouse import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+    from etl_pipeline_project_spark.sources.readers import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "region")
+    path = "/root/repo/.scratch/avro_gate_test"
+    if avro_available(spark):
+        write_avro(df, path)
+        assert read_avro(spark, path).count() == df.count()
+    else:
+        with _pytest.raises(NotImplementedError):
+            write_avro(df, path)
+        with _pytest.raises(NotImplementedError):
+            read_avro(spark, path)
