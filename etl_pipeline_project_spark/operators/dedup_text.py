@@ -150,32 +150,62 @@ def minhash_lsh_pairs(
     threshold. Approximate recall ⇒ no SQL oracle; recall vs exact
     `jaccard_pairs` asserted in tests.
     """
+    sh = minhash_signatures(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, band_rows=band_rows
+    )
+    # The signature frame feeds both the band join and the exact-verify
+    # join; checkpoint it once (lazy — materialized on first use) so the
+    # shingling/hashing work isn't executed twice. At cluster scale this
+    # is the "persist the signature table" step of a staged dedup pipeline.
+    sh = sh.localCheckpoint(eager=False)
+    bands = sh.select("doc_id", F.explode("bands").alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bkey"])
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return verify_pairs_exact(cand, sh, jaccard_distance_threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Per-document MinHash signature frame: ``(doc_id, shingles, bands)``
+    with ``bands = array<struct<band:int, bkey:int>>`` — the persistent
+    unit a dedup-against-history store keeps per document (used by both
+    the batch `minhash_lsh_pairs` and the streaming
+    `streaming.neardup` incremental path; same seed ⇒ signatures from
+    different runs/batches band-join against each other correctly).
+
+    One string-hash pass per shingle, then the i-th hash function is the
+    affine map a_i*h + b_i over the Mersenne prime P = 2^31−1: products
+    stay below 2^62 (no long overflow under ANSI mode) and the family has
+    the pairwise independence MinHash needs. All ``num_hashes`` mins are
+    computed in ONE wide hash aggregate (partial+final, codegen) — far
+    cheaper than per-hash array-transform passes. Documents with no
+    k-shingle (fewer than k words) are excluded by contract."""
     import random
 
     n_bands = num_hashes // band_rows
     sh = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    # The shingle sets feed both the signature pass and the exact-verify
-    # join; checkpoint them once (lazy — materialized on first use) so the
-    # shingling/tokenize work isn't executed twice. At cluster scale this
-    # is the "persist the shingle table" step of a staged dedup pipeline.
-    sh = sh.localCheckpoint(eager=False)
 
-    # One string-hash pass per shingle, then the i-th hash function is the
-    # affine map a_i*h + b_i over int64 (wrapping overflow — a standard
-    # universal-hash family). 64 string-hash passes → 1 pass + cheap long
-    # arithmetic: this is where the previous implementation spent its time.
-    # Universal hash family h_i(x) = (a_i·x + b_i) mod P over the Mersenne
-    # prime P = 2^31−1: products stay below 2^62, so no long overflow under
-    # ANSI mode, and the family has the pairwise-independence MinHash needs.
     P = (1 << 31) - 1
     rng = random.Random(42)
     coeffs = [(rng.randrange(1, P), rng.randrange(P)) for _ in range(num_hashes)]
 
-    # Single pass: explode shingles, hash each once, and compute all
-    # num_hashes mins in ONE wide hash aggregate (partial+final, codegen) —
-    # far cheaper than num_hashes array-transform passes per row.
     ex = sh.select(F.col("doc_id"), F.explode("shingles").alias("tok")).withColumn(
         "h", F.pmod(F.xxhash64("tok"), F.lit(P))
     )
@@ -185,34 +215,32 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]).alias(
-                            "bkey"
-                        ),
-                    )
-                    for b in range(n_bands)
-                ]
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(*[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]).alias(
+                    "bkey"
+                ),
             )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+            for b in range(n_bands)
+        ]
     )
-    # Exact verification of the (few) candidates: join shingle sets back in.
+    return sig.join(sh, "doc_id").select("doc_id", "shingles", bands_arr.alias("bands"))
+
+
+def verify_pairs_exact(
+    cand: DataFrame, sigs: DataFrame, jaccard_distance_threshold: float
+) -> DataFrame:
+    """Exact verification of candidate pairs against the shingle sets in a
+    signature frame: output jaccard_distance is the true shingle-set
+    distance, so precision is 1.0 regardless of how candidates were
+    generated. ``cand`` has (id_a, id_b); ``sigs`` has (doc_id, shingles)."""
     verified = cand.join(
-        sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        sigs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        sigs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     # No rounding: 1 − inter/union is correctly-rounded IEEE division in any

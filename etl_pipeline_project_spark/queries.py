@@ -17801,6 +17801,83 @@ def q_mode_all_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 81 — streaming near-duplicate detection: the incremental-
+# load pattern applied to the LLM-dedup tier (the capability seam between
+# the streaming and dedup tiers the round-3 verdict called out).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_neardup",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLE_SQL} AS s FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             1.0 - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(GREATEST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1) AS DOUBLE)
+               AS jaccard_distance
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard_distance FROM p WHERE jaccard_distance < 0.4
+    """,
+)
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dup — documents arrive as file-source
+    micro-batches and each batch dedups against the FULL history through a
+    persistent signature store (streaming/neardup.py): anti-join gate for
+    exactly-once, band-bucket join of new docs vs store for candidates
+    (work ∝ batch, never ∝ history), exact shingle verification, appends.
+    Two arrival waves + a no-new-files idempotence run; the accumulated
+    pair set equals batch `minhash_lsh_pairs` on the whole corpus — same
+    seeded hash family across batches — so the exact all-pairs DuckDB twin
+    of q_dedup_minhash_lsh is the oracle (recall ≈ 1−1.6e-6 at distance
+    < 0.4 with r=2/b=32). Spark streaming state is empty by design: the
+    dedup memory lives in the store, which is the only structure that can
+    hold a 100 TB corpus' history."""
+    import os
+    import shutil
+
+    from etl_pipeline_project_spark.streaming.neardup import (
+        foreach_batch_neardup,
+        neardup_pairs_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = _fp_tag(sf_dir, "documents")
+    base = f"{_SCRATCH}/stream_neardup_{tag}"
+    stage, ckpt = f"{base}/stage", f"{base}/ckpt"
+    sig_store, pair_store = f"{base}/signatures", f"{base}/pairs"
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(
+                foreach_batch_neardup(sig_store, pair_store)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    marker = f"{base}/_staged_complete"
+    if not os.path.exists(marker):
+        # marker written after BOTH arrival waves: an attempt that died
+        # mid-way is discarded whole, never resumed half-staged
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(stage)
+        run_stream()  # wave 1 becomes the stored history
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(stage)
+        run_stream()  # wave 2 dedups against the store, not a corpus rescan
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    run_stream()  # no new files -> no state change (exactly-once)
+    return neardup_pairs_state(spark, pair_store)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17812,6 +17889,8 @@ def q_mode_all_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_PRIORITY = [
+    # --- new in round 4 (needs first driver evidence) ---
+    "q_stream_neardup",
     # --- round-4 rotation: the driver samples ~50 keys in registry order;
     # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
     # round-3 verdict, every key with NO driver evidence yet moves to the
