@@ -17680,37 +17680,54 @@ def q_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared independently; a migration that mangled only timestamps
     flags only the date column). Canonical renderings (cents as integers,
     ISO dates) keep the checksum engine-portable; sums are commutative so
-    1000 partials merge exactly. One scan per column probe — or one
-    multi-aggregate scan, as Spark plans it."""
+    1000 partials merge exactly. ALL columns checksum in ONE scan + ONE
+    wide aggregate (the round-3 form unioned one aggregate per column —
+    4 scans of the fact table, which at 100 TB multiplies the audit cost
+    by the column count); the per-column rows then unpivot from the
+    single 1-row result for free."""
     orders = load_table(spark, sf_dir, "orders")
 
-    def cksum(rendered: F.Column, name: str, src_col: str):
+    def cksum(rendered: F.Column):
         # 48-bit prefixes overflow int64 beyond ~10^5 rows: accumulate in
         # decimal(38,0) (exact to ~10^24 rows) and emit the string form
         h = F.conv(F.substring(F.md5(rendered.cast("binary")), 1, 12), 16, 10)
-        return orders.agg(
-            F.lit(name).alias("col"),
-            F.sum(h.cast("decimal(38,0)"))
-            .cast("decimal(38,0)")
-            .cast("string")
-            .alias("checksum"),
-            F.count(src_col).alias("n_nonnull"),
+        return (
+            F.sum(h.cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
         )
 
-    parts = [
-        cksum(F.col("o_orderkey").cast("string"), "o_orderkey", "o_orderkey"),
-        cksum(F.col("o_orderpriority"), "o_orderpriority", "o_orderpriority"),
-        cksum(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+    probes = [
+        ("o_orderkey", F.col("o_orderkey").cast("string"), "o_orderkey"),
+        ("o_orderpriority", F.col("o_orderpriority"), "o_orderpriority"),
+        (
             "o_totalprice_cents",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
             "o_totalprice",
         ),
-        cksum(F.col("o_orderdate").cast("string"), "o_orderdate", "o_orderdate"),
+        ("o_orderdate", F.col("o_orderdate").cast("string"), "o_orderdate"),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    agg = orders.agg(
+        *[
+            c
+            for i, (_, rendered, src) in enumerate(probes)
+            for c in (
+                cksum(rendered).alias(f"c{i}"),
+                F.count(src).alias(f"n{i}"),
+            )
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col"),
+                F.col(f"c{i}").alias("checksum"),
+                F.col(f"n{i}").alias("n_nonnull"),
+            )
+            for i, (name, _, _) in enumerate(probes)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.col", "r.checksum", "r.n_nonnull"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,16 @@ def main() -> int:
     def plan(key: str) -> str:
         return REGISTRY[key](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
+    def final_plan(key: str) -> str:
+        """Run the query, then read the FINAL adaptive plan: exchange reuse
+        is an AQE runtime decision (stage dedup), invisible in the static
+        initial plan."""
+        df = REGISTRY[key](spark, sf_dir)
+        # collect() drives THIS QueryExecution to completion (a .write would
+        # spawn a separate execution and leave this plan un-finalized)
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
     checks: list[tuple[str, bool, str]] = []
 
     p = plan("q_filter_predicate")
@@ -543,6 +553,181 @@ def main() -> int:
         (
             "q_preagg_before_join join input is the aggregate, not the fact table",
             "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+
+    # --- round-4 additions: batches 65-81 ---
+    p = plan("q_column_checksums")
+    checks.append(
+        (
+            "q_column_checksums ALL columns in ONE scan + ONE wide aggregate (not one scan per column)",
+            len(re.findall(r"Scan parquet|FileScan", p)) == 1
+            and len(re.findall(r"\bExchange", p)) == 1,
+            p[:300],
+        )
+    )
+    m = re.search(r"ReadSchema: (\S+)", plan("q_select_except"))
+    checks.append(
+        (
+            "q_select_except prunes the scan to the three surviving columns (excluded expr never evaluated)",
+            bool(m)
+            and m.group(1).count(":") == 3
+            and "o_comment" not in m.group(1),
+            str(m),
+        )
+    )
+    p = plan("q_temporal_cooccurrence")
+    checks.append(
+        (
+            "q_temporal_cooccurrence hour-bucket basket: broadcast pair join, ≤2 exchanges, no cartesian",
+            "BroadcastHashJoin" in p
+            and "CartesianProduct" not in p
+            and len(re.findall(r"\bExchange", p)) <= 2,
+            p[:300],
+        )
+    )
+    p = final_plan("q_backlog_curve")
+    checks.append(
+        (
+            "q_backlog_curve sweep reuses the order-lifetime subtree at runtime (AQE stage dedup, fact join computed once)",
+            p.count("ReusedExchange") >= 2,
+            p[:300],
+        )
+    )
+    p = final_plan("q_cte_reuse")
+    checks.append(
+        (
+            "q_cte_reuse per-customer aggregate shuffles once for three consumers (ReusedExchange in the final plan)",
+            p.count("ReusedExchange") >= 1,
+            p[:300],
+        )
+    )
+    p = plan("q_empty_relation")
+    checks.append(
+        (
+            "q_empty_relation collapses to LocalTableScan at optimization time — zero file scans, zero exchanges",
+            "LocalTableScan" in p
+            and len(re.findall(r"Scan parquet|FileScan", p)) == 0
+            and "Exchange" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_inline_dim_join")
+    checks.append(
+        (
+            "q_inline_dim_join inline VALUES dim enters as a driver-local leaf and broadcasts",
+            ("LocalTableScan" in p or "Scan ExistingRDD" in p)
+            and "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_onehot_encode")
+    checks.append(
+        (
+            "q_onehot_encode single partial+final aggregate (indicators are map-side expressions)",
+            "partial" in p.lower() and len(re.findall(r"\bExchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_debounce")
+    checks.append(
+        (
+            "q_debounce gap suppression: one user-series window exchange, no self-join",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1
+            and "Join" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_minmax_scale")
+    checks.append(
+        (
+            "q_minmax_scale window stats + projection on ONE event_type exchange",
+            len(re.findall(r"Exchange hashpartitioning\(event_type", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_mode_all_ties")
+    checks.append(
+        (
+            "q_mode_all_ties frequency + max window + reassembly all on user_id exchanges only",
+            len(re.findall(r"\bExchange", p)) <= 2
+            and len(re.findall(r"Exchange hashpartitioning\(user_id", p)) >= 1,
+            p[:300],
+        )
+    )
+    p = plan("q_centered_ma")
+    checks.append(
+        (
+            "q_centered_ma daily pre-agg + centered frame within ≤2 exchanges, one sort",
+            len(re.findall(r"\bExchange", p)) <= 2
+            and len(re.findall(r"\bSort \[", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_multi_offset_lags")
+    checks.append(
+        (
+            "q_multi_offset_lags all three lag offsets share ONE sort",
+            len(re.findall(r"\bSort \[", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_item_similarity")
+    checks.append(
+        (
+            "q_item_similarity co-occurrence via basket join — no cartesian / nested-loop pair blow-up",
+            "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+            p[:300],
+        )
+    )
+    p = final_plan("q_graph_2hop")
+    checks.append(
+        (
+            "q_graph_2hop edge list reused across hops (runtime ReusedExchange), no cartesian",
+            p.count("ReusedExchange") >= 1 and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_decile_spread")
+    checks.append(
+        (
+            "q_decile_spread count-based percentiles (no percentile buffer), ≤2 exchanges",
+            "percentile" not in p.lower()
+            and len(re.findall(r"\bExchange", p)) <= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_composition_shares")
+    checks.append(
+        (
+            "q_composition_shares share-of-year window rides the aggregate output (one sort, ≤2 exchanges)",
+            len(re.findall(r"\bSort \[", p)) == 1
+            and len(re.findall(r"\bExchange", p)) <= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_conversion_by_path")
+    checks.append(
+        (
+            "q_conversion_by_path entry-path prefix is limit-pushed (WindowGroupLimit)",
+            "WindowGroupLimit" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_sla_compliance")
+    checks.append(
+        (
+            "q_sla_compliance SLA dim + order dim both broadcast (fact side never shuffles for the joins)",
+            len(re.findall(r"BroadcastHashJoin", p)) >= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_model_score_broadcast")
+    checks.append(
+        (
+            "q_model_score_broadcast model scalars broadcast to the scoring pass (no cartesian)",
+            "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
             p[:300],
         )
     )
