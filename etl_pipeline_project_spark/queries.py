@@ -17895,6 +17895,254 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 82 — training-data shard packing, bipartite degree
+# histogram, partition-level checksums.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_shard_manifest",
+    """
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM documents
+    )
+    SELECT source, CAST(cum_excl // 4096 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard MANIFEST — pack each source's documents into
+    ~4 KiB-budget shards in deterministic doc_id order (the tar/webdataset
+    layout step of a training-data pipeline): shard_id = exclusive running
+    bytes div budget, so every doc lands in exactly one shard, shards
+    close as soon as the budget is crossed, and the assignment is
+    reproducible run-to-run (no RNG, no partition-count dependence). One
+    per-source window (sources are the natural parallel unit — a skewed
+    source streams through the RANGE-free ROWS frame without buffering)
+    + one aggregate. At 100 TB this manifest IS the shuffle plan for the
+    shard writer; the data itself moves once, directly to shard files."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.withColumn(
+        "cum_excl", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    )
+    return (
+        c.groupBy(
+            "source", F.expr("cum_excl div 4096").cast("long").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@_q(
+    "q_bipartite_degree",
+    """
+    WITH deg AS (
+      SELECT l_partkey, count(DISTINCT l_suppkey) AS degree
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(l_partkey) AS BIGINT) AS min_part,
+           CAST(max(l_partkey) AS BIGINT) AS max_part
+    FROM deg GROUP BY 1
+    """,
+)
+def q_bipartite_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree DISTRIBUTION of the part–supplier bipartite graph — the
+    first diagnostic run on any graph before choosing join strategies
+    (a heavy-tailed degree histogram is what tells you a vertex-keyed
+    shuffle will skew and wedge-style joins will blow up). Distinct-count
+    per part collapses map-side (partial dedup before the exchange), then
+    the histogram is a second thin aggregate over one row per part."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    deg = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").alias("degree")
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+    )
+
+
+@_q(
+    "q_partition_checksums",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+               ), 1, 12) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS checksum
+    FROM orders GROUP BY 1
+    """,
+)
+def q_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-PARTITION content checksums — drift localization along the
+    table's physical partition axis (q_table_checksum says the tables
+    differ, q_column_checksums says which column, this says which
+    partition — so the re-sync recopies one year, not 100 TB). Row
+    rendering folds key + money-cents into one md5 prefix; per-year sums
+    are commutative decimals, so 1000 partial aggregates merge exactly
+    and two engines agree digit-for-digit. One scan, one exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    rendered = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(rendered.cast("binary")), 1, 12), 16, 10)
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 83 — exact-money dimension applications: as-of currency
+# conversion, progressive bracket decomposition.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_currency_convert",
+    """
+    WITH fx(yr, mo, rate_num) AS (
+      SELECT yr, mo, 80 + ((yr * 12 + mo) % 7)
+      FROM (SELECT unnest(range(1990, 2031)) AS yr) y
+      CROSS JOIN (SELECT unnest(range(1, 13)) AS mo) m
+    ),
+    x AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mo,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(x.yr AS BIGINT) AS yr, CAST(x.mo AS BIGINT) AS mo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents * rate_num // 100) AS BIGINT) AS converted_cents
+    FROM x JOIN fx ON x.yr = fx.yr AND x.mo = fx.mo
+    GROUP BY 1, 2
+    """,
+)
+def q_currency_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency conversion against a MONTHLY RATE dimension — the exact-
+    money discipline applied to a time-varying multiplier: rates live as
+    integer basis points (rate_num/100), conversion is per-row integer
+    multiply + floor-div (never a float product that drifts between
+    engines), and the rate dim (84 rows) broadcasts so the fact table
+    joins map-side. The rate table is generated deterministically in both
+    engines (80 + (yr*12+mo) mod 7) — the point is the plan shape and the
+    exact arithmetic, not real FX data."""
+    months = spark.range(1990, 2031).select(
+        F.col("id").alias("yr"),
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("mo"),
+    )
+    fx = months.withColumn(
+        "rate_num", (F.lit(80) + (F.col("yr") * 12 + F.col("mo")) % 7)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        orders.join(F.broadcast(fx), ["yr", "mo"])
+        .groupBy(F.col("yr").cast("long").alias("yr"), F.col("mo").cast("long").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum(F.expr("cents * rate_num div 100"))
+            .cast("long")
+            .alias("converted_cents"),
+        )
+    )
+
+
+@_q(
+    "q_tax_brackets",
+    """
+    WITH br(bracket, lo, hi) AS (
+      VALUES ('b1_0_100k',        0,      10000000),
+             ('b2_100k_200k',     10000000, 20000000),
+             ('b3_200k_350k',     20000000, 35000000),
+             ('b4_350k_up',       35000000, NULL)
+    ),
+    x AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT bracket,
+           CAST(count(*) FILTER (cents > lo) AS BIGINT) AS n_orders_reaching,
+           CAST(SUM(GREATEST(LEAST(cents, COALESCE(hi, cents)) - lo, 0))
+                AS BIGINT) AS cents_in_bracket
+    FROM x CROSS JOIN br
+    GROUP BY bracket, lo, hi
+    """,
+)
+def q_tax_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE BRACKET decomposition — each order's cents split across
+    marginal bands (the tax/commission/tiered-pricing computation):
+    amount-in-bracket = clamp(cents, lo, hi) − lo, floored at 0, so the
+    four bands sum back to the exact order total by construction
+    (reconciliation asserted in tests — decompositions that don't
+    re-add are how tiered revenue reports silently lose money). The
+    4-row bracket dim broadcasts; the fact side is one map pass + one
+    grouped aggregate, all integer cents."""
+    br = spark.createDataFrame(
+        [
+            ("b1_0_100k", 0, 10_000_000),
+            ("b2_100k_200k", 10_000_000, 20_000_000),
+            ("b3_200k_350k", 20_000_000, 35_000_000),
+            ("b4_350k_up", 35_000_000, None),
+        ],
+        "bracket string, lo long, hi long",
+    )
+    x = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    joined = x.crossJoin(F.broadcast(br))
+    in_bracket = F.greatest(
+        F.least(F.col("cents"), F.coalesce(F.col("hi"), F.col("cents")))
+        - F.col("lo"),
+        F.lit(0),
+    )
+    return joined.groupBy("bracket").agg(
+        F.sum(F.when(F.col("cents") > F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orders_reaching"),
+        F.sum(in_bracket).cast("long").alias("cents_in_bracket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -17907,7 +18155,8 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_PRIORITY = [
     # --- new in round 4 (needs first driver evidence) ---
-    "q_stream_neardup",
+    "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
+    "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
     # --- round-4 rotation: the driver samples ~50 keys in registry order;
     # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
     # round-3 verdict, every key with NO driver evidence yet moves to the
