@@ -18143,6 +18143,274 @@ def q_tax_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 84 — ops diagnostics: rate-spike alerting on dual RANGE
+# frames, shuffle-skew report, session census.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_event_rate_alert",
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, hr, n,
+             COALESCE(SUM(n) OVER w, 0) AS base_sum,
+             COUNT(n) OVER w AS base_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr, CAST(n AS BIGINT) AS n,
+           CAST(base_sum AS BIGINT) AS base_sum,
+           CAST(base_n AS BIGINT) AS base_n,
+           (base_n > 0 AND n * base_n > 3 * base_sum) AS spike
+    FROM base
+    """,
+)
+def q_event_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-SPIKE alerting: each hour's event count per type compared to
+    its own trailing-24h baseline — the first page of any ops runbook.
+    The hour axis is an integer (epoch div 3600) so the trailing window
+    is a RANGE frame over VALUES, not rows: gap hours genuinely shrink
+    the baseline instead of silently stretching it. The spike predicate
+    cross-multiplies (n·base_n > 3·base_sum) — zero floats, so both
+    engines agree on every boundary case. Hourly pre-aggregation first:
+    the window runs over O(types × hours) rows, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("base_sum"),
+        F.count("n").over(w).alias("base_n"),
+    )
+    return base.select(
+        "event_type",
+        "hr",
+        "n",
+        F.col("base_sum").cast("long").alias("base_sum"),
+        F.col("base_n").cast("long").alias("base_n"),
+        (
+            (F.col("base_n") > 0)
+            & (F.col("n") * F.col("base_n") > 3 * F.col("base_sum"))
+        ).alias("spike"),
+    )
+
+
+@_q(
+    "q_skew_report",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM per_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top1_rows,
+           CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT)
+             AS top10_rows,
+           (MAX(CASE WHEN rk = 1 THEN n END) * count(*) > 5 * SUM(n))
+             AS skewed
+    FROM ranked
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-SKEW report for a prospective join/aggregation key — the
+    diagnostic you run BEFORE shipping a 100 TB job keyed on user_id:
+    key cardinality, total rows, the heaviest key's row count, and the
+    top-10 concentration, plus a cross-multiplied skew verdict
+    (top1 · n_keys > 5 · n_rows ⇔ the hottest key holds >5× its fair
+    share — the threshold where AQE skew-split or salting starts paying).
+    Per-key counts partial-aggregate map-side; the ranked scan is over
+    one row per key."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n").desc(), F.col("user_id"))
+    )
+    ranked = per_key.select("n", rk.alias("rk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max(F.when(F.col("rk") == 1, F.col("n"))).cast("long").alias("top1_rows"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("top10_rows"),
+        (
+            F.max(F.when(F.col("rk") == 1, F.col("n"))) * F.count(F.lit(1))
+            > 5 * F.sum("n")
+        ).alias("skewed"),
+    )
+
+
+@_q(
+    "q_session_census",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                    - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, sec,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x
+    ),
+    per_sess AS (
+      SELECT user_id, sess, count(*) AS n_events,
+             max(sec) - min(sec) AS dur_s
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(LEAST(n_events, 10) AS BIGINT) AS events_band,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(dur_s) AS BIGINT) AS total_duration_s,
+           CAST(MAX(dur_s) AS BIGINT) AS max_duration_s
+    FROM per_sess GROUP BY 1
+    """,
+)
+def q_session_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session CENSUS — the length/duration distribution of 30-minute-gap
+    sessions (how q_sessionize's output is actually consumed: 'are
+    sessions getting shorter?'): gap-break flags → running-sum session
+    ids → per-session (events, duration) → a banded histogram capped at
+    10+ events. The break flag, the session id, and the per-session
+    rollup all ride ONE user_id exchange; duration stays in integer
+    epoch seconds end-to-end."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # two-step: the break flag is itself a window expression, so the
+    # running session id must be computed in a second select (Catalyst
+    # still plans both windows on ONE user_id exchange + sort)
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = x.select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess"),
+    )
+    per_sess = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "dur_s"
+        ),
+    )
+    return per_sess.groupBy(
+        F.least(F.col("n_events"), F.lit(10)).cast("long").alias("events_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_s").cast("long").alias("total_duration_s"),
+        F.max("dur_s").cast("long").alias("max_duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 85 — audience overlap via inverted index.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_audience_overlap",
+    """
+    WITH m AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (SELECT event_type, count(*) AS sz FROM m GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM m a JOIN m b ON a.user_id = b.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+           CAST(n_both AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_both AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.event_type = inter.type_a
+    JOIN sz sb ON sb.event_type = inter.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE overlap between event types — pairwise user-set Jaccard
+    computed by the inverted-index pattern (shuffle on user_id, count
+    co-memberships), never a set×set comparison: the same shape that
+    makes q_ngram_jaccard scale, applied to segment analysis. Membership
+    dedups map-side; the pair space is types², tiny, while the user
+    dimension — the big one — is a single hash exchange. One exact
+    integer→double division for the final ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select("user_id", "event_type").distinct()
+    sz = m.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a = m.select("user_id", F.col("event_type").alias("type_a"))
+    b = m.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_a"), F.col("sz").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("event_type").alias("type_b"), F.col("sz").alias("n_b"))),
+            "type_b",
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18157,6 +18425,8 @@ _CHECK_PRIORITY = [
     # --- new in round 4 (needs first driver evidence) ---
     "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
     "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
+    "q_event_rate_alert", "q_skew_report", "q_session_census",
+    "q_audience_overlap",
     # --- round-4 rotation: the driver samples ~50 keys in registry order;
     # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
     # round-3 verdict, every key with NO driver evidence yet moves to the
