@@ -18411,6 +18411,123 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 86 — embedding hygiene: per-dimension fixed-point stats,
+# dedup threshold sweep.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_embed_dim_stats",
+    """
+    WITH e AS (
+      SELECT i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(q) AS HUGEINT) AS VARCHAR) AS sum_micros,
+           CAST(SUM(CAST(q AS HUGEINT) * q) AS VARCHAR) AS sumsq_micros
+    FROM e GROUP BY 1
+    """,
+)
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics — the whitening/normalization
+    diagnostic (a dimension whose variance dwarfs the rest dominates every
+    cosine; a dead dimension wastes index bits). Components quantize to
+    integer micros FIRST, so the sums are exact, order-independent, and
+    merge across 1000 partial aggregates without float drift (the same
+    fixed-point discipline as the money tier, applied to vectors).
+    posexplode → ONE partial+final aggregate keyed by dimension — 64
+    groups, map-side combine does nearly all the work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("e").cast("double") * 1_000_000, 0).cast("long")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "e")).select(
+        F.col("dim").cast("long").alias("dim"), q.alias("q")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sum_micros"),
+        F.sum((F.col("q").cast("decimal(19,0)") * F.col("q")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("sumsq_micros"),
+    )
+
+
+@_q(
+    "q_dedup_threshold_sweep",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLE_SQL} AS s FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(GREATEST(len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s)), 1) AS DOUBLE)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    th(threshold) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.02), (0.05),
+        (0.1), (0.2), (0.4), (0.6), (0.8)) v(x)),
+    at AS (
+      SELECT threshold, id_a, id_b FROM pairs CROSS JOIN th
+      WHERE jaccard >= threshold
+    ),
+    docs_at AS (
+      SELECT threshold, count(DISTINCT d) AS n_docs FROM (
+        SELECT threshold, id_a AS d FROM at
+        UNION ALL SELECT threshold, id_b FROM at
+      ) GROUP BY 1
+    )
+    SELECT a.threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(ANY_VALUE(n_docs) AS BIGINT) AS n_docs
+    FROM at a JOIN docs_at USING (threshold)
+    GROUP BY 1
+    """,
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD curve — how many pairs (and how many documents)
+    a near-dup pass would touch at each Jaccard cutoff, from ONE pair
+    computation: the evidence you choose a dedup aggressiveness with,
+    instead of re-running the pipeline per candidate threshold. The pair
+    table (source-blocked exact Jaccard, the q_ngram_jaccard plan) is
+    computed once and checkpointed; the 7-row threshold dim broadcasts
+    over it. Pairs-vs-docs at each cutoff also bounds the removable
+    fraction: keep-one-per-pair removes between n_docs/2 and
+    n_docs − n_components docs."""
+    from etl_pipeline_project_spark.operators.dedup_text import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", "source", k=3, threshold=0.02
+    ).localCheckpoint(eager=False)
+    th = spark.createDataFrame(
+        [(0.02,), (0.05,), (0.1,), (0.2,), (0.4,), (0.6,), (0.8,)],
+        "threshold double",
+    )
+    at = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = at.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs_at = (
+        at.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return n_pairs.join(docs_at, "threshold").select(
+        "threshold",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18426,7 +18543,7 @@ _CHECK_PRIORITY = [
     "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
     "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
     "q_event_rate_alert", "q_skew_report", "q_session_census",
-    "q_audience_overlap",
+    "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
     # --- round-4 rotation: the driver samples ~50 keys in registry order;
     # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
     # round-3 verdict, every key with NO driver evidence yet moves to the
