@@ -18627,6 +18627,83 @@ def q_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 88 — streaming SCD2 maintenance.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_scd2",
+    """
+    WITH runs AS (
+      SELECT user_id, ts, event_type, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, ts, event_type, event_id FROM runs
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL AS is_current
+    FROM ch
+    """,
+)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 — a Type-2 versioned dimension maintained in
+    foreachBatch (streaming/scd2.py): each micro-batch re-derives the
+    version chains of ONLY the keys it touches, from stored change points
+    ∪ batch events (state is one row per version, never per event; work
+    ∝ batch keys). Two event-time-ordered arrival waves + an idempotence
+    run; the final store equals the batch lag-collapse derivation over
+    all events — the SQL twin. The streaming face of q_scd2_dim, and the
+    second instance (after q_stream_neardup) of the incremental-load
+    pattern carrying a full oracle."""
+    import os
+    import shutil
+
+    from etl_pipeline_project_spark.streaming.scd2 import (
+        foreach_batch_scd2,
+        scd2_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    tag = _fp_tag(sf_dir, "events")
+    base = f"{_SCRATCH}/stream_scd2_{tag}"
+    stage, ckpt, store = f"{base}/stage", f"{base}/ckpt", f"{base}/store"
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(foreach_batch_scd2(store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    marker = f"{base}/_staged_complete"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev.filter(F.col("ts") < cut).write.mode("overwrite").parquet(stage)
+        run_stream()  # wave 1: first half of event time
+        ev.filter(F.col("ts") >= cut).write.mode("append").parquet(stage)
+        run_stream()  # wave 2 extends/reopens only the touched keys' chains
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    run_stream()  # no new files -> store unchanged (exactly-once)
+    return scd2_state(spark, store)
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18643,7 +18720,7 @@ _CHECK_PRIORITY = [
     "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
     "q_event_rate_alert", "q_skew_report", "q_session_census",
     "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
-    "q_join_existence_matrix", "q_pivot_multi_agg",
+    "q_join_existence_matrix", "q_pivot_multi_agg", "q_stream_scd2",
     # --- round-4 rotation: the driver samples ~50 keys in registry order;
     # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
     # round-3 verdict, every key with NO driver evidence yet moves to the
