@@ -18704,6 +18704,73 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 89 — streaming state-store introspection (State Data
+# Source, Spark 4.x).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_state_store_read",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE introspection — the streaming ops capability Spark 4
+    ships as the State Data Source: after a checkpointed streaming
+    aggregation completes, ``spark.read.format("statestore")`` opens the
+    operator's state as a plain DataFrame (key struct, value struct,
+    partition id). This is how a 100 TB deployment debugs 'why is this
+    key's aggregate wrong' or audits state growth WITHOUT adding probes
+    to the running query — the state files themselves become a queryable
+    table. The state of an availableNow groupBy-count over events must
+    equal the batch aggregate exactly, which is the SQL oracle; the
+    stream builds once per dataset fingerprint and every later invocation
+    reads state only."""
+    import os
+    import shutil
+
+    from etl_pipeline_project_spark.streaming.ops import read_events_stream
+
+    tag = _fp_tag(sf_dir, "events")
+    base = f"{_SCRATCH}/state_read_{tag}"
+    ckpt = f"{base}/ckpt"
+    marker = f"{base}/_complete"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        stream = read_events_stream(spark, sf_dir)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    # Touch the StreamingQueryManager before the state read: the State
+    # Data Source resolves the StateStoreCoordinator RPC endpoint, which
+    # is only registered once the session's streaming machinery
+    # initializes — a fresh session that never ran a stream fails with
+    # CANNOT_LOAD_STATE_STORE otherwise.
+    _ = spark.streams.active
+    st = spark.read.format("statestore").load(ckpt)
+    # the value struct's field is named by the physical agg function
+    # (count), not the query alias — resolve it structurally
+    vf = st.schema["value"].dataType.names[0]
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{vf}").cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18721,6 +18788,7 @@ _CHECK_PRIORITY = [
     "q_event_rate_alert", "q_skew_report", "q_session_census",
     "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
     "q_join_existence_matrix", "q_pivot_multi_agg", "q_stream_scd2",
+    "q_state_store_read",
     # --- round-4 rotation: the driver samples ~50 keys in registry order;
     # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
     # round-3 verdict, every key with NO driver evidence yet moves to the
