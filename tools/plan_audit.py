@@ -732,6 +732,97 @@ def main() -> int:
         )
     )
 
+    # --- round-4 batch 82-89 keys ---
+    p = plan("q_shard_manifest")
+    checks.append(
+        (
+            "q_shard_manifest one per-source exchange + ROWS-frame window + aggregate (one scan)",
+            len(re.findall(r"\bExchange", p)) == 1
+            and len(re.findall(r"Scan parquet|FileScan", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_partition_checksums")
+    checks.append(
+        (
+            "q_partition_checksums one scan, one exchange (partition-axis drift localization)",
+            len(re.findall(r"Scan parquet|FileScan", p)) == 1
+            and len(re.findall(r"\bExchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_currency_convert")
+    checks.append(
+        (
+            "q_currency_convert rate dim broadcasts; fact side shuffles once for the rollup",
+            "BroadcastHashJoin" in p and len(re.findall(r"\bExchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_tax_brackets")
+    checks.append(
+        (
+            "q_tax_brackets 4-row bracket dim broadcasts (BNL, never cartesian); one grouped aggregate",
+            "BroadcastNestedLoopJoin" in p
+            and "CartesianProduct" not in p
+            and len(re.findall(r"\bExchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_event_rate_alert")
+    checks.append(
+        (
+            "q_event_rate_alert hourly pre-agg + RANGE baseline window share the event_type exchanges (≤2, one sort)",
+            len(re.findall(r"\bExchange", p)) <= 2
+            and len(re.findall(r"\bSort \[", p)) == 1
+            and "RangeFrame" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_skew_report")
+    checks.append(
+        (
+            "q_skew_report fact shuffles once on the audited key; ranking runs on one-row-per-key",
+            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_embed_dim_stats")
+    checks.append(
+        (
+            "q_embed_dim_stats single partial+final aggregate over the posexplode (map-side combine)",
+            "partial" in p.lower() and len(re.findall(r"\bExchange", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_join_existence_matrix")
+    checks.append(
+        (
+            "q_join_existence_matrix fact aggregates BEFORE the join (one fact shuffle, broadcast probe)",
+            len(re.findall(r"Exchange hashpartitioning\(o_custkey", p)) == 1
+            and "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = final_plan("q_audience_overlap")
+    checks.append(
+        (
+            "q_audience_overlap inverted-index shape: the distinct-membership subtree reuses at runtime (3 consumers, ≥1 ReusedExchange), sizes broadcast, no cartesian",
+            p.count("ReusedExchange") >= 1
+            and "CartesianProduct" not in p
+            and "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_pivot_multi_agg")
+    checks.append(
+        (
+            "q_pivot_multi_agg all value×measure cells in one partial+final aggregate pair",
+            "partial" in p.lower() and len(re.findall(r"\bExchange", p)) <= 2,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
