@@ -18771,6 +18771,80 @@ def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 90 — streaming Python DataSource (offset-tracked custom
+# source, the Kafka-shaped contract in Python).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_python_source",
+    """
+    WITH t AS (SELECT unnest(range(0, 1000)) AS id)
+    SELECT CAST(id % 7 AS BIGINT) AS mod7,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM((id * id) % 101) AS BIGINT) AS sum_score,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM t GROUP BY 1
+    """,
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource — the streaming half of the Spark-4
+    Python DataSource API (the batch half is q_scan_python_datasource):
+    an offset-tracked custom source with the Kafka-shaped contract
+    (initialOffset / read / readBetweenOffsets), drained through a
+    checkpointed parquet file sink. Python simple stream readers don't
+    support AvailableNow (Spark falls back to single-batch execution), so
+    the drain is ceil(total/step) = 4 checkpointed runs — which is
+    exactly the demonstration: every restart resumes from the committed
+    offset, replay between offsets is exact, and the drained sink holds
+    each id exactly once. The deterministic payload gives the stream a
+    full SQL oracle; a real deployment swaps the range loop for a REST
+    page token / CDC cursor poll."""
+    import os
+    import shutil
+
+    from etl_pipeline_project_spark.sources.pydatasource import register_stream
+
+    register_stream(spark)
+    tag = _fp_tag(sf_dir, "events")
+    base = f"{_SCRATCH}/pystream_{tag}"
+    ckpt, sink = f"{base}/ckpt", f"{base}/sink"
+    total, step = 1000, 250
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("pagednumbers_stream")
+            .option("total", str(total))
+            .option("step", str(step))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)  # falls back to single-batch
+            .start()
+        )
+        q.awaitTermination()
+
+    marker = f"{base}/_drained"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        for _ in range(total // step):
+            run_once()  # each run advances the committed offset one batch
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    run_once()  # offset at total: reads nothing, sink unchanged
+    out = spark.read.parquet(sink)
+    return out.groupBy("mod7").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18788,7 +18862,7 @@ _CHECK_PRIORITY = [
     "q_event_rate_alert", "q_skew_report", "q_session_census",
     "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
     "q_join_existence_matrix", "q_pivot_multi_agg", "q_stream_scd2",
-    "q_state_store_read",
+    "q_state_store_read", "q_stream_python_source",
     # --- round-4 rotation: the driver samples ~50 keys in registry order;
     # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
     # round-3 verdict, every key with NO driver evidence yet moves to the

@@ -67,3 +67,73 @@ class PagedNumbersSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-registering the same name is allowed)."""
     spark.dataSource.register(PagedNumbersSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the Python DataSource API (Spark 4): an offset-tracked
+# synthetic stream with the Kafka-shaped contract — initialOffset / read /
+# readBetweenOffsets — so the engine's checkpoint machinery gives
+# exactly-once across restarts for a PYTHON source. A real deployment swaps
+# read()'s range loop for a poll of the upstream cursor (REST page token,
+# Kafka offset, CDC LSN); the offset bookkeeping is the production shape.
+# ---------------------------------------------------------------------------
+
+try:  # SimpleDataSourceStreamReader needs Spark 4.x
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class CounterStreamReader(SimpleDataSourceStreamReader):
+        """Each micro-batch advances the offset by ``step`` ids until
+        ``total`` — deterministic payload, so the drained stream carries a
+        full SQL oracle."""
+
+        def __init__(self, options: dict):
+            self.step = int(options.get("step", "250"))
+            self.total = int(options.get("total", "1000"))
+
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def _rows(self, lo: int, hi: int):
+            return iter([(x, x % 7, (x * x) % 101) for x in range(lo, hi)])
+
+        def read(self, start):
+            s = start["offset"]
+            e = min(s + self.step, self.total)
+            return self._rows(s, e), {"offset": e}
+
+        def readBetweenOffsets(self, start, end):
+            # exact replay between committed offsets — what makes a crash
+            # between prepare and commit recoverable without duplicates
+            return self._rows(start["offset"], end["offset"])
+
+    class PagedNumbersStreamSource(DataSource):
+        """`spark.readStream.format("pagednumbers_stream")` after
+        registration."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pagednumbers_stream"
+
+        def schema(self):
+            return StructType(
+                [
+                    StructField("id", LongType()),
+                    StructField("mod7", LongType()),
+                    StructField("score", LongType()),
+                ]
+            )
+
+        def simpleStreamReader(self, schema):
+            return CounterStreamReader(self.options)
+
+except ImportError:  # pragma: no cover - pre-4.x runtimes
+    PagedNumbersStreamSource = None
+
+
+def register_stream(spark) -> None:
+    """Idempotent registration of the streaming source."""
+    if PagedNumbersStreamSource is None:
+        raise NotImplementedError(
+            "SimpleDataSourceStreamReader requires Spark 4.x"
+        )
+    spark.dataSource.register(PagedNumbersStreamSource)
