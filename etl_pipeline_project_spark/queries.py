@@ -18845,6 +18845,84 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 91 — stream-static point-in-time enrichment.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_pit_enrich",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS user_id, c_mktsegment AS segment,
+             TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '2024-01-15 00:00:00' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'POST-' || c_mktsegment,
+             TIMESTAMP '2024-01-15 00:00:00',
+             TIMESTAMP '9999-12-31 00:00:00'
+      FROM customer
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY 1
+    """,
+)
+def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static POINT-IN-TIME enrichment — each streaming event joins
+    the dimension version that was valid AT ITS EVENT TIME (user equi-key
+    + interval containment), not the current one: the streaming face of
+    q_scd2_pit_join, and the join shape every CDC-fed feature pipeline
+    needs ('what segment was this user in when the event happened').
+    Stream-static joins accept arbitrary conditions because the static
+    side broadcasts and the join is STATELESS — no watermark, no state
+    store; interval containment costs nothing beyond the hash probe. The
+    versioned dim here is two deterministic versions per customer around
+    a mid-January cut; the enriched stream materializes via availableNow
+    and the final aggregate equals the batch PIT join — the SQL oracle."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg0"),
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    lo = F.lit("1900-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("9999-12-31 00:00:00").cast("timestamp")
+    dim = cust.select(
+        "user_id",
+        F.col("seg0").alias("segment"),
+        lo.alias("valid_from"),
+        cut.alias("valid_to"),
+    ).unionByName(
+        cust.select(
+            "user_id",
+            F.concat(F.lit("POST-"), F.col("seg0")).alias("segment"),
+            cut.alias("valid_from"),
+            hi.alias("valid_to"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(
+        F.broadcast(dim),
+        (stream.user_id == dim.user_id)
+        & (stream.ts >= dim.valid_from)
+        & (stream.ts < dim.valid_to),
+    ).select(stream.user_id.alias("user_id"), "segment")
+    mat = run_to_memory(enriched)
+    return mat.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18857,6 +18935,7 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_PRIORITY = [
     # --- new in round 4 (needs first driver evidence) ---
+    "q_stream_pit_enrich",
     "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
     "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
     "q_event_rate_alert", "q_skew_report", "q_session_census",
