@@ -18923,6 +18923,67 @@ def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 92 — capacity-paced backfill ingestion.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_backfill_paced",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_backfill_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-PACED backfill — ingesting a deep file backlog under
+    ``maxFilesPerTrigger`` so one availableNow run drains it as a SERIES
+    of bounded micro-batches instead of one giant batch (the difference
+    between a backfill that coexists with live traffic and one that
+    OOMs the cluster or starves it): the stage is split into 8 files,
+    the source admits 2 per micro-batch, and the checkpoint commits
+    each batch independently — a crash mid-backfill resumes at the next
+    uncommitted batch, never from zero. The drained sink must hold every
+    event exactly once (the batch aggregate is the oracle); the ≥4
+    micro-batch pacing itself is asserted in tests via the checkpoint's
+    commit log."""
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    tag = _fp_tag(sf_dir, "events")
+    base = f"{_SCRATCH}/backfill_{tag}"
+    stage, ckpt, sink = f"{base}/stage", f"{base}/ckpt", f"{base}/sink"
+
+    marker = f"{base}/_drained"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        # a deep backlog: 8 stage files (repartition(8) writes one per task)
+        ev.repartition(8).write.mode("overwrite").parquet(stage)
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(stage)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18935,7 +18996,7 @@ def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_PRIORITY = [
     # --- new in round 4 (needs first driver evidence) ---
-    "q_stream_pit_enrich",
+    "q_stream_pit_enrich", "q_stream_backfill_paced",
     "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
     "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
     "q_event_rate_alert", "q_skew_report", "q_session_census",
