@@ -18984,6 +18984,56 @@ def q_stream_backfill_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 batch 93 — shared-prefix clustering (crawl-boilerplate blocking).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_prefix_cluster",
+    """
+    WITH p AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS pfx
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    )
+    SELECT pfx, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS exemplar
+    FROM p GROUP BY 1 HAVING count(*) >= 2
+    """,
+)
+def q_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-PREFIX clustering — documents opening with the same 5 words
+    form a cluster (the cheap blocking pass that catches crawl/template
+    boilerplate and truncation-duplicates BEFORE any shingling: a
+    near-dup whose divergence is only in the tail always shares the
+    head). One md5 per doc over the sliced prefix, one grouped aggregate
+    with a HAVING-style post-filter — map-only until a single exchange on
+    the prefix hash, the same key a 100 TB run would shuffle on to route
+    cluster members together. n_sources > 1 flags template text leaking
+    across supposedly-independent sources (the cross-source contamination
+    smell q_cross_source_dups quantifies pairwise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    p = docs.filter(F.size(words) >= 5).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.slice(words, 1, 5), " ").cast("binary")
+        ).alias("pfx"),
+    )
+    return (
+        p.groupBy("pfx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("exemplar"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -18996,7 +19046,7 @@ def q_stream_backfill_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECK_PRIORITY = [
     # --- new in round 4 (needs first driver evidence) ---
-    "q_stream_pit_enrich", "q_stream_backfill_paced",
+    "q_stream_pit_enrich", "q_stream_backfill_paced", "q_prefix_cluster",
     "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
     "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
     "q_event_rate_alert", "q_skew_report", "q_session_census",
