@@ -4788,13 +4788,17 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(v_micro AS DECIMAL(38,0)) * date_diff('microsecond', ts, next_ts)) AS DECIMAL(24,0)) AS s,
              SUM(date_diff('microsecond', ts, next_ts)) AS total_us
       FROM seq WHERE next_ts IS NOT NULL GROUP BY 1
+    ),
+    ext AS (
+      SELECT user_id, s, total_us,
+             CAST(CAST(s AS HUGEINT) // total_us AS BIGINT) AS q,
+             CAST(CAST(s AS HUGEINT) % total_us AS BIGINT) AS r
+      FROM agg
     )
-    SELECT user_id,
-           CAST(CAST(ROUND(s * CAST(0.000000000001 AS DECIMAL(13,12)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS weighted_sum,
-           total_us,
-           CAST(CAST(ROUND(s * CAST(0.000000000001 AS DECIMAL(13,12)), 4) AS DECIMAL(38,4)) AS DOUBLE)
-             * 1000000 / total_us AS time_weighted_avg
-    FROM agg
+    SELECT user_id, s, total_us,
+           (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / CAST(total_us AS DOUBLE))
+             / 1000000 AS time_weighted_avg
+    FROM ext
     """,
 )
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4803,15 +4807,21 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     not by sample count. lead() over the (ts, event_id) total order gives
     each reading's holding interval.
 
-    Determinism recipe (fixed-point, same as q_search_bm25): the reading
-    is quantized to integer micro-units with ``floor(value·1e6)`` — floor
-    is rounding-MODE-free, unlike a double→decimal cast, whose half-up vs
-    half-even tie-breaks differ between engines and get amplified ~2.6e9×
-    by the µs weight. Each v_micro × µs product fits int64 exactly; the
-    sum accumulates in decimal(38,0) (order-independent), is rescaled by
-    an exact decimal 1e-12 (micro-value·µs → value·seconds), and narrows
-    through the _msum-safe decimal(38,4)→double path. The final average is
-    two IEEE ops on identically-derived operands."""
+    Determinism recipe (engine-version-proof, per the round-4 verdict):
+    the reading is quantized to integer micro-units with ``floor(value·1e6)``
+    (floor is rounding-MODE-free), products accumulate exactly in
+    decimal(38,0) and narrow to decimal(24,0) — still exact: sf0.1 max |s|
+    ≈ 2.2e20, 1e4× headroom. The PROJECTED surface is then only exact
+    integers plus one double derived from integers below 2^53: the r4
+    driver hash-FAIL traced to decimal ROUND/rescale rules that changed
+    across DuckDB versions, so no decimal ever meets a ROUND or a double
+    cast here. Instead q = s div total_us (≤ max value·1e6 ≈ 5.6e8) and
+    r = s mod total_us (< total_us ≤ 2.6e12; 2^53 µs ≈ 285 years — safe
+    at any scale) are mathematically determined integer div/mod on
+    non-negative operands (value ≥ 0 ⇒ s ≥ 0), every double conversion is
+    exact, and the remaining three IEEE ops (r/t, +q, /1e6) are
+    correctly-rounded with identical operands in identical order on both
+    engines — no engine-discretion surface remains."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.withColumn(
@@ -4833,16 +4843,21 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         F.sum(dur_us).alias("total_us"),
     )
-    weighted = (
-        F.round(F.col("s") * F.lit("0.000000000001").cast("decimal(13,12)"), 4)
-        .cast("decimal(38,4)")
-        .cast("double")
-    )
-    return agg.select(
+    ext = agg.select(
         "user_id",
-        weighted.alias("weighted_sum"),
+        "s",
         "total_us",
-        (weighted * 1000000 / F.col("total_us")).alias("time_weighted_avg"),
+        F.expr("CAST(s div total_us AS BIGINT)").alias("q"),
+        F.expr("CAST(s % total_us AS BIGINT)").alias("r"),
+    )
+    return ext.select(
+        "user_id",
+        "s",
+        "total_us",
+        (
+            (F.col("q").cast("double") + F.col("r").cast("double") / F.col("total_us").cast("double"))
+            / F.lit(1000000.0)
+        ).alias("time_weighted_avg"),
     )
 
 
@@ -19045,32 +19060,13 @@ def q_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHECK_PRIORITY = [
-    # --- new in round 4 (needs first driver evidence) ---
-    "q_stream_pit_enrich", "q_stream_backfill_paced", "q_prefix_cluster",
-    "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
-    "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
-    "q_event_rate_alert", "q_skew_report", "q_session_census",
-    "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
-    "q_join_existence_matrix", "q_pivot_multi_agg", "q_stream_scd2",
-    "q_state_store_read", "q_stream_python_source",
-    # --- round-4 rotation: the driver samples ~50 keys in registry order;
-    # rounds 1-3 accumulated driver evidence for 132/385 keys. Per the
-    # round-3 verdict, every key with NO driver evidence yet moves to the
-    # front (original relative order preserved) so CORRECTNESS_r04+ turns
-    # judge-verified coverage into driver-verified evidence. Previously
-    # driver-green keys follow; they keep regression coverage via pytest +
-    # tools/oracle_check.py full replays.
-    # --- never driver-checked (253 keys, r1-r3) ---
-    "q_time_weighted_avg", "q_ohlc_downsample", "q_derivative",
-    "q_scan_orc_roundtrip", "q_interp_linear", "q_scd2_pit_join",
-    "q_decontaminate", "q_agg_mode", "q_linreg_trend",
-    "q_percentile_disc", "q_window_rank_semantics", "q_skyline",
-    "q_running_distinct", "q_iqr_outliers", "q_ntile_quartiles",
-    "q_heavy_hitters", "q_gini", "q_text_repetition",
-    "q_hhi", "q_interval_overlap", "q_rolling_median",
-    "q_mad_outliers", "q_rollup_cascade", "q_sql_q1",
-    "q_sql_q3", "q_sql_q18", "q_market_basket",
-    "q_moments_skew_kurt", "q_k_anonymize", "q_regex_suite",
+    # --- round-5 rotation (re-rotate each round from CORRECTNESS_r*.json).
+    # Position 1: q_time_weighted_avg — the single r4 driver hash-FAIL,
+    # reworked this round to an integer-only projected surface (no decimal
+    # ROUND/cast); first so CORRECTNESS_r05 re-checks the fix.
+    "q_time_weighted_avg",
+    # --- never driver-checked (223 keys after r1-r4's 182; original
+    # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
     "q_sql_q7", "q_sql_q10", "q_udf_arrow_batch",
     "q_robust_scaler", "q_window_first_last", "q_sql_q14",
@@ -19146,51 +19142,69 @@ _CHECK_PRIORITY = [
     "q_corr_exact", "q_array_ops", "q_doc_chunk",
     "q_text_ngram_freq", "q_fuzzy_match", "q_embed_centroid",
     "q_quantiles_approx",
-    # --- driver-green in r1-r3 (132 keys) ---
-    "q_stream_dedup", "q_stream_window", "q_mart_fact_pengeluaran",
-    "q_mart_fact_pemasukan", "q_stream_join", "q_unpivot",
-    "q_funnel", "q_retention_cohort", "q_window_range_time",
-    "q_gap_fill", "q_compact_files", "q_scan_csv_roundtrip",
-    "q_balanced_sample", "q_length_histogram", "q_set_except_all",
-    "q_join_null_safe", "q_schema_evolution", "q_pack_sequences",
-    "q_vocab_coverage", "q_source_entropy", "q_merge_upsert",
-    "q_incr_agg_maintenance", "q_join_asof_grouped", "q_udaf_grouped_median",
-    "q_udtf_split", "q_search_bm25", "q_knn_classify",
-    "q_dedup_containment", "q_stream_session", "q_geo_radius_join",
-    "q_join_bucketed", "q_anti_null_semantics", "q_explode_outer",
-    "q_sink_partitioned", "q_agg_argmax", "q_agg_conditional",
-    "q_dq_checks", "q_text_ttr", "q_string_suite",
-    "q_date_suite", "q_grid_zero_fill", "q_multimodal_resize",
-    "q_event_transitions", "q_adoption_curve", "q_wow_change",
-    "q_agg_bitwise", "q_map_ops", "q_stream_stream_join",
-    "q_pct_of_total", "q_dq_referential", "q_scan_table",
-    "q_scan_union_files", "q_scan_project_ids", "q_project_select",
-    "q_rename_cols", "q_filter_notnull", "q_filter_predicate",
-    "q_join_left_equi", "q_join_anti_incremental", "q_dedup_keyed",
-    "q_distinct_values", "q_union_all", "q_time_dimension",
-    "q_ts_parse", "q_concat_key", "q_hash_key",
-    "q_string_join_array", "q_coalesce", "q_cast_types",
-    "q_conditional_expr", "q_agg_sum_by_dim", "q_agg_rollup",
-    "q_agg_count_distinct", "q_window_rank", "q_sort_limit",
-    "q_agg_window_day", "q_sink_overwrite", "q_sink_append",
-    "q_stream_ingest", "q_stream_upsert", "q_stream_stateful",
-    "q_text_token_count", "q_text_quality", "q_text_lang_id",
-    "q_doc_fingerprint", "q_dedup_exact_docs", "q_ngram_jaccard",
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_ann_bruteforce",
-    "q_embed_neardup", "q_ann_ivf", "q_multimodal_meta",
-    "q_multimodal_features", "q_multimodal_frame_sample", "q_mart_dim_waktu",
-    "q_mart_dim_place", "q_mart_dim_user", "q_mart_dim_vendor",
-    "q_mart_dim_departemen", "q_mart_dim_proyek", "q_mart_dim_penyumbang",
-    "q_mart_fact_maps", "q_mart_fact_twitter", "q_mart_analytics",
-    "q_ops_load_incremental", "q_set_intersect", "q_set_except",
-    "q_pivot", "q_agg_cube", "q_sessionize",
-    "q_join_asof", "q_sql_entry", "q_join_semi",
-    "q_join_range", "q_window_running", "q_window_lag",
-    "q_null_fill", "q_quantiles", "q_json_extract",
-    "q_explode_collect", "q_sql_q5", "q_udf_pandas_scalar",
-    "q_tfidf_top_terms", "q_winsorized_agg", "q_outlier_zscore",
-    "q_interval_months", "q_bloom_prune_semi", "q_join_skew_salted",
-    "q_clean_pipeline", "q_agg_approx_distinct", "q_ann_lsh",
+    # --- driver-green in r1-r4 (181 keys; regression coverage continues
+    # via pytest + tools/oracle_check.py full replays) ---
+    "q_stream_pit_enrich", "q_stream_backfill_paced", "q_prefix_cluster",
+    "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
+    "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
+    "q_event_rate_alert", "q_skew_report", "q_session_census",
+    "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
+    "q_join_existence_matrix", "q_pivot_multi_agg", "q_stream_scd2",
+    "q_state_store_read", "q_stream_python_source", "q_ohlc_downsample",
+    "q_derivative", "q_scan_orc_roundtrip", "q_interp_linear",
+    "q_scd2_pit_join", "q_decontaminate", "q_agg_mode",
+    "q_linreg_trend", "q_percentile_disc", "q_window_rank_semantics",
+    "q_skyline", "q_running_distinct", "q_iqr_outliers",
+    "q_ntile_quartiles", "q_heavy_hitters", "q_gini",
+    "q_text_repetition", "q_hhi", "q_interval_overlap",
+    "q_rolling_median", "q_mad_outliers", "q_rollup_cascade",
+    "q_sql_q1", "q_sql_q3", "q_sql_q18",
+    "q_market_basket", "q_moments_skew_kurt", "q_k_anonymize",
+    "q_regex_suite", "q_stream_dedup", "q_stream_window",
+    "q_mart_fact_pengeluaran", "q_mart_fact_pemasukan", "q_stream_join",
+    "q_unpivot", "q_funnel", "q_retention_cohort",
+    "q_window_range_time", "q_gap_fill", "q_compact_files",
+    "q_scan_csv_roundtrip", "q_balanced_sample", "q_length_histogram",
+    "q_set_except_all", "q_join_null_safe", "q_schema_evolution",
+    "q_pack_sequences", "q_vocab_coverage", "q_source_entropy",
+    "q_merge_upsert", "q_incr_agg_maintenance", "q_join_asof_grouped",
+    "q_udaf_grouped_median", "q_udtf_split", "q_search_bm25",
+    "q_knn_classify", "q_dedup_containment", "q_stream_session",
+    "q_geo_radius_join", "q_join_bucketed", "q_anti_null_semantics",
+    "q_explode_outer", "q_sink_partitioned", "q_agg_argmax",
+    "q_agg_conditional", "q_dq_checks", "q_text_ttr",
+    "q_string_suite", "q_date_suite", "q_grid_zero_fill",
+    "q_multimodal_resize", "q_event_transitions", "q_adoption_curve",
+    "q_wow_change", "q_agg_bitwise", "q_map_ops",
+    "q_stream_stream_join", "q_pct_of_total", "q_dq_referential",
+    "q_scan_table", "q_scan_union_files", "q_scan_project_ids",
+    "q_project_select", "q_rename_cols", "q_filter_notnull",
+    "q_filter_predicate", "q_join_left_equi", "q_join_anti_incremental",
+    "q_dedup_keyed", "q_distinct_values", "q_union_all",
+    "q_time_dimension", "q_ts_parse", "q_concat_key",
+    "q_hash_key", "q_string_join_array", "q_coalesce",
+    "q_cast_types", "q_conditional_expr", "q_agg_sum_by_dim",
+    "q_agg_rollup", "q_agg_count_distinct", "q_window_rank",
+    "q_sort_limit", "q_agg_window_day", "q_sink_overwrite",
+    "q_sink_append", "q_stream_ingest", "q_stream_upsert",
+    "q_stream_stateful", "q_text_token_count", "q_text_quality",
+    "q_text_lang_id", "q_doc_fingerprint", "q_dedup_exact_docs",
+    "q_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_ann_bruteforce", "q_embed_neardup", "q_ann_ivf",
+    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frame_sample",
+    "q_mart_dim_waktu", "q_mart_dim_place", "q_mart_dim_user",
+    "q_mart_dim_vendor", "q_mart_dim_departemen", "q_mart_dim_proyek",
+    "q_mart_dim_penyumbang", "q_mart_fact_maps", "q_mart_fact_twitter",
+    "q_mart_analytics", "q_ops_load_incremental", "q_set_intersect",
+    "q_set_except", "q_pivot", "q_agg_cube",
+    "q_sessionize", "q_join_asof", "q_sql_entry",
+    "q_join_semi", "q_join_range", "q_window_running",
+    "q_window_lag", "q_null_fill", "q_quantiles",
+    "q_json_extract", "q_explode_collect", "q_sql_q5",
+    "q_udf_pandas_scalar", "q_tfidf_top_terms", "q_winsorized_agg",
+    "q_outlier_zscore", "q_interval_months", "q_bloom_prune_semi",
+    "q_join_skew_salted", "q_clean_pipeline", "q_agg_approx_distinct",
+    "q_ann_lsh",
 ]
 
 
