@@ -158,18 +158,34 @@ def asof_join_grouped(
     # one stream: left rows carry their payload, right rows carry only
     # (ts, value); __side sorts right (0) before left (1) at equal ts so
     # the backward match is inclusive.
+    rtype = dict(right.dtypes)[right_value]
+    # Integral right_value: a nullable int64 Arrow column converts to pandas
+    # as float64 — silently lossy above 2^53 (and the carried state_val
+    # would inherit the float repr). Keep __rv null-FREE across the Arrow
+    # boundary (0-filled) and carry validity in __rvn instead; merge_stream
+    # reconstructs a nullable Int64 exactly. Non-integral types keep the
+    # native nullable path (__rvn is then just isnull(__rv)).
+    _integral = rtype in {"tinyint", "smallint", "int", "bigint", "long"}
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(dict(right.dtypes)[right_value]).alias("__rv"),
+        (
+            F.lit(0).cast(rtype) if _integral else F.lit(None).cast(rtype)
+        ).alias("__rv"),
+        F.lit(True).alias("__rvn"),
         F.struct(*left_cols).alias("__row"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_value).alias("__rv"),
+        (
+            F.coalesce(F.col(right_value), F.lit(0).cast(rtype))
+            if _integral
+            else F.col(right_value)
+        ).alias("__rv"),
+        F.col(right_value).isNull().alias("__rvn"),
         F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
     )
     stream = (
@@ -185,7 +201,12 @@ def asof_join_grouped(
             if pdf.empty:
                 continue
             keys = pdf["__k"].to_numpy()
-            fill = pdf["__rv"].copy()
+            if _integral:
+                # exact int64 in, nullable Int64 out: __rv crossed Arrow
+                # null-free, so no float64 coercion ever happened
+                fill = pdf["__rv"].astype("Int64").mask(pdf["__rvn"].to_numpy())
+            else:
+                fill = pdf["__rv"].copy()
             # seed the forward-fill with carried state where the batch
             # continues the same key run
             if state_key is not None and keys[0] == state_key and pd.isna(fill.iloc[0]):
@@ -199,7 +220,9 @@ def asof_join_grouped(
             if not is_left.any():
                 continue
             rows = pd.DataFrame(list(pdf.loc[is_left, "__row"]))[left_cols]
-            rows[rv] = fill[is_left].to_numpy()
+            # positional assignment; .reset_index keeps the nullable
+            # extension dtype (to_numpy would re-coerce Int64 to float64)
+            rows[rv] = fill[is_left].reset_index(drop=True)
             yield rows
 
     return stream.mapInPandas(merge_stream, out_schema)

@@ -619,8 +619,18 @@ def _fp_tag(sf_dir: str, table: str) -> str:
         import pyarrow.parquet as pq
 
         fp = f"{pq.ParquetFile(path).metadata.num_rows}:{os.path.getsize(path)}"
-    except Exception:
+    except FileNotFoundError:
         fp = "absent"
+    except Exception:
+        # Footer unreadable (corrupt file, pyarrow missing): a constant tag
+        # here would collapse the fingerprint back to path-only and re-enable
+        # stale-fixture aliasing, so fall back to size+mtime — regenerating
+        # the file still rotates the tag.
+        try:
+            st = os.stat(path)
+            fp = f"unreadable:{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            fp = "absent"
     return hashlib.md5(f"{sf_dir}|{table}|{fp}".encode()).hexdigest()[:10]
 
 
@@ -18196,9 +18206,11 @@ def q_event_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree on every boundary case. Hourly pre-aggregation first:
     the window runs over O(types × hours) rows, never raw events."""
     ev = load_table(spark, sf_dir, "events")
+    # floor, not cast-truncation: the twin's FLOOR(epoch/3600) rounds toward
+    # -inf, so a bare .cast('long') would disagree on pre-1970 timestamps
     hourly = ev.groupBy(
         "event_type",
-        (F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
     ).agg(F.count(F.lit(1)).alias("n"))
     w = (
         Window.partitionBy("event_type")

@@ -100,13 +100,21 @@ def foreach_batch_scd2(store_path: str, **kwargs):
     return apply
 
 
-def scd2_state(spark, store_path: str) -> DataFrame:
+def scd2_state(
+    spark,
+    store_path: str,
+    *,
+    key: str = "user_id",
+    attr: str = "event_type",
+) -> DataFrame:
     """The maintained dimension: one row per version with an is_current
-    flag (open interval)."""
+    flag (open interval). ``key``/``attr`` mirror the kwargs of
+    ``merge_scd2_batch`` so a store built with non-default column names
+    reads back through the same accessor."""
     s = spark.read.parquet(store_path)
     return s.select(
-        "user_id",
-        "event_type",
+        key,
+        attr,
         "valid_from",
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
