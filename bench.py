@@ -35,8 +35,21 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _is_streaming_key(key: str) -> bool:
+    return key.startswith("q_stream") or key == "q_state_store_read"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Streaming keys carry fixed micro-batch/state-store setup cost that a
+    # long batch session inflates by 15-200% (accumulated broadcast/state
+    # cleanup backlog — BASELINE.md r4 notes). Isolate them by default:
+    # batch keys run first, then the session restarts and the streaming
+    # block times against a fresh JVM state, so the committed per-key JSON
+    # matches isolated runs. --no-isolated-streaming restores one session.
+    isolate = "--no-isolated-streaming" not in sys.argv and os.environ.get(
+        "SPARK_GRAFT_NO_ISOLATE", ""
+    ) != "1"
     spark = get_spark("bench")
 
     # Warm the JVM + parquet footers with the cheapest query once.
@@ -51,7 +64,17 @@ def main() -> None:
     # that need it least).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for key in sorted(REGISTRY):
+    ordered = sorted(REGISTRY, key=lambda k: (_is_streaming_key(k), k))
+    n_batch = sum(1 for k in ordered if not _is_streaming_key(k))
+    for i, key in enumerate(ordered):
+        if isolate and i == n_batch:
+            # first streaming key: restart the session so streaming
+            # timings don't inherit the batch block's session-state noise
+            spark.stop()
+            spark = get_spark("bench-streaming")
+            REGISTRY["q_scan_table"](spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
         # one broken key must not zero out the whole benchmark: record the
         # failure, keep timing the rest, and surface it in the JSON line
         try:

@@ -16599,7 +16599,9 @@ def q_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM o GROUP BY 1
     """,
 )
-def q_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_grouped_map_pandas(
+    spark: SparkSession, sf_dir: str, *, max_group_rows: int = 5_000_000
+) -> DataFrame:
     """Grouped-MAP pandas transform (applyInPandas) — the general
     per-group imperative escape hatch (the UDF surface between scalar
     pandas_udf and cogroup): each user's events arrive as ONE pandas
@@ -16607,7 +16609,17 @@ def q_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold to a per-user summary incl. a sequence-dependent feature (the
     first half of the ordered stream's spend) that a plain aggregate
     can't express without windows. Arrow-batched; groups never cross
-    executors; the twin reproduces the fold relationally."""
+    executors; the twin reproduces the fold relationally.
+
+    Memory bound: applyInPandas materializes each GROUP whole in one
+    executor — inherent to the API, and the reason the streaming
+    sort-merge form (operators/joins.py asof_join_grouped) exists for
+    unbounded keys. ``max_group_rows`` guards that honestly (same
+    pattern as asof_join_cogroup): a user_id holding more rows than the
+    bound (~4 cols × 8 B × 5M ≈ 160 MB of pandas) fails the task with a
+    clear error instead of a silent executor OOM. The testdata's
+    user_id groups are ~4k rows at sf0.1 (~400k at 100 TB's sf) — far
+    inside the default."""
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -16615,6 +16627,13 @@ def q_grouped_map_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "ts", "event_id", "value")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"q_grouped_map_pandas: group user_id="
+                f"{pdf['user_id'].iloc[0]} has {len(pdf)} rows > "
+                f"max_group_rows={max_group_rows}; use a windowed/"
+                "streaming formulation for unbounded keys"
+            )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         cents = (pdf["value"] * 100).round(0).astype("int64")
         n = len(pdf)

@@ -144,3 +144,22 @@ def test_fp_tag_unreadable_footer_still_fingerprints(tmp_path):
         f.write(b"not a parquet file, regenerated")
     t3 = _fp_tag(sf, "events")
     assert len({t1, t2, t3}) == 3
+
+
+def test_grouped_map_pandas_guard_trips_on_mega_group(spark, sf_dir):
+    from etl_pipeline_project_spark.queries import q_grouped_map_pandas
+
+    out = q_grouped_map_pandas(spark, sf_dir, max_group_rows=10)
+    with pytest.raises(Exception, match="max_group_rows"):
+        out.collect()
+    # within the bound the fold still reconciles to the plain aggregate
+    ev_n = (
+        q_grouped_map_pandas(spark, sf_dir)
+        .agg(F.sum("n_events"))
+        .first()[0]
+    )
+    from etl_pipeline_project_spark.sources.readers import load_table
+
+    assert ev_n == load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).count()

@@ -5,15 +5,18 @@ DuckDB over the same parquet tables, then compares row count, column-name
 set, and order-insensitive values. Run this before every commit so the
 driver's CORRECTNESS_r{N}.json holds no surprises.
 
-Usage: python tools/oracle_check.py [--plain] [sf_dir] [key ...]
+Usage: python tools/oracle_check.py [--plain] [--json PATH] [sf_dir] [key ...]
 
 ``--plain`` builds a bare SparkSession (no engine configs) to simulate the
 driver harness's environment — the round-1 nanos regression was invisible
-without this.
+without this. ``--json PATH`` additionally writes the per-key results in
+the driver's CORRECTNESS format, so a full-scale sweep (e.g. sf0.1) can be
+committed as a diffable artifact (ORACLE_local_sf0.1.json).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -51,6 +54,11 @@ def main() -> int:
     args = sys.argv[1:]
     plain = "--plain" in args
     args = [a for a in args if a != "--plain"]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     skip: set[str] = set()
     if "--skip" in args:
         i = args.index("--skip")
@@ -79,6 +87,18 @@ def main() -> int:
     qs = contract.queries()
     oracles = contract.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(key, *, rows_match, schema_match, hash_match, s_rows, d_rows, err):
+        results[key] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": s_rows,
+            "oracle_rows": d_rows,
+            "err": err,
+        }
+
     for key, fn in sorted(qs.items()):
         if only and key not in only:
             continue
@@ -92,10 +112,14 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(key)
+            record(key, rows_match=False, schema_match=False, hash_match=False,
+                   s_rows=None, d_rows=None, err=f"spark: {e}"[:300])
             print(f"FAIL  {key}: spark error: {e}")
             continue
         if key not in oracles:
             print(f"ok?   {key}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            record(key, rows_match=bool(s_rows), schema_match=None,
+                   hash_match=None, s_rows=len(s_rows), d_rows=None, err=None)
             if not s_rows:
                 failures.append(key)
                 print(f"FAIL  {key}: zero rows on rows-only check")
@@ -106,6 +130,8 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(key)
+            record(key, rows_match=False, schema_match=False, hash_match=False,
+                   s_rows=len(s_rows), d_rows=None, err=f"duckdb: {e}"[:300])
             print(f"FAIL  {key}: duckdb error: {e}")
             continue
 
@@ -120,12 +146,21 @@ def main() -> int:
             if sn != dn:
                 diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")
+        rows_ok = len(s_rows) == len(d_rows)
+        schema_ok = sorted(s_cols) == sorted(d_cols)
+        record(key, rows_match=rows_ok, schema_match=schema_ok,
+               hash_match=rows_ok and schema_ok and not problems,
+               s_rows=len(s_rows), d_rows=len(d_rows), err=None)
         if problems:
             failures.append(key)
             print(f"FAIL  {key}: {'; '.join(problems)}")
         else:
             print(f"PASS  {key} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
 
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(results)} keys)")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
     return 1 if failures else 0
 
