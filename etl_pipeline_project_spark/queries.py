@@ -19080,6 +19080,441 @@ def q_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 94 — XML source format, hybrid-search RRF fusion,
+# corpus-slice distribution distance, blocking-quality evaluation,
+# streaming data-quality gate.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_scan_xml_roundtrip",
+    """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+           min(n_name) AS first_nation
+    FROM nation GROUP BY 1
+    """,
+)
+def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan round-trip — the remaining built-in Spark 4 file
+    format after parquet/ORC/CSV/JSON/text/binaryFile (Avro stays
+    env-gated; sources/lakehouse.py). Row-tag framing, schema re-inference
+    on read-back, explicit casts to pin inferred types; the aggregate runs
+    over the XML copy while the oracle reads the original parquet —
+    equality proves the round-trip is lossless. Per-session path like
+    q_scan_orc_roundtrip (write-then-read is only atomic in-session)."""
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = f"{_SCRATCH}/nation_xml_{spark.sparkContext.applicationId}"
+    nat.write.mode("overwrite").format("xml").option("rowTag", "nation").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+        .select(
+            F.col("n_nationkey").cast("long"),
+            F.col("n_name").cast("string"),
+            F.col("n_regionkey").cast("long"),
+        )
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+@_q(
+    "q_hybrid_search_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term
+    ),
+    idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                  * CAST(n_docs AS DOUBLE) / CAST(total_toks AS DOUBLE)))
+               * 1e6, 0) AS BIGINT) AS s_fp
+      FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT doc_id, CAST(SUM(s_fp) AS BIGINT) AS bm25_micros
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25_micros DESC, doc_id LIMIT 20
+    ),
+    bmr AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25_micros DESC, doc_id)
+             AS INTEGER) AS bm25_rank
+      FROM bm
+    ),
+    annq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    anns AS (
+      SELECT e.vec_id AS doc_id,
+             {_DOT_SQL.format(a='annq.qvec', b='e.embedding')} AS score
+      FROM annq, embeddings e WHERE e.vec_id != 0
+    ),
+    annr AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS ann_rank
+      FROM anns ORDER BY score DESC, doc_id LIMIT 10
+    )
+    SELECT COALESCE(bmr.doc_id, annr.doc_id) AS doc_id,
+           bmr.bm25_rank, annr.ann_rank,
+           CAST(COALESCE(1000000 // (60 + bmr.bm25_rank), 0)
+                + COALESCE(1000000 // (60 + annr.ann_rank), 0) AS BIGINT)
+             AS rrf_ppm
+    FROM bmr FULL OUTER JOIN annr ON bmr.doc_id = annr.doc_id
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard way to
+    combine a lexical (BM25) and a dense (embedding ANN) ranker without
+    score calibration (Cormack/Clarke/Buettcher, SIGIR'09): each list
+    contributes 1/(k+rank), k=60. Candidates: BM25 top-20 for
+    {join, hash, scan} (q_search_bm25's fixed-point scorer) fused with the
+    exact top-10 dot-product neighbors of query vector vec_id=0
+    (doc_id and vec_id share one id space). Determinism: RRF contributions
+    are INTEGER 1e6 div (60+rank) — a monotone integer transform of the
+    textbook formula, so the fused ordering is engine-exact with no float
+    sum anywhere. Plan: both rank lists are tiny (top-k'd before the
+    fusion join), so the fusion is a broadcast full-outer over ≤30 rows
+    regardless of corpus size — the ranker stages carry all the scale
+    (map-side scored corpus, TakeOrdered)."""
+    from etl_pipeline_project_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+
+    bm = q_search_bm25(spark, sf_dir)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micros").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("bm25_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    annr = (
+        ann_bruteforce_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+        .select(F.col("nid").alias("doc_id"), F.col("rank").cast("int").alias("ann_rank"))
+    )
+    fused = bmr.join(annr, "doc_id", "full_outer")
+    contrib = F.coalesce(
+        F.expr("1000000 div (60 + bm25_rank)"), F.lit(0)
+    ) + F.coalesce(F.expr("1000000 div (60 + ann_rank)"), F.lit(0))
+    return fused.select(
+        "doc_id", "bm25_rank", "ann_rank", contrib.cast("long").alias("rrf_ppm")
+    )
+
+
+@_q(
+    "q_source_tv_distance",
+    """
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+               FROM toks GROUP BY 1),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             SUM(ABS(a.c * tb.t - b.c * ta.t)) AS n_shared,
+             SUM(a.c) AS ca_shared, SUM(b.c) AS cb_shared
+      FROM counts a
+      JOIN counts b ON a.term = b.term AND a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(n_shared + (ta.t - ca_shared) * tb.t
+                         + (tb.t - cb_shared) * ta.t AS BIGINT) AS tv_num,
+           CAST(2 * ta.t * tb.t AS BIGINT) AS tv_denom,
+           CAST(n_shared + (ta.t - ca_shared) * tb.t
+                         + (tb.t - cb_shared) * ta.t AS DOUBLE)
+             / CAST(2 * ta.t * tb.t AS DOUBLE) AS tv_distance
+    FROM shared
+    JOIN totals ta ON ta.source = src_a
+    JOIN totals tb ON tb.source = src_b
+    """,
+)
+def q_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the unigram distributions of every
+    source pair — the log-free distribution-shift metric for corpus
+    mixture analysis (KL/JSD need transcendental logs whose libm rounding
+    differs across engines; TV = ½·Σ|p−q| stays rational). Exact integer
+    form: |c_a·T_b − c_b·T_a| summed over SHARED terms only (inverted-
+    index self-join on term — never a full vocab outer join); the
+    one-sided mass folds in algebraically as (T_a−Σc_a_shared)·T_b +
+    (T_b−Σc_b_shared)·T_a. Surface: exact integer numerator/denominator
+    plus ONE double division (numerators < 2^53 at any tested SF; a
+    100 TB corpus would carry them as decimal and split q/r like
+    q_time_weighted_avg). Plan: one token shuffle, one term-keyed join,
+    one pair-keyed aggregate — O(shared vocab), skew-bounded by the
+    stopword head."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    counts = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    a = counts.select(F.col("source").alias("src_a"), "term", F.col("c").alias("ca"))
+    b = counts.select(F.col("source").alias("src_b"), "term", F.col("c").alias("cb"))
+    ta = totals.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+    tb = totals.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))).alias("n_shared"),
+            F.sum("ca").alias("ca_shared"),
+            F.sum("cb").alias("cb_shared"),
+        )
+    )
+    num = (
+        F.col("n_shared")
+        + (F.col("ta") - F.col("ca_shared")) * F.col("tb")
+        + (F.col("tb") - F.col("cb_shared")) * F.col("ta")
+    )
+    denom = F.lit(2) * F.col("ta") * F.col("tb")
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            num.cast("long").alias("tv_num"),
+            denom.cast("long").alias("tv_denom"),
+            (num.cast("double") / denom.cast("double")).alias("tv_distance"),
+        )
+    )
+
+
+@_q(
+    "q_blocking_eval",
+    f"""
+    WITH sh AS (SELECT doc_id, source, {_SHINGLE_SQL} AS s FROM documents),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.s) + len(b.s) > 0
+        AND 51 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+    ),
+    p AS (
+      SELECT doc_id, source,
+             array_to_string(string_split(text, ' ')[1:5], ' ') AS pfx
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ),
+    pred AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM p a JOIN p b ON a.source = b.source AND a.pfx = b.pfx
+                       AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT COALESCE(pred.id_a, truth.id_a) AS id_a,
+             pred.id_a IS NOT NULL AS in_pred,
+             truth.id_a IS NOT NULL AS in_truth
+      FROM pred FULL OUTER JOIN truth
+        ON pred.id_a = truth.id_a AND pred.id_b = truth.id_b
+    )
+    SELECT CAST(COUNT(*) FILTER (in_pred) AS BIGINT) AS n_pred,
+           CAST(COUNT(*) FILTER (in_truth) AS BIGINT) AS n_truth,
+           CAST(COUNT(*) FILTER (in_pred AND in_truth) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (in_pred AND NOT in_truth) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (in_truth AND NOT in_pred) AS BIGINT) AS fn,
+           CAST(COUNT(*) FILTER (in_pred AND in_truth) AS DOUBLE)
+             / NULLIF(COUNT(*) FILTER (in_pred), 0) AS precision_,
+           CAST(COUNT(*) FILTER (in_pred AND in_truth) AS DOUBLE)
+             / NULLIF(COUNT(*) FILTER (in_truth), 0) AS recall_
+    FROM m
+    """,
+)
+def q_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation: precision/recall of the CHEAP
+    candidate generator (shared-5-word-prefix blocking, q_prefix_cluster)
+    against near-dup ground truth (source-blocked 3-gram Jaccard ≥ 1/50,
+    the q_ngram_jaccard regime) — the measurement every dedup pipeline
+    needs before trading the shingle pass for a cheaper blocker. The
+    threshold compare is cross-multiplied to integers (51·|∩| ≥
+    |s_a|+|s_b| ⇔ jaccard ≥ 1/50) so membership is engine-exact;
+    precision/recall are single integer→double divisions. Truth pairs
+    come from the inverted-index path (explode + term join — no
+    all-pairs shingle intersect); DF-pruning drops single-doc shingles.
+    One row out: n_pred, n_truth, tp, fp, fn, precision_, recall_."""
+    docs = load_table(spark, sf_dir, "documents")
+    from etl_pipeline_project_spark.operators.dedup_text import word_shingles
+
+    sh = docs.select(
+        "doc_id", "source", word_shingles("text", 3).alias("s")
+    ).select("doc_id", "source", "s", F.size("s").alias("sz"))
+    ex = sh.select("doc_id", "source", F.explode("s").alias("tok"))
+    w = Window.partitionBy("source", "tok")
+    ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(
+        F.col("df_") > 1
+    ).drop("df_")
+    ia = ex.select(F.col("doc_id").alias("id_a"), "source", "tok")
+    ib = ex.select(F.col("doc_id").alias("id_b"), "source", "tok")
+    inter = (
+        ia.join(ib, ["source", "tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    truth = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(
+            (F.col("sz_a") + F.col("sz_b") > 0)
+            & (F.lit(51) * F.col("n_inter") >= F.col("sz_a") + F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+    )
+    words = F.split(F.col("text"), " ")
+    p = docs.filter(F.size(words) >= 5).select(
+        "doc_id", "source", F.array_join(F.slice(words, 1, 5), " ").alias("pfx")
+    )
+    pa = p.select(F.col("doc_id").alias("id_a"), "source", "pfx")
+    pb = p.select(F.col("doc_id").alias("id_b"), "source", "pfx")
+    pred = (
+        pa.join(pb, ["source", "pfx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    m = pred.withColumn("in_pred", F.lit(True)).join(
+        truth.withColumn("in_truth", F.lit(True)),
+        ["id_a", "id_b"],
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("in_pred"), F.lit(False)).alias("in_pred"),
+        F.coalesce(F.col("in_truth"), F.lit(False)).alias("in_truth"),
+    )
+    tp = F.sum(F.when(F.col("in_pred") & F.col("in_truth"), 1).otherwise(0)).cast("long")
+    n_pred = F.sum(F.when(F.col("in_pred"), 1).otherwise(0)).cast("long")
+    n_truth = F.sum(F.when(F.col("in_truth"), 1).otherwise(0)).cast("long")
+    return m.agg(
+        n_pred.alias("n_pred"),
+        n_truth.alias("n_truth"),
+        tp.alias("tp"),
+        F.sum(F.when(F.col("in_pred") & ~F.col("in_truth"), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("in_truth") & ~F.col("in_pred"), 1).otherwise(0)).cast("long").alias("fn"),
+    ).select(
+        "n_pred",
+        "n_truth",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / F.nullif(F.col("n_pred"), F.lit(0))).alias("precision_"),
+        (F.col("tp").cast("double") / F.nullif(F.col("n_truth"), F.lit(0))).alias("recall_"),
+    )
+
+
+@_q(
+    "q_stream_quality_gate",
+    """
+    SELECT CASE WHEN value IS NULL OR value >= 400 OR user_id % 97 = 0
+                THEN 'dlq' ELSE 'good' END AS route,
+           CASE WHEN value IS NULL THEN 'null_value'
+                WHEN value >= 400 THEN 'out_of_range'
+                WHEN user_id % 97 = 0 THEN 'quarantined_user'
+                ELSE 'ok' END AS reason,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate: each micro-batch is routed through a
+    first-match rule chain (null value → bounds → quarantined user) and
+    written good/dead-letter WITH the violated rule attached — the
+    streaming face of q_dead_letter_route, and the gate every ingest
+    pipeline puts in front of a bronze table. Exactly-once without a
+    transactional sink: foreachBatch writes each epoch to its own
+    partition directory with overwrite, so a replayed batch overwrites
+    its own output instead of double-appending (the parquet-level
+    idempotence trick; a lakehouse deployment swaps in a MERGE). Two
+    arrival waves + a no-new-files re-run prove it; the final per-route/
+    reason census equals the batch CASE twin over all events."""
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id", "value"
+    )
+    tag = _fp_tag(sf_dir, "events")
+    base = f"{_SCRATCH}/stream_qgate_{tag}"
+    stage, ckpt, store = f"{base}/stage", f"{base}/ckpt", f"{base}/store"
+
+    reason = (
+        F.when(F.col("value").isNull(), "null_value")
+        .when(F.col("value") >= 400, "out_of_range")
+        .when(F.col("user_id") % 97 == 0, "quarantined_user")
+        .otherwise("ok")
+    )
+
+    def route_batch(batch: DataFrame, epoch_id: int) -> None:
+        out = batch.withColumn("reason", reason).withColumn(
+            "route",
+            F.when(F.col("reason") == "ok", "good").otherwise("dlq"),
+        )
+        # per-epoch overwrite = replay-idempotent append
+        out.write.mode("overwrite").parquet(f"{store}/epoch={epoch_id}")
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(stage)
+            .writeStream.foreachBatch(route_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    marker = f"{base}/_staged_complete"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev.filter(F.col("ts") < cut).write.mode("overwrite").parquet(stage)
+        run_stream()
+        ev.filter(F.col("ts") >= cut).write.mode("append").parquet(stage)
+        run_stream()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    run_stream()  # no new files -> routed store unchanged (exactly-once)
+    routed = spark.read.parquet(store)
+    return routed.groupBy("route", "reason").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -19096,6 +19531,9 @@ _CHECK_PRIORITY = [
     # reworked this round to an integer-only projected surface (no decimal
     # ROUND/cast); first so CORRECTNESS_r05 re-checks the fix.
     "q_time_weighted_avg",
+    # --- round-5 new keys (driver should see them first after the fix) ---
+    "q_scan_xml_roundtrip", "q_hybrid_search_rrf", "q_source_tv_distance",
+    "q_blocking_eval", "q_stream_quality_gate",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
