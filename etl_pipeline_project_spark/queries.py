@@ -19515,6 +19515,261 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 95 — M4 visual downsampling, deterministic priority
+# sampling, model-calibration bins, data-mixing epoch plan.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_m4_downsample",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS bucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rl,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY value, ts, event_id) AS rmin,
+        ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY value DESC, ts, event_id) AS rmax
+      FROM b
+    )
+    SELECT user_id, bucket, event_id, ts, value,
+           rf = 1 AS is_first, rl = 1 AS is_last,
+           rmin = 1 AS is_min, rmax = 1 AS is_max
+    FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+    """,
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per series
+    and per day bucket keep exactly the first, last, min and max points —
+    the four extrema that make a pixel-width-bounded line rendering
+    error-free, and the standard TSDB answer to "plot a year of raw
+    points". Bucketing uses FLOOR(epoch/86400) (negative-epoch-safe);
+    role selection is four ROW_NUMBER ranks with total-order tie-breaks,
+    so both engines pick identical rows even on duplicate (value, ts).
+    Plan: ONE exchange on (user_id, bucket) reused by all four window
+    sorts; output is ≤4 rows per series-bucket regardless of input rate —
+    the reduction that keeps a 100 TB scan renderable."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("bucket"),
+    )
+    pk = ["user_id", "bucket"]
+    rf = F.row_number().over(Window.partitionBy(*pk).orderBy("ts", "event_id"))
+    rl = F.row_number().over(
+        Window.partitionBy(*pk).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    rmin = F.row_number().over(
+        Window.partitionBy(*pk).orderBy("value", "ts", "event_id")
+    )
+    rmax = F.row_number().over(
+        Window.partitionBy(*pk).orderBy(F.col("value").desc(), "ts", "event_id")
+    )
+    r = b.select(
+        "user_id", "bucket", "event_id", "ts", "value",
+        rf.alias("rf"), rl.alias("rl"), rmin.alias("rmin"), rmax.alias("rmax"),
+    )
+    return r.filter(
+        (F.col("rf") == 1) | (F.col("rl") == 1) | (F.col("rmin") == 1) | (F.col("rmax") == 1)
+    ).select(
+        "user_id", "bucket", "event_id", "ts", "value",
+        (F.col("rf") == 1).alias("is_first"),
+        (F.col("rl") == 1).alias("is_last"),
+        (F.col("rmin") == 1).alias("is_min"),
+        (F.col("rmax") == 1).alias("is_max"),
+    )
+
+
+@_q(
+    "q_priority_sample",
+    """
+    WITH pr AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+             CAST(CAST(n_chars AS BIGINT) * 1099511627776 AS BIGINT)
+               // (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+               AS priority_q
+      FROM documents
+    ),
+    rk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY priority_q DESC, doc_id)
+                AS INTEGER) AS rank
+      FROM pr
+    ),
+    tau AS (SELECT priority_q AS tau_q FROM rk WHERE rank = 33)
+    SELECT doc_id, source, weight, priority_q, rank, tau.tau_q
+    FROM rk, tau WHERE rank <= 32
+    """,
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield/Lund/Thorup, JACM 2007): each item gets priority w/u with
+    u uniform in (0,1]; the top-k by priority is a size-k weighted sample
+    and the (k+1)-th priority is the estimation threshold τ. Made
+    deterministic and engine-exact: u comes from an md5-derived 32-bit
+    integer (the q_hash_split discipline) and the priority is the INTEGER
+    quotient w·2^40 div (h+1) — no float division anywhere, so rank order
+    and τ hash-match across engines and days (reproducible sampling is
+    what makes a 100 TB curation run auditable). Plan: map-side scalar
+    priorities + one TakeOrdered(33); nothing shuffles but the top rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pr = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.expr(
+            "CAST(n_chars AS BIGINT) * 1099511627776L div "
+            "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1)"
+        ).alias("priority_q"),
+    )
+    rk = pr.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("priority_q").desc(), F.col("doc_id")))
+        .cast("int")
+        .alias("rank"),
+    ).filter(F.col("rank") <= 33)
+    tau = rk.filter(F.col("rank") == 33).select(F.col("priority_q").alias("tau_q"))
+    return (
+        rk.filter(F.col("rank") <= 32)
+        .crossJoin(F.broadcast(tau))
+        .select("doc_id", "source", "weight", "priority_q", "rank", "tau_q")
+    )
+
+
+@_q(
+    "q_calibration_bins",
+    """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 2000) AS BIGINT) AS score_micro,
+             CAST(event_type = 'purchase' AS INTEGER) AS label,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT CAST((rn - 1) * 10 // n + 1 AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(score_micro) AS BIGINT) AS sum_score_micro,
+           CAST(SUM(label) AS DOUBLE) / count(*) AS frac_pos,
+           CAST(SUM(score_micro) AS DOUBLE) / count(*) / 1000000 AS mean_score
+    FROM rk GROUP BY 1
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration (reliability) table: rank the scored population
+    into 10 equal-count bins and compare mean predicted score against
+    observed positive rate per bin — the diagram behind every "is the
+    model calibrated" review. Proxy model: score = value/500 clamped by
+    construction, label = purchase events. Determinism recipe: scores
+    quantized to integer micros with FLOOR, bins assigned rank-based
+    ((rn−1)·k div n + 1 — the engine-stable ntile), aggregates are
+    integer sums with exactly two final divisions. One global sort
+    (rank), one aggregate — at scale the rank shuffles once on the
+    score, same as any percentile pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        F.floor(F.col("value") * 2000).cast("long").alias("score_micro"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        "event_id",
+    )
+    w = Window.orderBy("score_micro", "event_id")
+    rk = s.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    binc = F.expr("((rn - 1) * 10) div n + 1")
+    return (
+        rk.groupBy(binc.cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum("score_micro").cast("long").alias("sum_score_micro"),
+        )
+        .select(
+            "bin",
+            "n_rows",
+            "n_pos",
+            "sum_score_micro",
+            (F.col("n_pos").cast("double") / F.col("n_rows")).alias("frac_pos"),
+            (
+                F.col("sum_score_micro").cast("double") / F.col("n_rows") / F.lit(1000000)
+            ).alias("mean_score"),
+        )
+    )
+
+
+@_q(
+    "q_epoch_plan",
+    """
+    WITH toks AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_src FROM toks)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens,
+           CAST(tokens * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST((2 * total) // n_src AS BIGINT) AS planned_tokens,
+           CAST(((2 * total) // n_src) * 1000 // tokens AS BIGINT) AS epochs_milli,
+           ((2 * total) // n_src) * 1000 // tokens > 4000 AS over_cap
+    FROM toks, tot
+    """,
+)
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing epoch plan: given a token budget of 2× the corpus and
+    a UNIFORM target mixture across sources, how many epochs (repeats)
+    of each source does the sampler need? epochs = planned/available —
+    >1000 milli-epochs means upsampling (repeat), the >4-epoch flag marks
+    sources the plan would over-repeat (the repetition-harm threshold the
+    data-recipe literature converges on). All integer division — budget
+    allocation must reproduce bit-exact between the planner and the
+    sampler job or shard manifests drift. One token-count aggregate per
+    source + a broadcast scalar total; O(sources) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0))
+        )
+        .cast("long")
+        .alias("tokens"),
+    )
+    tot = toks.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    planned = F.expr("(2 * total) div n_src")
+    return toks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr("tokens * 1000000 div total").cast("long").alias("share_ppm"),
+        planned.cast("long").alias("planned_tokens"),
+        F.expr("((2 * total) div n_src) * 1000 div tokens")
+        .cast("long")
+        .alias("epochs_milli"),
+        (F.expr("((2 * total) div n_src) * 1000 div tokens") > 4000).alias("over_cap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -19534,6 +19789,8 @@ _CHECK_PRIORITY = [
     # --- round-5 new keys (driver should see them first after the fix) ---
     "q_scan_xml_roundtrip", "q_hybrid_search_rrf", "q_source_tv_distance",
     "q_blocking_eval", "q_stream_quality_gate",
+    "q_m4_downsample", "q_priority_sample", "q_calibration_bins",
+    "q_epoch_plan",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
