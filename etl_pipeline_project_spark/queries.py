@@ -19770,6 +19770,295 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 96 — watermarked left-outer stream-stream join, bitemporal
+# as-of grid, deterministic k-fold assignment, semi-additive daily balance.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_stream_left_join",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS vts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, view_id, purchase_id
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND pts >= vts AND pts <= vts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join (§2.H): every view either attributed
+    to the purchases that follow it within 1 hour, or emitted null-padded
+    as unconverted — the attribution report batch systems rerun nightly,
+    produced incrementally. The outer side is the hard part: Spark emits
+    a null-padded row only when the global watermark passes the view's
+    last possible match time, so a tail of views normally stays buffered
+    forever at end-of-stream. The fixture closes the stream honestly: one
+    far-future sentinel row per side (staged atomically next to the
+    events file) advances both per-side watermarks past every real row,
+    the availableNow no-data final batch flushes the state store, and the
+    final table equals the batch LEFT JOIN exactly — hence the full
+    oracle. State stays bounded by watermark × horizon per key at any
+    scale; sentinels are filtered from the output."""
+    import datetime
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+        stream_stream_attribution,
+    )
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+        schema = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow
+        far = datetime.datetime(2024, 12, 31)
+        for i, etype in enumerate(("view", "purchase")):
+            sent = pa.table(
+                {
+                    "event_id": pa.array([-1 - i], type=schema.field("event_id").type),
+                    "ts": pa.array([far], type=schema.field("ts").type),
+                    "user_id": pa.array([-1], type=schema.field("user_id").type),
+                    "event_type": pa.array([etype], type=schema.field("event_type").type),
+                    "value": pa.array([0.0], type=schema.field("value").type),
+                    "props": pa.array(["{}"], type=schema.field("props").type),
+                },
+                schema=schema,
+            )
+            pq.write_table(sent, f"{tmp}/events.sentinel{i}.parquet")
+
+    stage = _staged_fixture(
+        "stream_leftjoin", _fp_tag(sf_dir, "events"), _build
+    )
+    ev = read_events_stream(spark, stage)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(
+            stream_stream_attribution(
+                ev.filter(F.col("event_type") == "view"),
+                ev.filter(F.col("event_type") == "purchase"),
+                how="leftOuter",
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.filter(F.col("v_user") >= 0).select(
+        F.col("v_user").alias("user_id"), "view_id", "purchase_id"
+    )
+
+
+@_q(
+    "q_bitemporal_join",
+    """
+    WITH grid AS (
+      SELECT v_idx, t_idx,
+             TIMESTAMP '2024-01-01' + v_idx * INTERVAL 7 DAY AS v_ts,
+             TIMESTAMP '2024-01-01' + t_idx * INTERVAL 10 DAY AS t_ts
+      FROM (SELECT UNNEST([1,2,3]) AS v_idx), (SELECT UNNEST([1,2,3]) AS t_idx)
+    ),
+    ver AS (
+      SELECT user_id, event_id, value, ts AS valid_from,
+             ts + (event_id % 72) * INTERVAL 1 HOUR AS tx_from
+      FROM events
+    ),
+    known AS (
+      SELECT g.v_idx, g.t_idx, ver.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.v_idx, g.t_idx, user_id
+               ORDER BY valid_from DESC, event_id DESC) AS rn
+      FROM ver JOIN grid g
+        ON valid_from <= g.v_ts AND tx_from <= g.t_ts
+    )
+    SELECT v_idx, t_idx, user_id, event_id, value
+    FROM known WHERE rn = 1
+    """,
+)
+def q_bitemporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point-in-time query (Snodgrass two-axis temporal model):
+    each event is a VERSION with valid-time start = event time and
+    transaction-time start = ingestion time (event time + a deterministic
+    0-71 h landing delay), and the query asks, for a 3×3 grid of
+    (valid-time V, transaction-time T) anchors, "what was each user's
+    state at V, as the warehouse KNEW it at T". Early T anchors therefore
+    answer with stale versions — the as-reported-then semantics audit and
+    restatement tooling need, one axis more than SCD2's single-timeline
+    point-in-time join (q_scd2_pit_join). Plan: a 9-row broadcast grid
+    joined to the version scan, then one ROW_NUMBER argmax per (grid
+    cell, user) with a total-order tie-break — a single exchange on the
+    compound key; grid cells scale the shuffle linearly and independently
+    of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = spark.range(1, 4).select(F.col("id").cast("int").alias("v_idx")).crossJoin(
+        spark.range(1, 4).select(F.col("id").cast("int").alias("t_idx"))
+    ).select(
+        "v_idx",
+        "t_idx",
+        F.expr(
+            "TIMESTAMP '2024-01-01' + make_interval(0,0,0, v_idx * 7, 0,0,0)"
+        ).alias("v_ts"),
+        F.expr(
+            "TIMESTAMP '2024-01-01' + make_interval(0,0,0, t_idx * 10, 0,0,0)"
+        ).alias("t_ts"),
+    )
+    ver = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.expr(
+            "ts + make_interval(0,0,0,0, CAST(event_id % 72 AS INT), 0,0)"
+        ).alias("tx_from"),
+    )
+    known = ver.join(
+        F.broadcast(grid),
+        (F.col("valid_from") <= F.col("v_ts")) & (F.col("tx_from") <= F.col("t_ts")),
+    )
+    w = Window.partitionBy("v_idx", "t_idx", "user_id").orderBy(
+        F.col("valid_from").desc(), F.col("event_id").desc()
+    )
+    return (
+        known.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("v_idx", "t_idx", "user_id", "event_id", "value")
+    )
+
+
+@_q(
+    "q_kfold_assign",
+    """
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 5 AS INTEGER) AS fold
+      FROM documents
+    ),
+    cell AS (
+      SELECT fold, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+      FROM f GROUP BY 1, 2
+    ),
+    tot AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_total FROM cell GROUP BY 1)
+    SELECT cell.fold, source, n_docs, min_doc, max_doc, fold_total,
+           CAST(n_docs * 1000000 // fold_total AS BIGINT) AS share_ppm
+    FROM cell JOIN tot ON cell.fold = tot.fold
+    """,
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5): fold =
+    md5(doc_id) mod k, so the split reproduces bit-identically on any
+    engine, any day, any cluster size — the property that makes CV
+    results comparable across reruns of a 100 TB corpus (same discipline
+    as q_hash_split's train/val/test fractions, extended to folds). The
+    output is the fold × source census with integer ppm shares: the
+    evidence a reviewer needs that no fold is source-skewed. Plan:
+    map-side fold hashing, one partial/final aggregate, then a fold-level
+    re-aggregate joined back (k rows, broadcast) — O(k·sources) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 5
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    cell = f.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+    tot = cell.groupBy("fold").agg(F.sum("n_docs").cast("long").alias("fold_total"))
+    return cell.join(F.broadcast(tot), "fold").select(
+        "fold",
+        "source",
+        "n_docs",
+        "min_doc",
+        "max_doc",
+        "fold_total",
+        F.expr("n_docs * 1000000 div fold_total").cast("long").alias("share_ppm"),
+    )
+
+
+@_q(
+    "q_semi_additive_balance",
+    """
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS bal_micro
+      FROM events WHERE value IS NOT NULL
+    ),
+    last_obs AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        FROM obs
+      ) WHERE rn = 1
+    ),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_accounts,
+             CAST(SUM(bal_micro) AS BIGINT) AS total_balance_micro
+      FROM last_obs GROUP BY 1
+    )
+    SELECT day, n_accounts, total_balance_micro,
+           total_balance_micro
+             - LAG(total_balance_micro) OVER (ORDER BY day) AS delta_micro
+    FROM daily
+    """,
+)
+def q_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure rollup (Kimball): balances sum across
+    ACCOUNTS but not across TIME, so the daily fact is each account's
+    LAST observed balance that day (closing balance), then the day total
+    sums those closing balances — never the raw observations. Values are
+    quantized to integer micros before any aggregation so 1000 partial
+    sums merge without float drift, and the day-over-day delta is an
+    integer LAG. Plan: one exchange on (user_id, day) for the closing-
+    balance argmax (WindowGroupLimit prunes to the top row per group),
+    one partial/final day aggregate, one O(days) window — the third
+    shuffle is over ~365 rows/year regardless of account count."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    obs = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("bal_micro"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_obs = obs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    daily = last_obs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_accounts"),
+        F.sum("bal_micro").cast("long").alias("total_balance_micro"),
+    )
+    return daily.select(
+        "day",
+        "n_accounts",
+        "total_balance_micro",
+        (
+            F.col("total_balance_micro")
+            - F.lag("total_balance_micro").over(Window.orderBy("day"))
+        ).alias("delta_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -19791,6 +20080,8 @@ _CHECK_PRIORITY = [
     "q_blocking_eval", "q_stream_quality_gate",
     "q_m4_downsample", "q_priority_sample", "q_calibration_bins",
     "q_epoch_plan",
+    "q_stream_stream_left_join", "q_bitemporal_join", "q_kfold_assign",
+    "q_semi_additive_balance",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",

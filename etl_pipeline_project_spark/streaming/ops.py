@@ -131,6 +131,7 @@ def stream_stream_attribution(
     purchases: DataFrame,
     *,
     horizon: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join (`q_stream_stream_join`): attribute each
     purchase to the views that preceded it within ``horizon``, both sides
@@ -144,6 +145,13 @@ def stream_stream_attribution(
     joins emit exactly the batch join's pairs once both sides arrive, so
     the availableNow final state is deterministic and carries a full
     DuckDB oracle.
+
+    ``how="leftOuter"`` adds the outer semantics: a view with no purchase
+    in the horizon is emitted null-padded only once the global watermark
+    passes its last possible match time — the caller must therefore make
+    sure the watermark advances past every real row (q_stream_stream_left_join
+    does this with far-future sentinel rows on both sides) for the final
+    state to equal the batch left join.
     """
     v = views.withWatermark("ts", "1 day").select(
         F.col("user_id").alias("v_user"),
@@ -161,4 +169,5 @@ def stream_stream_attribution(
             f"v_user = p_user AND purchase_ts >= view_ts "
             f"AND purchase_ts <= view_ts + interval {horizon}"
         ),
+        how,
     )
