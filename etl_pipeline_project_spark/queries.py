@@ -20059,6 +20059,362 @@ def q_semi_additive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 97 — parallel LTTB downsampling, n-gram LM pair extraction,
+# Poisson bootstrap, rendezvous-hash shard assignment.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_lttb_downsample",
+    """
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS x,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS y,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS bucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      FROM pts GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT user_id, bucket,
+             LAG(n)  OVER w AS np, LAG(sx)  OVER w AS sxp, LAG(sy)  OVER w AS syp,
+             LEAD(n) OVER w AS nn, LEAD(sx) OVER w AS sxn, LEAD(sy) OVER w AS syn
+      FROM stats
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+    ),
+    scored AS (
+      SELECT p.user_id, p.bucket, p.event_id, p.ts,
+             ABS((CAST(sxp AS DOUBLE)/np - CAST(sxn AS DOUBLE)/nn)
+                   * (CAST(y AS DOUBLE) - CAST(syp AS DOUBLE)/np)
+               - (CAST(sxp AS DOUBLE)/np - CAST(x AS DOUBLE))
+                   * (CAST(syn AS DOUBLE)/nn - CAST(syp AS DOUBLE)/np)) AS area2
+      FROM pts p JOIN nb USING (user_id, bucket)
+      WHERE np IS NOT NULL AND nn IS NOT NULL
+    )
+    SELECT user_id, bucket, event_id, ts, area2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, bucket ORDER BY area2 DESC, ts, event_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013), the
+    PARALLEL variant: classic LTTB anchors each bucket's triangle on the
+    previously SELECTED point (inherently sequential), so this uses the
+    standard parallelization — anchor on the neighbor buckets' average
+    points instead, which decouples every bucket and turns the pass into
+    pure dataflow. Per series-day, keep the point maximizing the triangle
+    area between the previous bucket's centroid and the next bucket's
+    centroid. Determinism: x (whole epoch seconds) and y (value micros)
+    are exact integers; centroids and the area are computed by the
+    IDENTICAL scalar IEEE expression on both engines (no float
+    accumulation — sums are integer, divisions happen in the final
+    formula), ties broken by (ts, event_id). Plan: one aggregate on
+    (user, bucket), one O(buckets) window per user, one co-keyed join
+    back — the per-bucket argmax is WindowGroupLimit-pruned. Complements
+    q_m4_downsample: M4 preserves extremes, LTTB preserves shape."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").alias("x"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("y"),
+        F.expr("unix_timestamp(ts) div 86400").alias("bucket"),
+    )
+    stats = pts.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    nb = stats.select(
+        "user_id",
+        "bucket",
+        F.lag("n").over(w).alias("np"),
+        F.lag("sx").over(w).alias("sxp"),
+        F.lag("sy").over(w).alias("syp"),
+        F.lead("n").over(w).alias("nn"),
+        F.lead("sx").over(w).alias("sxn"),
+        F.lead("sy").over(w).alias("syn"),
+    )
+    scored = (
+        pts.join(nb, ["user_id", "bucket"])
+        .filter(F.col("np").isNotNull() & F.col("nn").isNotNull())
+        .select(
+            "user_id",
+            "bucket",
+            "event_id",
+            "ts",
+            F.abs(
+                (
+                    F.col("sxp").cast("double") / F.col("np")
+                    - F.col("sxn").cast("double") / F.col("nn")
+                )
+                * (F.col("y").cast("double") - F.col("syp").cast("double") / F.col("np"))
+                - (
+                    F.col("sxp").cast("double") / F.col("np")
+                    - F.col("x").cast("double")
+                )
+                * (
+                    F.col("syn").cast("double") / F.col("nn")
+                    - F.col("syp").cast("double") / F.col("np")
+                )
+            ).alias("area2"),
+        )
+    )
+    wr = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area2").desc(), "ts", "event_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "bucket", "event_id", "ts", "area2")
+    )
+
+
+@_q(
+    "q_ngram_lm_pairs",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 3) OVER w AS l3,
+             LAG(event_type, 2) OVER w AS l2,
+             LAG(event_type, 1) OVER w AS l1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT l3 || ',' || l2 || ',' || l1 AS context, event_type AS target,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM seq WHERE l3 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT context, target, n_pairs,
+           CAST(SUM(n_pairs) OVER (PARTITION BY context) AS BIGINT) AS ctx_total,
+           CAST(n_pairs * 1000000 // SUM(n_pairs) OVER (PARTITION BY context)
+                AS BIGINT) AS prob_ppm
+    FROM pairs
+    """,
+)
+def q_ngram_lm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-gram language-model estimation from event streams: (3-event
+    context → next event) pair counts with conditional probability — the
+    "build next-token prediction data from logs" pass, one order deeper
+    than q_event_transitions' first-order matrix. Context windows come
+    from three LAG columns over the per-user total order (ts, event_id),
+    so pair extraction is deterministic and never buffers a whole
+    sequence; probabilities are integer ppm (count·1e6 div context
+    total). Plan: one exchange on user_id for the lags, one
+    map-side-combinable aggregate on (context, target), one O(vocab⁴)-
+    bounded window for context totals — at 100 TB the output stays
+    |vocab|⁴ no matter the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("l3"),
+        F.lag("event_type", 2).over(w).alias("l2"),
+        F.lag("event_type", 1).over(w).alias("l1"),
+    )
+    pairs = (
+        seq.filter(F.col("l3").isNotNull())
+        .select(
+            F.concat_ws(",", "l3", "l2", "l1").alias("context"),
+            F.col("event_type").alias("target"),
+        )
+        .groupBy("context", "target")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    wc = Window.partitionBy("context")
+    return pairs.select(
+        "context",
+        "target",
+        "n_pairs",
+        F.sum("n_pairs").over(wc).cast("long").alias("ctx_total"),
+        F.expr(
+            "n_pairs * 1000000 div SUM(n_pairs) OVER (PARTITION BY context)"
+        )
+        .cast("long")
+        .alias("prob_ppm"),
+    )
+
+
+@_q(
+    "q_poisson_bootstrap",
+    """
+    WITH grid AS (SELECT UNNEST(range(32)) AS b),
+    draws AS (
+      SELECT b, CAST(n_chars AS BIGINT) AS x,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+      FROM documents CROSS JOIN grid
+    ),
+    cnt AS (
+      SELECT b, x,
+             CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+                  WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+                  WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+                  WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+                  WHEN u < 4294962463 THEN 8 ELSE 9 END AS c
+      FROM draws
+    )
+    SELECT CAST(b AS INTEGER) AS replica,
+           CAST(SUM(c) AS BIGINT) AS n_draws,
+           CAST(SUM(c * x) AS BIGINT) AS sum_chars,
+           CAST(SUM(c * x) AS DOUBLE) / SUM(c) AS mean_chars
+    FROM cnt GROUP BY 1
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the streaming-scale bootstrap: per replica,
+    each row is drawn Poisson(1) times instead of exact-n multinomial —
+    the only resampling scheme that works in one pass over a distributed
+    corpus): 32 replicas of mean document length, giving a CI without
+    ever materializing a resample. Determinism: the Poisson draw
+    inverse-CDF-inverts an md5-derived 32-bit uniform against
+    hard-coded integer thresholds (floor(CDF_Poisson(1)(k)·2³²)), so
+    every engine draws the identical counts; replica means are integer
+    sums with ONE final division. Plan: a 32-row broadcast grid fans out
+    map-side (no shuffle of the corpus ×32 — the explode happens inside
+    the scan stage), then one partial/final aggregate to 32 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    draws = docs.crossJoin(F.broadcast(grid)).select(
+        "b",
+        F.col("n_chars").cast("long").alias("x"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    c = (
+        F.when(F.col("u") < 1580030168, 0)
+        .when(F.col("u") < 3160060337, 1)
+        .when(F.col("u") < 3950075421, 2)
+        .when(F.col("u") < 4213413783, 3)
+        .when(F.col("u") < 4279248373, 4)
+        .when(F.col("u") < 4292415291, 5)
+        .when(F.col("u") < 4294609777, 6)
+        .when(F.col("u") < 4294923276, 7)
+        .when(F.col("u") < 4294962463, 8)
+        .otherwise(9)
+    )
+    return (
+        draws.select("b", "x", c.alias("c"))
+        .groupBy(F.col("b").alias("replica"))
+        .agg(
+            F.sum("c").cast("long").alias("n_draws"),
+            F.sum(F.col("c") * F.col("x")).cast("long").alias("sum_chars"),
+        )
+        .select(
+            "replica",
+            "n_draws",
+            "sum_chars",
+            (F.col("sum_chars").cast("double") / F.col("n_draws")).alias("mean_chars"),
+        )
+    )
+
+
+@_q(
+    "q_rendezvous_hash",
+    """
+    WITH nodes AS (SELECT UNNEST(range(5)) AS node),
+    sc AS (
+      SELECT doc_id, node,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) AS w
+      FROM documents CROSS JOIN nodes
+    ),
+    before AS (
+      SELECT doc_id, CAST(node AS INTEGER) AS node_before FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, node) AS rn
+        FROM sc
+      ) WHERE rn = 1
+    ),
+    after AS (
+      SELECT doc_id, CAST(node AS INTEGER) AS node_after FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, node) AS rn
+        FROM sc WHERE node <> 3
+      ) WHERE rn = 1
+    )
+    SELECT node_before, node_after, CAST(count(*) AS BIGINT) AS n_docs
+    FROM before JOIN after USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_rendezvous_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — the shard-assignment
+    scheme whose defining property is MINIMAL DISRUPTION: when a node
+    leaves, exactly the keys that lived on it move, everything else stays
+    put (unlike mod-N, which reshuffles almost everything). Each doc
+    scores all 5 nodes with an md5-derived weight and lands on the
+    argmax; the query recomputes the assignment with node 3 removed and
+    emits the (before, after) migration matrix — off-diagonal mass exists
+    ONLY in the node_before=3 rows, which the pytest asserts. Plan: a
+    5-row broadcast grid fans out map-side, two ROW_NUMBER argmaxes share
+    one exchange on doc_id, and the output is ≤ nodes² rows at any corpus
+    size. This is the assignment logic a 1000-executor ingest uses to
+    route documents to stateful writers without a coordinator."""
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = spark.range(5).select(F.col("id").cast("int").alias("node"))
+    sc = docs.crossJoin(F.broadcast(nodes)).select(
+        "doc_id",
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("node").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "node")
+    before = (
+        sc.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("node").alias("node_before"))
+    )
+    after = (
+        sc.filter(F.col("node") != 3)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("node").alias("node_after"))
+    )
+    return (
+        before.join(after, "doc_id")
+        .groupBy("node_before", "node_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -20082,6 +20438,8 @@ _CHECK_PRIORITY = [
     "q_epoch_plan",
     "q_stream_stream_left_join", "q_bitemporal_join", "q_kfold_assign",
     "q_semi_additive_balance",
+    "q_lttb_downsample", "q_ngram_lm_pairs", "q_poisson_bootstrap",
+    "q_rendezvous_hash",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
