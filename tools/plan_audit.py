@@ -823,6 +823,85 @@ def main() -> int:
         )
     )
 
+    # --- round-5 batches 95-97 ---
+    p = plan("q_m4_downsample")
+    checks.append(
+        (
+            "q_m4_downsample all four extreme-role windows share ONE exchange",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_priority_sample")
+    checks.append(
+        (
+            "q_priority_sample top-k via TakeOrderedAndProject, zero hash shuffles (only top rows move)",
+            "TakeOrderedAndProject" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 0,
+            p[:300],
+        )
+    )
+    p = plan("q_semi_additive_balance")
+    checks.append(
+        (
+            "q_semi_additive_balance closing-balance argmax is WindowGroupLimit-pruned",
+            "WindowGroupLimit" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_lttb_downsample")
+    checks.append(
+        (
+            "q_lttb_downsample per-bucket argmax WindowGroupLimit-pruned, no cartesian",
+            "WindowGroupLimit" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_poisson_bootstrap")
+    checks.append(
+        (
+            "q_poisson_bootstrap 32-replica fan-out is a broadcast loop inside the scan stage; one partial+final agg",
+            "BroadcastNestedLoop" in p
+            and "partial" in p.lower()
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_rendezvous_hash")
+    checks.append(
+        (
+            "q_rendezvous_hash node grid broadcast, no cartesian product",
+            "BroadcastNestedLoop" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_bitemporal_join")
+    checks.append(
+        (
+            "q_bitemporal_join 9-row anchor grid broadcast; per-cell argmax WindowGroupLimit-pruned",
+            "BroadcastNestedLoop" in p
+            and "WindowGroupLimit" in p
+            and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_kfold_assign")
+    checks.append(
+        (
+            "q_kfold_assign fold totals probe back via BroadcastHashJoin",
+            "BroadcastHashJoin" in p,
+            p[:300],
+        )
+    )
+    p = plan("q_epoch_plan")
+    checks.append(
+        (
+            "q_epoch_plan scalar corpus total broadcast (1-row BNLJ), no cartesian",
+            "BroadcastNestedLoop" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
