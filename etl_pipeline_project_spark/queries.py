@@ -20415,6 +20415,316 @@ def q_rendezvous_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 98 — experimentation & survey statistics: difference-in-
+# differences, delta-method ratio CI, Neyman allocation, PMI collocations.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_diff_in_diff",
+    f"""
+    WITH base AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE user_id % 2 = 1 AND day(ts) > 15) AS BIGINT) AS n_t2,
+        CAST(count(*) FILTER (WHERE user_id % 2 = 1 AND day(ts) <= 15) AS BIGINT) AS n_t1,
+        CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND day(ts) > 15) AS BIGINT) AS n_c2,
+        CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND day(ts) <= 15) AS BIGINT) AS n_c1,
+        {_msum6("CASE WHEN user_id % 2 = 1 AND day(ts) > 15 THEN value END")} AS s_t2,
+        {_msum6("CASE WHEN user_id % 2 = 1 AND day(ts) <= 15 THEN value END")} AS s_t1,
+        {_msum6("CASE WHEN user_id % 2 = 0 AND day(ts) > 15 THEN value END")} AS s_c2,
+        {_msum6("CASE WHEN user_id % 2 = 0 AND day(ts) <= 15 THEN value END")} AS s_c1
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT n_t1, n_t2, n_c1, n_c2,
+           s_t2 / n_t2 - s_t1 / n_t1 AS delta_treat,
+           s_c2 / n_c2 - s_c1 / n_c1 AS delta_ctrl,
+           (s_t2 / n_t2 - s_t1 / n_t1) - (s_c2 / n_c2 - s_c1 / n_c1) AS did
+    FROM base
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimator: treatment group (odd user_id) vs control, pre-period
+    (days 1-15) vs post, DiD = (T̄₂−T̄₁) − (C̄₂−C̄₁). All four cells
+    come from ONE map-side-combinable pass (conditional counts +
+    exact decimal sums — no per-cell rescan), then the estimate is a
+    fixed scalar double expression on exactly-agreed inputs. At 100 TB
+    this is a single aggregate to one row; the cell layout generalizes
+    to any cohort × period grid by adding CASE columns, not passes."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    treat = F.col("user_id") % 2 == 1
+    post = F.dayofmonth("ts") > 15
+    def cell(cond):
+        return (
+            F.count(F.when(cond, 1)).cast("long"),
+            exact_sum(F.when(cond, F.col("value")), 6),
+        )
+    base = ev.agg(
+        cell(treat & post)[0].alias("n_t2"),
+        cell(treat & ~post)[0].alias("n_t1"),
+        cell(~treat & post)[0].alias("n_c2"),
+        cell(~treat & ~post)[0].alias("n_c1"),
+        cell(treat & post)[1].alias("s_t2"),
+        cell(treat & ~post)[1].alias("s_t1"),
+        cell(~treat & post)[1].alias("s_c2"),
+        cell(~treat & ~post)[1].alias("s_c1"),
+    )
+    dt = F.col("s_t2") / F.col("n_t2") - F.col("s_t1") / F.col("n_t1")
+    dc = F.col("s_c2") / F.col("n_c2") - F.col("s_c1") / F.col("n_c1")
+    return base.select(
+        "n_t1",
+        "n_t2",
+        "n_c1",
+        "n_c2",
+        dt.alias("delta_treat"),
+        dc.alias("delta_ctrl"),
+        (dt - dc).alias("did"),
+    )
+
+
+@_q(
+    "q_ratio_delta_method",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+             {_msum6("value")} AS x, CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+             {_msum6("x")} AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             {_msum6("x * x")} AS sxx,
+             {_msum6("x * y")} AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM u GROUP BY 1
+    )
+    SELECT grp, n_users, sx, sy,
+           sx / sy AS ratio,
+           sqrt(((sxx - 2 * (sx / sy) * sxy + (sx / sy) * (sx / sy) * syy)
+                  / (n_users - 1))
+                / n_users)
+             / (CAST(sy AS DOUBLE) / n_users) AS se
+    FROM g
+    """,
+)
+def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    event, users as randomization units) — the experimentation-platform
+    primitive naive per-row variance gets wrong, because both numerator
+    and denominator vary per user. Per group: user-level exact sums
+    (x_i, y_i), ratio R = Σx/Σy, and the linearized variance
+    Var(x̄ − R·ȳ)/ȳ² via the standard delta expansion — all moments are
+    exact decimal/integer sums, the SE is one fixed scalar expression
+    (sqrt is IEEE correctly-rounded, hence engine-identical). Plan: one
+    exchange on user_id for the unit aggregation, one tiny group
+    aggregate — two passes total regardless of corpus size."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        exact_sum(F.col("value"), 6).alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        exact_sum(F.col("x"), 6).alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        exact_sum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        exact_sum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    r = F.col("sx") / F.col("sy")
+    se = F.sqrt(
+        (
+            (F.col("sxx") - 2 * r * F.col("sxy") + r * r * F.col("syy"))
+            / (F.col("n_users") - 1)
+        )
+        / F.col("n_users")
+    ) / (F.col("sy").cast("double") / F.col("n_users"))
+    return g.select("grp", "n_users", "sx", "sy", r.alias("ratio"), se.alias("se"))
+
+
+@_q(
+    "q_neyman_allocation",
+    f"""
+    WITH s AS (
+      SELECT o_orderpriority AS stratum, CAST(count(*) AS BIGINT) AS n_h,
+             {_msum6("o_totalprice")} AS s1,
+             {_msum6("o_totalprice * o_totalprice")} AS s2
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT stratum, n_h,
+             CAST(FLOOR(n_h * sqrt((s2 - s1 * s1 / n_h) / (n_h - 1)))
+                  AS BIGINT) AS w_unit
+      FROM s
+    ),
+    t AS (SELECT CAST(SUM(w_unit) AS BIGINT) AS w_tot FROM w)
+    SELECT stratum, n_h, w_unit,
+           CAST(w_unit * 1000000 // w_tot AS BIGINT) AS share_ppm,
+           CAST((1000 * w_unit) // w_tot AS BIGINT)
+             + CASE WHEN ROW_NUMBER() OVER (
+                      ORDER BY (1000 * w_unit) % w_tot DESC, stratum)
+                    <= 1000 - CAST(SUM((1000 * w_unit) // w_tot) OVER () AS BIGINT)
+               THEN 1 ELSE 0 END AS n_alloc
+    FROM w, t
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation: a 1000-row audit
+    sample is split across order-priority strata proportionally to
+    N_h·S_h (stratum size × stratum standard deviation) — the allocation
+    that minimizes the estimator's variance, and the reason a 100 TB
+    quality audit doesn't sample uniformly. Determinism: variance comes
+    from exact decimal power sums, S_h from one correctly-rounded sqrt,
+    and the weight is floored to an integer BEFORE the cross-stratum
+    total — so the sum is associative-integer, never order-dependent
+    float (N_h·S_h is large, so whole units lose nothing; the integer
+    headroom bounds: share_ppm needs w·1e6 < 2^63, i.e. Σ N_h·S_h below
+    ~9e12 — rescale the weight unit for corpora beyond that). Integer counts are then assigned by largest remainder
+    (total-order tie-break), guaranteeing the allocations sum to exactly
+    1000. Plan: one aggregate, a broadcast scalar total, an O(strata)
+    window — corpus-size-independent output."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        exact_sum(F.col("o_totalprice"), 6).alias("s1"),
+        exact_sum(F.col("o_totalprice") * F.col("o_totalprice"), 6).alias("s2"),
+    )
+    w = s.select(
+        "stratum",
+        "n_h",
+        F.floor(
+            F.col("n_h")
+            * F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_h"))
+                / (F.col("n_h") - 1)
+            )
+        )
+        .cast("long")
+        .alias("w_unit"),
+    )
+    t = w.agg(F.sum("w_unit").cast("long").alias("w_tot"))
+    wt = w.crossJoin(F.broadcast(t))
+    base = wt.select(
+        "stratum",
+        "n_h",
+        "w_unit",
+        F.expr("w_unit * 1000000 div w_tot").cast("long").alias("share_ppm"),
+        F.expr("(1000 * w_unit) div w_tot").cast("long").alias("fl"),
+        F.expr("(1000 * w_unit) % w_tot").alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "stratum")
+    wall = Window.partitionBy()
+    return base.select(
+        "stratum",
+        "n_h",
+        "w_unit",
+        "share_ppm",
+        (
+            F.col("fl")
+            + F.when(
+                F.row_number().over(wr)
+                <= 1000 - F.sum("fl").over(wall).cast("long"),
+                1,
+            ).otherwise(0)
+        ).alias("n_alloc"),
+    )
+
+
+@_q(
+    "q_term_pmi",
+    """
+    WITH terms AS (
+      SELECT DISTINCT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM terms GROUP BY 1),
+    vocab AS (
+      SELECT term, n FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rn FROM df
+      ) WHERE rn <= 50
+    ),
+    post AS (SELECT t.doc_id, t.term, v.n FROM terms t JOIN vocab v USING (term)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.term AS t1, b.term AS t2,
+             CAST(count(*) AS BIGINT) AS n_xy,
+             CAST(MIN(a.n) AS BIGINT) AS n_x, CAST(MIN(b.n) AS BIGINT) AS n_y
+      FROM post a JOIN post b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT t1, t2, n_xy, n_x, n_y,
+           CAST(n_xy * n_docs AS DOUBLE) / (n_x * n_y) AS pmi_ratio
+    FROM pairs, tot WHERE n_xy >= 5
+    """,
+)
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining over the top-50 vocabulary: for every term
+    pair, the pointwise-mutual-information RATIO p(x,y)/(p(x)p(y)) =
+    n_xy·N / (n_x·n_y) — phrase/collocation discovery for corpus
+    curation, kept log-free so the score is an exact integer ratio with
+    ONE final double division (ranking by pmi_ratio ≡ ranking by PMI,
+    log is monotone). Scale discipline: the vocabulary is CAPPED (top-50
+    by document frequency, total-order tie-break) and broadcast, so the
+    posting self-join explodes at most vocab²/2 pairs per document —
+    never the raw term×term blow-up; co-occurrence counts are one
+    map-side-combinable aggregate. The same shape at 100 TB just raises
+    the vocab cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    ).distinct()
+    df = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("n").desc(), "term"))
+        )
+        .filter(F.col("rn") <= 50)
+        .select("term", "n")
+    )
+    post = terms.join(F.broadcast(vocab), "term").select("doc_id", "term", "n")
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    a = post.select(
+        "doc_id", F.col("term").alias("t1"), F.col("n").alias("na")
+    )
+    b = post.select(
+        "doc_id", F.col("term").alias("t2"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_xy"),
+            F.min("na").cast("long").alias("n_x"),
+            F.min("nb").cast("long").alias("n_y"),
+        )
+        .filter(F.col("n_xy") >= 5)
+    )
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "t1",
+        "t2",
+        "n_xy",
+        "n_x",
+        "n_y",
+        (
+            (F.col("n_xy") * F.col("n_docs")).cast("double")
+            / (F.col("n_x") * F.col("n_y"))
+        ).alias("pmi_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -20440,6 +20750,8 @@ _CHECK_PRIORITY = [
     "q_semi_additive_balance",
     "q_lttb_downsample", "q_ngram_lm_pairs", "q_poisson_bootstrap",
     "q_rendezvous_hash",
+    "q_diff_in_diff", "q_ratio_delta_method", "q_neyman_allocation",
+    "q_term_pmi",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
