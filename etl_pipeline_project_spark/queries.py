@@ -20725,6 +20725,318 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 99 — experiment analysis completions: CUPED variance
+# reduction, MDE power analysis, quantile treatment effects,
+# post-stratified ATE.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_cuped",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+             {_msum6("CASE WHEN day(ts) <= 15 THEN value END")} AS x,
+             {_msum6("CASE WHEN day(ts) > 15 THEN value END")} AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+      HAVING count(*) FILTER (WHERE day(ts) <= 15) > 0
+         AND count(*) FILTER (WHERE day(ts) > 15) > 0
+    ),
+    pool AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {_msum6("x")} AS sx, {_msum6("y")} AS sy,
+             {_msum6("x * y")} AS sxy, {_msum6("x * x")} AS sxx
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx / n AS xbar,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+      FROM pool
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+             {_msum6("x")} AS gx, {_msum6("y")} AS gy
+      FROM u GROUP BY 1
+    )
+    SELECT grp, n_users, theta,
+           gy / n_users AS mean_y,
+           gy / n_users - theta * (gx / n_users - xbar) AS mean_y_adj
+    FROM g, th
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+    al. WSDM'13) — the industry-standard variance-reduction adjustment:
+    regress the experiment metric on a pre-period covariate (θ =
+    cov(X,Y)/var(X), pooled) and report each group's adjusted mean
+    ȳ_g − θ(x̄_g − x̄). Pre-period = days 1-15 per user, outcome = days
+    16-30; users lacking either period are excluded (the standard CUPED
+    cohort rule). All moments are exact decimal sums; θ and the adjusted
+    means are fixed scalar expressions — engine-identical doubles. Plan:
+    one exchange on user_id (unit aggregation with conditional sums in
+    the SAME pass), then two tiny aggregates and a broadcast scalar —
+    nothing rescans the fact table."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pre = F.dayofmonth("ts") <= 15
+    u = (
+        ev.groupBy("user_id", (F.col("user_id") % 2).cast("int").alias("grp"))
+        .agg(
+            exact_sum(F.when(pre, F.col("value")), 6).alias("x"),
+            exact_sum(F.when(~pre, F.col("value")), 6).alias("y"),
+            F.count(F.when(pre, 1)).alias("n_pre"),
+            F.count(F.when(~pre, 1)).alias("n_post"),
+        )
+        .filter((F.col("n_pre") > 0) & (F.col("n_post") > 0))
+        .select("user_id", "grp", "x", "y")
+    )
+    pool = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        exact_sum(F.col("x"), 6).alias("sx"),
+        exact_sum(F.col("y"), 6).alias("sy"),
+        exact_sum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        exact_sum(F.col("x") * F.col("x"), 6).alias("sxx"),
+    )
+    th = pool.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        exact_sum(F.col("x"), 6).alias("gx"),
+        exact_sum(F.col("y"), 6).alias("gy"),
+    )
+    return g.crossJoin(F.broadcast(th)).select(
+        "grp",
+        "n_users",
+        "theta",
+        (F.col("gy") / F.col("n_users")).alias("mean_y"),
+        (
+            F.col("gy") / F.col("n_users")
+            - F.col("theta") * (F.col("gx") / F.col("n_users") - F.col("xbar"))
+        ).alias("mean_y_adj"),
+    )
+
+
+@_q(
+    "q_mde_power",
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             {_msum6("value")} AS s1, {_msum6("value * value")} AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n,
+           s1 / n AS mean,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd,
+           (1.959963984540054 + 0.8416212335729143)
+             * sqrt(2 * ((s2 - s1 * s1 / n) / (n - 1)) / (n // 2)) AS mde_abs,
+           (1.959963984540054 + 0.8416212335729143)
+             * sqrt(2 * ((s2 - s1 * s1 / n) / (n - 1)) / (n // 2))
+             / (s1 / n) AS mde_rel
+    FROM g
+    """,
+)
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect (power analysis) per metric segment:
+    with the observed n and variance, the smallest true lift a 50/50
+    two-sample test detects at α=0.05 / power 0.8 — MDE =
+    (z_{0.975}+z_{0.8})·√(2σ²/(n/2)), the go/no-go arithmetic every
+    experiment review starts with. The z constants are exact double
+    LITERALS (no inverse-normal evaluation at query time), variance
+    comes from exact decimal power sums in one pass, and the MDE is a
+    fixed scalar expression with correctly-rounded sqrt — deterministic
+    on any engine. Plan: one map-side-combinable aggregate; O(segments)
+    output."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        exact_sum(F.col("value"), 6).alias("s1"),
+        exact_sum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    zsum = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    mde = zsum * F.sqrt(2 * var / F.expr("n div 2"))
+    return g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(var).alias("sd"),
+        mde.alias("mde_abs"),
+        (mde / (F.col("s1") / F.col("n"))).alias("mde_rel"),
+    )
+
+
+@_q(
+    "q_quantile_treatment_effect",
+    """
+    WITH v AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS grp, value,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, value, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY value) AS cum,
+             SUM(c) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    pgrid AS (SELECT UNNEST([25, 50, 75, 90]) AS p),
+    hit AS (
+      SELECT p, grp, MIN(value) AS q
+      FROM cum JOIN pgrid ON cum * 100 >= p * n
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p AS INTEGER) AS p,
+           MIN(CASE WHEN grp = 1 THEN q END) AS q_treat,
+           MIN(CASE WHEN grp = 0 THEN q END) AS q_ctrl,
+           MIN(CASE WHEN grp = 1 THEN q END)
+             - MIN(CASE WHEN grp = 0 THEN q END) AS qte
+    FROM hit GROUP BY 1
+    """,
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — where in the distribution the
+    treatment moves mass (a mean shift can hide a tail effect): QTE(p) =
+    q_treat(p) − q_ctrl(p) at p ∈ {25,50,75,90}. Quantiles use the
+    count-based discrete rule (smallest value with cum·100 ≥ p·n, exact
+    integer comparison — no interpolation, no per-group sort buffering:
+    the same scale-safe recipe as q_percentile_disc), so every output is
+    a real data value and the effect is a subtraction of two
+    exactly-agreed doubles. Plan: map-side collapse to distinct values,
+    one cumulative window per group, a 4-row broadcast grid — the fact
+    table is read once."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("grp"), "value"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.partitionBy("grp").orderBy("value")
+    cum = v.select(
+        "grp",
+        "value",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("grp")).alias("n"),
+    )
+    pgrid = spark.createDataFrame([(25,), (50,), (75,), (90,)], "p int")
+    hit = (
+        cum.join(F.broadcast(pgrid), F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p", "grp")
+        .agg(F.min("value").alias("q"))
+    )
+    return hit.groupBy("p").agg(
+        F.min(F.when(F.col("grp") == 1, F.col("q"))).alias("q_treat"),
+        F.min(F.when(F.col("grp") == 0, F.col("q"))).alias("q_ctrl"),
+        (
+            F.min(F.when(F.col("grp") == 1, F.col("q")))
+            - F.min(F.when(F.col("grp") == 0, F.col("q")))
+        ).alias("qte"),
+    )
+
+
+@_q(
+    "q_post_stratified_ate",
+    f"""
+    WITH cells AS (
+      SELECT event_type AS stratum, CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(count(*) AS BIGINT) AS n, {_msum6("value")} AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT stratum,
+             MIN(CASE WHEN grp = 1 THEN n END) AS n_t,
+             MIN(CASE WHEN grp = 0 THEN n END) AS n_c,
+             MIN(CASE WHEN grp = 1 THEN s END) AS s_t,
+             MIN(CASE WHEN grp = 0 THEN s END) AS s_c
+      FROM cells GROUP BY 1
+    ),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(SUM(n_t + n_c) AS BIGINT) AS n_total,
+             CAST(SUM(n_t) AS BIGINT) AS nt_total,
+             CAST(SUM(n_c) AS BIGINT) AS nc_total,
+             {_msum6("s_t")} AS st_total, {_msum6("s_c")} AS sc_total,
+             list({{'k': stratum,
+                   'w': CAST(n_t + n_c AS DOUBLE),
+                   'd': s_t / n_t - s_c / n_c}} ORDER BY stratum) AS cells
+      FROM wide
+    )
+    SELECT n_strata, n_total,
+           st_total / nt_total - sc_total / nc_total AS naive_diff,
+           list_reduce(list_prepend(0e0, list_transform(cells,
+               c -> c.w / n_total * c.d)),
+             (acc, x) -> acc + x) AS ate
+    FROM folded
+    """,
+)
+def q_post_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified average treatment effect: the per-stratum
+    treatment-minus-control differences, weighted by stratum share —
+    the adjustment that removes composition bias when assignment is
+    imbalanced across segments (vs the naive pooled difference, emitted
+    alongside for contrast). Determinism: per-cell means come from exact
+    sums; the cross-strata weighted sum folds in SORTED stratum order
+    (the q_chi_square sorted-fold recipe), so the double accumulation
+    has ONE association order on both engines. Plan: one conditional
+    aggregate to strata × 2 cells, then O(strata) list fold — the fact
+    table is scanned once."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.col("event_type").alias("stratum"),
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        exact_sum(F.col("value"), 6).alias("s"),
+    )
+    wide = cells.groupBy("stratum").agg(
+        F.min(F.when(F.col("grp") == 1, F.col("n"))).alias("n_t"),
+        F.min(F.when(F.col("grp") == 0, F.col("n"))).alias("n_c"),
+        F.min(F.when(F.col("grp") == 1, F.col("s"))).alias("s_t"),
+        F.min(F.when(F.col("grp") == 0, F.col("s"))).alias("s_c"),
+    )
+    folded = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum(F.col("n_t") + F.col("n_c")).cast("long").alias("n_total"),
+        F.sum("n_t").cast("long").alias("nt_total"),
+        F.sum("n_c").cast("long").alias("nc_total"),
+        exact_sum(F.col("s_t"), 6).alias("st_total"),
+        exact_sum(F.col("s_c"), 6).alias("sc_total"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("stratum").alias("k"),
+                    (F.col("n_t") + F.col("n_c")).cast("double").alias("w"),
+                    (
+                        F.col("s_t") / F.col("n_t") - F.col("s_c") / F.col("n_c")
+                    ).alias("d"),
+                )
+            )
+        ).alias("cells"),
+    )
+    contrib = F.transform(
+        F.col("cells"), lambda c: c["w"] / F.col("n_total") * c["d"]
+    )
+    return folded.select(
+        "n_strata",
+        "n_total",
+        (
+            F.col("st_total") / F.col("nt_total")
+            - F.col("sc_total") / F.col("nc_total")
+        ).alias("naive_diff"),
+        F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x).alias("ate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -20752,6 +21064,8 @@ _CHECK_PRIORITY = [
     "q_rendezvous_hash",
     "q_diff_in_diff", "q_ratio_delta_method", "q_neyman_allocation",
     "q_term_pmi",
+    "q_cuped", "q_mde_power", "q_quantile_treatment_effect",
+    "q_post_stratified_ate",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
