@@ -21037,6 +21037,408 @@ def q_post_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 100 — Shapley attribution over the exposure lattice, KMV
+# sketch set-algebra, uplift deciles, two-proportion z-test.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_shapley_attribution",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END)
+               + MAX(CASE WHEN event_type = 'view'   THEN 2 ELSE 0 END)
+               + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+               AS INTEGER) AS mask,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS INTEGER) AS conv
+      FROM events GROUP BY 1
+    ),
+    cm AS (SELECT mask, CAST(SUM(conv) AS BIGINT) AS conv FROM u GROUP BY 1),
+    sets AS (SELECT UNNEST(range(8)) AS s),
+    v AS (
+      SELECT s, CAST(COALESCE(SUM(cm.conv), 0) AS BIGINT) AS v
+      FROM sets LEFT JOIN cm ON (cm.mask & ~CAST(s AS INTEGER)) = 0
+      GROUP BY 1
+    ),
+    ch AS (SELECT UNNEST([1, 2, 4]) AS bit, UNNEST(['click','view','signup']) AS channel),
+    marg AS (
+      SELECT ch.channel,
+             CAST(SUM((CASE WHEN vs.s IN (0, 7 - ch.bit) THEN 2 ELSE 1 END)
+                      * (vi.v - vs.v)) AS BIGINT) AS shapley_sixths
+      FROM ch
+      JOIN v vs ON (vs.s & ch.bit) = 0
+      JOIN v vi ON vi.s = vs.s + ch.bit
+      GROUP BY 1
+    )
+    SELECT channel, shapley_sixths,
+           CAST(shapley_sixths AS DOUBLE) / 6 AS shapley
+    FROM marg
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value marketing attribution over the 3-channel
+    exposure lattice (click/view/signup → purchase): coalition value
+    v(S) = conversions among users whose exposure set ⊆ S, channel
+    credit = the Shapley average of marginal contributions over all
+    coalition orders — the game-theoretically fair split that last-touch
+    and linear attribution (q_attribution_last_touch/_linear) only
+    approximate. With 3 channels the 2³ lattice is enumerated exactly;
+    weights (1/3,1/6,1/6,1/3) are held as integer SIXTHS so the credit
+    is an exact integer until ONE final division — and efficiency
+    (Σφᵢ = v(N) − v(∅)) is pytest-asserted to the integer. Plan: one
+    aggregate to per-user masks, one to 8 coalition counts; the lattice
+    algebra runs on an 8-row broadcast table at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "view", 2).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "signup", 4).otherwise(0))
+        )
+        .cast("int")
+        .alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("int")
+        .alias("conv"),
+    )
+    cm = u.groupBy("mask").agg(F.sum("conv").cast("long").alias("conv"))
+    sets = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        sets.join(
+            F.broadcast(cm),
+            F.expr("(mask & ~s) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (4, "signup")], "bit int, channel string"
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    marg = (
+        F.broadcast(ch)
+        .join(F.broadcast(vs), F.expr("(s0 & bit) = 0"))
+        .join(F.broadcast(vi), F.expr("s1 = s0 + bit"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("s0") == 0) | (F.col("s0") == 7 - F.col("bit")), 2
+                ).otherwise(1)
+                * (F.col("v1") - F.col("v0"))
+            )
+            .cast("long")
+            .alias("shapley_sixths")
+        )
+    )
+    return marg.select(
+        "channel",
+        "shapley_sixths",
+        (F.col("shapley_sixths").cast("double") / 6).alias("shapley"),
+    )
+
+
+@_q(
+    "q_kmv_set_ops",
+    """
+    WITH terms AS (
+      SELECT DISTINCT source, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    hashed AS (SELECT source, term, md5(term) AS h FROM terms),
+    topk AS (
+      SELECT source, h FROM (
+        SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 256
+    ),
+    prs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    ),
+    unioned AS (
+      SELECT p.source_a, p.source_b, t.h,
+             CAST(MAX(CASE WHEN t.source = p.source_a THEN 1 ELSE 0 END)
+                + MAX(CASE WHEN t.source = p.source_b THEN 1 ELSE 0 END)
+               AS INTEGER) AS sides,
+             ROW_NUMBER() OVER (PARTITION BY p.source_a, p.source_b ORDER BY t.h) AS rn
+      FROM prs p JOIN topk t ON t.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3
+    ),
+    sk AS (
+      SELECT source_a, source_b,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_k,
+             MAX(CASE WHEN rn = 256 THEN h END) AS u_k
+      FROM unioned WHERE rn <= 256
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM terms a JOIN terms b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT source_a, source_b, k, shared_k,
+             CASE WHEN k < 256 THEN CAST(k AS DOUBLE)
+                  ELSE CAST((k - 1) AS DOUBLE)
+                       / (CAST(('0x' || substr(u_k, 1, 13)) AS BIGINT)
+                          / 4503599627370496.0) END AS union_est
+      FROM sk
+    )
+    SELECT est.source_a, est.source_b, k, shared_k, union_est,
+           CAST(shared_k AS DOUBLE) / k * union_est AS inter_est,
+           COALESCE(ex.exact_inter, 0) AS exact_inter
+    FROM est LEFT JOIN ex USING (source_a, source_b)
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the mergeability story that makes
+    bottom-k sketches the distributed choice: per-source vocabulary
+    sketches (k=256 smallest md5 hashes, deterministic — q_kmv_distinct's
+    discipline) combine into a union sketch by keeping the k smallest of
+    the concatenation, the union SIZE estimate is (k−1)/u_k, the Jaccard
+    estimate is the shared fraction inside the union sketch, and the
+    intersection estimate is their product — set cardinality algebra on
+    O(k) state per source instead of a full distinct count per pair.
+    Exact intersections ride along for error inspection. Hex prefix of
+    13 chars = 52 bits, exact in a double; lexicographic order on
+    fixed-width hex IS numeric order. Plan: one distinct + per-source
+    top-k (WindowGroupLimit), then all pair algebra on ≤ sources·k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    ).distinct()
+    hashed = terms.select("source", "term", F.md5("term").alias("h"))
+    wk = Window.partitionBy("source").orderBy("h")
+    topk = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 256)
+        .select("source", "h")
+    )
+    srcs = docs.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    unioned = (
+        prs.join(
+            topk,
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            (
+                F.max(F.when(F.col("source") == F.col("source_a"), 1).otherwise(0))
+                + F.max(F.when(F.col("source") == F.col("source_b"), 1).otherwise(0))
+            )
+            .cast("int")
+            .alias("sides")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source_a", "source_b").orderBy("h")
+            ),
+        )
+    )
+    sk = (
+        unioned.filter(F.col("rn") <= 256)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.when(F.col("sides") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("shared_k"),
+            F.max(F.when(F.col("rn") == 256, F.col("h"))).alias("u_k"),
+        )
+    )
+    ta = terms.select(F.col("source").alias("source_a"), "term")
+    tb = terms.select(F.col("source").alias("source_b"), "term")
+    ex = (
+        ta.join(tb, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    u_frac = F.conv(F.substring("u_k", 1, 13), 16, 10).cast("double") / F.lit(
+        4503599627370496.0
+    )
+    # non-full sketch (|A∪B| < k) is EXACT by the KMV convention
+    union_est = F.when(F.col("k") < 256, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") / u_frac
+    )
+    return sk.join(ex, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "k",
+        "shared_k",
+        union_est.alias("union_est"),
+        (F.col("shared_k").cast("double") / F.col("k") * union_est).alias(
+            "inter_est"
+        ),
+        F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+    )
+
+
+@_q(
+    "q_uplift_deciles",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(count(*) FILTER (WHERE day(ts) <= 15) AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+                           THEN 1 ELSE 0 END) AS INTEGER) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM u
+    )
+    SELECT CAST((rn - 1) * 10 // n + 1 AS INTEGER) AS decile,
+           CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_t,
+           CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_c,
+           CAST(SUM(conv) FILTER (WHERE grp = 1) AS BIGINT) AS conv_t,
+           CAST(SUM(conv) FILTER (WHERE grp = 0) AS BIGINT) AS conv_c,
+           CAST(SUM(conv) FILTER (WHERE grp = 1) AS DOUBLE)
+             / count(*) FILTER (WHERE grp = 1)
+             - CAST(SUM(conv) FILTER (WHERE grp = 0) AS DOUBLE)
+               / count(*) FILTER (WHERE grp = 0) AS uplift
+    FROM rk GROUP BY 1
+    """,
+)
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile (the Qini/uplift-model evaluation table): users
+    ranked by a pre-period activity score into 10 equal-count bins shared
+    by both arms, then per decile the treated-minus-control conversion
+    rate — where the incremental effect concentrates. Deciles are
+    rank-based ((rn−1)·10 div n, total-order tie-break), counts are
+    integers, and the uplift is two divisions subtracted in one fixed
+    expression. Plan: one aggregate to user grain, one global rank
+    (single-shuffle, same as any percentile pass), one decile aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.count(F.when(F.dayofmonth("ts") <= 15, 1)).cast("long").alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.dayofmonth("ts") > 15), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    rk = u.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    t = F.col("grp") == 1
+    return (
+        rk.groupBy(F.expr("((rn - 1) * 10) div n + 1").cast("int").alias("decile"))
+        .agg(
+            F.count(F.when(t, 1)).cast("long").alias("n_t"),
+            F.count(F.when(~t, 1)).cast("long").alias("n_c"),
+            F.sum(F.when(t, F.col("conv"))).cast("long").alias("conv_t"),
+            F.sum(F.when(~t, F.col("conv"))).cast("long").alias("conv_c"),
+        )
+        .select(
+            "decile",
+            "n_t",
+            "n_c",
+            "conv_t",
+            "conv_c",
+            (
+                F.col("conv_t").cast("double") / F.col("n_t")
+                - F.col("conv_c").cast("double") / F.col("n_c")
+            ).alias("uplift"),
+        )
+    )
+
+
+@_q(
+    "q_two_proportion_ztest",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 100
+                           THEN 1 ELSE 0 END) AS INTEGER) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n1,
+        CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n0,
+        CAST(SUM(conv) FILTER (WHERE grp = 1) AS BIGINT) AS x1,
+        CAST(SUM(conv) FILTER (WHERE grp = 0) AS BIGINT) AS x0
+      FROM u
+    )
+    SELECT n1, n0, x1, x0,
+           CAST(x1 AS DOUBLE) / n1 AS p1,
+           CAST(x0 AS DOUBLE) / n0 AS p0,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             / sqrt(CAST(x1 + x0 AS DOUBLE) / (n1 + n0)
+                    * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                    * (1.0 / n1 + 1.0 / n0)) AS z
+    FROM g
+    """,
+)
+def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-level big-purchase conversion (the categorical
+    sibling of q_ab_welch_ttest): pooled-variance z statistic from four
+    integer counts — the A/B arithmetic for binary outcomes, where the
+    naive per-event rate would double-count multi-purchase users (hence
+    the user-grain MAX first). Every input to the z expression is an
+    exact integer; the statistic is one fixed scalar IEEE expression.
+    Plan: one aggregate to user grain, one conditional aggregate to a
+    single row."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 100), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    t = F.col("grp") == 1
+    g = u.agg(
+        F.count(F.when(t, 1)).cast("long").alias("n1"),
+        F.count(F.when(~t, 1)).cast("long").alias("n0"),
+        F.sum(F.when(t, F.col("conv"))).cast("long").alias("x1"),
+        F.sum(F.when(~t, F.col("conv"))).cast("long").alias("x0"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")).cast("double") / (F.col("n1") + F.col("n0"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n0"))
+    )
+    return g.select(
+        "n1", "n0", "x1", "x0", p1.alias("p1"), p0.alias("p0"), z.alias("z")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -21066,6 +21468,8 @@ _CHECK_PRIORITY = [
     "q_term_pmi",
     "q_cuped", "q_mde_power", "q_quantile_treatment_effect",
     "q_post_stratified_ate",
+    "q_shapley_attribution", "q_kmv_set_ops", "q_uplift_deciles",
+    "q_two_proportion_ztest",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
