@@ -902,6 +902,111 @@ def main() -> int:
         )
     )
 
+    # --- round-5 batches 98-100 ---
+    p = plan("q_diff_in_diff")
+    checks.append(
+        (
+            "q_diff_in_diff all 2x2 cells in ONE pass: zero hash shuffles, one partial+final to a single row",
+            "partial" in p.lower()
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 0
+            and p.count("Exchange SinglePartition") == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_ratio_delta_method")
+    checks.append(
+        (
+            "q_ratio_delta_method two aggregates only (unit exchange + group exchange)",
+            len(re.findall(r"Exchange hashpartitioning", p)) <= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_neyman_allocation")
+    checks.append(
+        (
+            "q_neyman_allocation scalar weight total broadcast, no cartesian",
+            "BroadcastNestedLoop" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_term_pmi")
+    checks.append(
+        (
+            "q_term_pmi capped vocab probes via BroadcastHashJoin, no cartesian",
+            "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = final_plan("q_cuped")
+    checks.append(
+        (
+            "q_cuped unit-aggregate subtree computed ONCE at runtime (ReusedExchange)",
+            p.count("ReusedExchange") >= 1,
+            p[:300],
+        )
+    )
+    p = plan("q_mde_power")
+    checks.append(
+        (
+            "q_mde_power one partial+final aggregate, single exchange",
+            "partial" in p.lower()
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_quantile_treatment_effect")
+    checks.append(
+        (
+            "q_quantile_treatment_effect 4-row p-grid broadcast, no cartesian, map-side value collapse",
+            "BroadcastNestedLoop" in p
+            and "CartesianProduct" not in p
+            and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_post_stratified_ate")
+    checks.append(
+        (
+            "q_post_stratified_ate one fact scan: cells aggregate + strata fold only",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 2,
+            p[:300],
+        )
+    )
+    p = final_plan("q_shapley_attribution")
+    checks.append(
+        (
+            "q_shapley_attribution per-user mask subtree reused at runtime; lattice joins broadcast",
+            p.count("ReusedExchange") >= 1 and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_kmv_set_ops")
+    checks.append(
+        (
+            "q_kmv_set_ops per-source bottom-k via WindowGroupLimit, no cartesian",
+            "WindowGroupLimit" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_uplift_deciles")
+    checks.append(
+        (
+            "q_uplift_deciles one unit aggregate + one global rank (single user exchange)",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 1
+            and p.count("Exchange SinglePartition") == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_two_proportion_ztest")
+    checks.append(
+        (
+            "q_two_proportion_ztest user-grain aggregate then one-row reduce (1 hash + 1 single exchange)",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 1
+            and p.count("Exchange SinglePartition") == 1,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
