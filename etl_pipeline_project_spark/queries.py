@@ -19775,6 +19775,41 @@ def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _stream_sentinel_build(sf_dir: str):
+    """Build fn for the sentinel-closed events stream fixture: the events
+    file plus one far-future row per joined side (view + purchase), so
+    watermarks advance past every real row and outer/append streaming
+    state flushes before availableNow terminates. Shared by
+    q_stream_stream_left_join and q_stream_window_append."""
+    import datetime
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+        schema = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow
+        far = datetime.datetime(2024, 12, 31)
+        for i, etype in enumerate(("view", "purchase")):
+            sent = pa.table(
+                {
+                    "event_id": pa.array([-1 - i], type=schema.field("event_id").type),
+                    "ts": pa.array([far], type=schema.field("ts").type),
+                    "user_id": pa.array([-1], type=schema.field("user_id").type),
+                    "event_type": pa.array([etype], type=schema.field("event_type").type),
+                    "value": pa.array([0.0], type=schema.field("value").type),
+                    "props": pa.array(["{}"], type=schema.field("props").type),
+                },
+                schema=schema,
+            )
+            pq.write_table(sent, f"{tmp}/events.sentinel{i}.parquet")
+
+    return _build
+
+
 @_q(
     "q_stream_stream_left_join",
     """
@@ -19806,40 +19841,14 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     final table equals the batch LEFT JOIN exactly — hence the full
     oracle. State stays bounded by watermark × horizon per key at any
     scale; sentinels are filtered from the output."""
-    import datetime
-    import os
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from etl_pipeline_project_spark.streaming.ops import (
         read_events_stream,
         run_to_memory,
         stream_stream_attribution,
     )
 
-    def _build(tmp: str) -> None:
-        os.makedirs(tmp, exist_ok=True)
-        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
-        schema = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow
-        far = datetime.datetime(2024, 12, 31)
-        for i, etype in enumerate(("view", "purchase")):
-            sent = pa.table(
-                {
-                    "event_id": pa.array([-1 - i], type=schema.field("event_id").type),
-                    "ts": pa.array([far], type=schema.field("ts").type),
-                    "user_id": pa.array([-1], type=schema.field("user_id").type),
-                    "event_type": pa.array([etype], type=schema.field("event_type").type),
-                    "value": pa.array([0.0], type=schema.field("value").type),
-                    "props": pa.array(["{}"], type=schema.field("props").type),
-                },
-                schema=schema,
-            )
-            pq.write_table(sent, f"{tmp}/events.sentinel{i}.parquet")
-
     stage = _staged_fixture(
-        "stream_leftjoin", _fp_tag(sf_dir, "events"), _build
+        "stream_leftjoin", _fp_tag(sf_dir, "events"), _stream_sentinel_build(sf_dir)
     )
     ev = read_events_stream(spark, stage)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -21439,6 +21448,279 @@ def q_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 101 — append-mode final windows, SCD Type 3, blocked kNN
+# graph + recall evaluation.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_stream_window_append",
+    """
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600 * 21600 AS window_start_epoch,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed streaming aggregate — each 6-hour tumbling
+    window is emitted EXACTLY ONCE, when the watermark closes it (the
+    production pattern for append-only sinks like parquet, where
+    q_stream_window's complete-mode re-emission would duplicate rows).
+    Finality needs the watermark to pass every real window, so this
+    reuses the far-future sentinel fixture from q_stream_stream_left_join:
+    the sentinel advances the watermark past all of January, the
+    availableNow no-data batch flushes the state store, and the
+    sentinel's OWN window never closes — it is excluded by the semantics
+    themselves, not a filter. Final table = the batch tumbling aggregate
+    exactly. Window starts are emitted as epoch seconds (integer) so the
+    contract carries no timestamp-conversion surface."""
+    from etl_pipeline_project_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    # the left-join fixture (events + 2 far-future sentinel rows) is built
+    # by q_stream_stream_left_join's _build; reuse the same staged dir
+    stage = _staged_fixture(
+        "stream_leftjoin",
+        _fp_tag(sf_dir, "events"),
+        _stream_sentinel_build(sf_dir),
+    )
+    ev = read_events_stream(spark, stage)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        agg = (
+            ev.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        out = run_to_memory(agg, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+        "event_type",
+        "n",
+    )
+
+
+@_q(
+    "q_scd3_dim",
+    """
+    WITH cur AS (
+      SELECT o_custkey, o_orderpriority AS current_priority,
+             o_orderdate AS last_order_date
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    prev AS (
+      SELECT o_custkey, o_orderpriority AS prev_priority FROM (
+        SELECT o.*, ROW_NUMBER() OVER (
+          PARTITION BY o.o_custkey
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM orders o JOIN cur c
+          ON o.o_custkey = c.o_custkey
+         AND o.o_orderpriority <> c.current_priority
+      ) WHERE rn = 1
+    ),
+    n AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+    SELECT cur.o_custkey, current_priority, prev.prev_priority,
+           n_orders, last_order_date
+    FROM cur LEFT JOIN prev ON cur.o_custkey = prev.o_custkey
+    JOIN n ON cur.o_custkey = n.o_custkey
+    """,
+)
+def q_scd3_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 3 dimension build — current value plus ONE previous-value
+    column (the limited-history alternative to Type 2's full row
+    versioning, used when only \"what changed most recently\" matters):
+    per customer, the latest order priority, the most recent DIFFERENT
+    priority before it (NULL for never-changed customers), order count
+    and last activity. Both argmaxes use total-order tie-breaks
+    (o_orderdate, o_orderkey). Plan: the current/previous/count branches
+    all hash on o_custkey — one logical key partitioning reused across
+    the joins, WindowGroupLimit prunes each argmax."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    cur = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("current_priority"),
+            F.col("o_orderdate").alias("last_order_date"),
+        )
+    )
+    prev = (
+        orders.join(cur, "o_custkey")
+        .filter(F.col("o_orderpriority") != F.col("current_priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderpriority").alias("prev_priority"))
+    )
+    n = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        cur.join(prev, "o_custkey", "left")
+        .join(n, "o_custkey")
+        .select(
+            "o_custkey",
+            "current_priority",
+            "prev_priority",
+            "n_orders",
+            "last_order_date",
+        )
+    )
+
+
+@_q(
+    "q_knn_graph_blocked",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id, b.vec_id AS nid, a.label,
+             {_DOT_SQL.format(a='a.embedding', b='b.embedding')} AS score
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nid, label, score,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY score DESC, nid) AS INTEGER) AS rank
+    FROM p QUALIFY rank <= 3
+    """,
+)
+def q_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction (k=3) with label blocking — the
+    all-vectors-need-neighbors problem (dedup clustering, graph-based
+    retrieval indexes like HNSW take this as input), which brute force
+    solves in O(n²) full-corpus pairs. Blocking on the coarse label
+    bounds the pair explosion to Σ bucket², the same candidate-generation
+    shape as q_dedup_minhash_lsh — the 100 TB plan swaps the given label
+    for an IVF/LSH bucket (q_ann_ivf) with identical dataflow; the
+    recall cost of blocking is measured honestly by q_knn_recall_eval.
+    Dot products (unit-norm ⇒ cosine) fold element-wise in index order —
+    the q_ann_bruteforce determinism discipline. Plan: one self-join
+    co-partitioned on label, per-vector argmax WindowGroupLimit-pruned."""
+    from etl_pipeline_project_spark.operators.similarity import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label", "embedding")
+    b = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("nid")))
+        .select(
+            "vec_id",
+            "nid",
+            "label",
+            dot_product("embedding", "emb_b").alias("score"),
+        )
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "nid")
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "nid", "label", "score", "rank")
+    )
+
+
+@_q(
+    "q_knn_recall_eval",
+    f"""
+    WITH probes AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20),
+    exact AS (
+      SELECT vec_id, nid FROM (
+        SELECT p.vec_id, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) DESC, e.vec_id) AS rn
+        FROM probes p JOIN embeddings e ON e.vec_id <> p.vec_id
+      ) WHERE rn <= 3
+    ),
+    blocked AS (
+      SELECT vec_id, nid FROM (
+        SELECT p.vec_id, e.vec_id AS nid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(p.embedding, e.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) DESC, e.vec_id) AS rn
+        FROM probes p JOIN embeddings e
+          ON e.label = p.label AND e.vec_id <> p.vec_id
+      ) WHERE rn <= 3
+    )
+    SELECT exact.vec_id,
+           CAST(count(*) FILTER (WHERE blocked.nid IS NOT NULL) AS BIGINT) AS hits,
+           CAST(count(*) FILTER (WHERE blocked.nid IS NOT NULL) AS DOUBLE) / 3
+             AS recall_at_3
+    FROM exact LEFT JOIN blocked USING (vec_id, nid)
+    GROUP BY 1
+    """,
+)
+def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of label-blocked kNN against exact brute force, per probe
+    (20 deterministic probes) — the honesty metric every blocked/ANN
+    index owes its users: how many of the TRUE top-3 does the cheap
+    candidate set keep? Both rankings share the exact fold-order dot
+    product and total-order tie-breaks, so the recall is a pure integer
+    intersection count with one final division. Plan: probes broadcast
+    twice (full corpus scan for truth, label-pruned scan for the index
+    side), two WindowGroupLimit top-k passes, one tiny join — the
+    corpus never shuffles."""
+    from etl_pipeline_project_spark.operators.similarity import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("embedding").alias("pvec"),
+    )
+
+    def topk(joined):
+        wr = Window.partitionBy("pid").orderBy(F.col("score").desc(), "nid")
+        return (
+            joined.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= 3)
+            .select(F.col("pid").alias("vec_id"), "nid")
+        )
+
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("nvec"),
+    )
+    exact = topk(
+        F.broadcast(probes)
+        .join(corpus, F.col("nid") != F.col("pid"))
+        .select("pid", "nid", dot_product("pvec", "nvec").alias("score"))
+    )
+    blocked = topk(
+        F.broadcast(probes)
+        .join(
+            corpus,
+            (F.col("nlabel") == F.col("plabel")) & (F.col("nid") != F.col("pid")),
+        )
+        .select("pid", "nid", dot_product("pvec", "nvec").alias("score"))
+    )
+    hit = blocked.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["vec_id", "nid"], "left")
+        .groupBy("vec_id")
+        .agg(F.count("hit").cast("long").alias("hits"))
+        .select(
+            "vec_id",
+            "hits",
+            (F.col("hits").cast("double") / 3).alias("recall_at_3"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -21470,6 +21752,8 @@ _CHECK_PRIORITY = [
     "q_post_stratified_ate",
     "q_shapley_attribution", "q_kmv_set_ops", "q_uplift_deciles",
     "q_two_proportion_ztest",
+    "q_stream_window_append", "q_scd3_dim", "q_knn_graph_blocked",
+    "q_knn_recall_eval",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
