@@ -21721,6 +21721,279 @@ def q_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 102 — incremental join-view maintenance, deletion-vector
+# merge-on-read, bootstrap difference CI, watermark sensitivity sweep.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_incr_join_maintenance",
+    """
+    WITH base_o AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+    delta_o AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+    base_l AS (SELECT * FROM lineitem WHERE l_suppkey % 7 <> 0),
+    delta_l AS (SELECT * FROM lineitem WHERE l_suppkey % 7 = 0),
+    incr AS (
+      SELECT o.o_orderkey, l.l_partkey, l.l_suppkey, 'delta_o' AS via
+      FROM delta_o o JOIN base_l l ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT o.o_orderkey, l.l_partkey, l.l_suppkey, 'delta_l' AS via
+      FROM base_o o JOIN delta_l l ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT o.o_orderkey, l.l_partkey, l.l_suppkey, 'delta_both' AS via
+      FROM delta_o o JOIN delta_l l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT via, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+           CAST(SUM(l_partkey * 31 + l_suppkey) AS BIGINT) AS checksum
+    FROM incr GROUP BY 1
+    """,
+)
+def q_incr_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — the delta-rule algebra behind
+    every materialized join view: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB,
+    so a view over 100 TB refreshes by joining only the delta against
+    the base (plus the tiny delta×delta term), never recomputing the
+    full join. Deltas are deterministic key-mod slices; the output is the
+    per-term row census with integer checksums, and the pytest asserts
+    the three terms together equal exactly FULL_JOIN − BASE_JOIN. Plan:
+    three key-equi joins sharing the o_orderkey/l_orderkey partitioning;
+    the delta sides are small by construction, so AQE broadcasts them —
+    the refresh cost tracks the delta, not the base."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base_o = orders.filter(F.col("o_orderkey") % 10 != 0)
+    delta_o = orders.filter(F.col("o_orderkey") % 10 == 0)
+    base_l = li.filter(F.col("l_suppkey") % 7 != 0)
+    delta_l = li.filter(F.col("l_suppkey") % 7 == 0)
+
+    def term(o, l, tag):
+        return o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            "o_orderkey", "l_partkey", "l_suppkey", F.lit(tag).alias("via")
+        )
+
+    incr = (
+        term(delta_o, base_l, "delta_o")
+        .unionAll(term(base_o, delta_l, "delta_l"))
+        .unionAll(term(delta_o, delta_l, "delta_both"))
+    )
+    return incr.groupBy("via").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_okey"),
+        F.sum(F.col("l_partkey") * 31 + F.col("l_suppkey"))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+@_q(
+    "q_delete_vectors_apply",
+    """
+    WITH filed AS (
+      SELECT *, CAST(o_orderkey // 1000 AS BIGINT) AS file_id FROM orders
+    ),
+    dv AS (
+      SELECT o_orderkey FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 20 = 0
+    )
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(dv.o_orderkey) AS BIGINT) AS n_deleted,
+           CAST(count(*) - count(dv.o_orderkey) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN dv.o_orderkey IS NULL THEN filed.o_orderkey END)
+                AS BIGINT) AS live_key_sum,
+           count(dv.o_orderkey) * 5 >= count(*) AS rewrite_candidate
+    FROM filed LEFT JOIN dv ON filed.o_orderkey = dv.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_delete_vectors_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector MERGE-ON-READ — the lakehouse delete mechanic
+    (Delta deletion vectors / Iceberg position deletes): deletes are a
+    side table of tombstoned keys, reads apply them with an anti-join
+    instead of rewriting data files, and files whose tombstone fraction
+    crosses a threshold (≥20% here) are flagged for compaction rewrite.
+    Files are modeled as 1000-key ranges; the tombstone set is an
+    md5-selected deterministic ~5%. The output is the per-file
+    live/deleted census with a live-key checksum — exactly the manifest
+    a MOR reader consults. Plan: one broadcast-able LEFT join (the
+    delete vector is ~5% of keys and bounded per file) + one aggregate;
+    at 100 TB this is why deletes cost O(Δ), not O(table)."""
+    orders = load_table(spark, sf_dir, "orders")
+    filed = orders.select(
+        "o_orderkey", F.expr("o_orderkey div 1000").alias("file_id")
+    )
+    dv = orders.select("o_orderkey").filter(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 20
+        == 0
+    ).select(F.col("o_orderkey").alias("del_key"))
+    joined = filed.join(
+        dv, F.col("o_orderkey") == F.col("del_key"), "left"
+    )
+    return joined.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("del_key").cast("long").alias("n_deleted"),
+        (F.count(F.lit(1)) - F.count("del_key")).cast("long").alias("n_live"),
+        F.sum(F.when(F.col("del_key").isNull(), F.col("o_orderkey")))
+        .cast("long")
+        .alias("live_key_sum"),
+        (F.count("del_key") * 5 >= F.count(F.lit(1))).alias("rewrite_candidate"),
+    )
+
+
+@_q(
+    "q_bootstrap_diff_ci",
+    """
+    WITH grid AS (SELECT UNNEST(range(32)) AS b),
+    draws AS (
+      SELECT b, CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS v_micro,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) < 1580030168 THEN 0
+                  WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) < 3160060337 THEN 1
+                  WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                    || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) < 3950075421 THEN 2
+                  ELSE 3 END AS c
+      FROM events CROSS JOIN grid WHERE value IS NOT NULL
+    ),
+    rep AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN grp = 1 THEN c * v_micro END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN grp = 1 THEN c END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 0 THEN c * v_micro END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN grp = 0 THEN c END) AS BIGINT) AS n0
+      FROM draws GROUP BY 1
+    ),
+    d AS (
+      SELECT b, CAST(s1 AS DOUBLE) / n1 / 1000000
+                - CAST(s0 AS DOUBLE) / n0 / 1000000 AS diff
+      FROM rep
+    )
+    SELECT CAST(b AS INTEGER) AS replica, diff,
+           CAST(ROW_NUMBER() OVER (ORDER BY diff, b) AS INTEGER) AS diff_rank
+    FROM d
+    """,
+)
+def q_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap distribution of the TREATMENT-MINUS-CONTROL mean
+    difference — the resampled CI experimenters actually report (the
+    2nd/31st ranked replicas of 32 bracket a ~94% interval): each
+    replica draws every event Poisson(1) times (md5-uniform against the
+    hard-coded integer CDF thresholds, truncated at 3 — q_poisson_
+    bootstrap's discipline), computes both arm means from integer-micro
+    sums, and emits the difference with its rank. Determinism: integer
+    draws, integer sums, two divisions and a subtraction in one fixed
+    expression, rank tie-broken by replica. Plan: map-side 32× fan-out
+    inside the scan stage, ONE partial/final aggregate to 32 rows, an
+    O(32) rank window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grid = spark.range(32).select(F.col("id").cast("int").alias("b"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    c = (
+        F.when(u < 1580030168, 0)
+        .when(u < 3160060337, 1)
+        .when(u < 3950075421, 2)
+        .otherwise(3)
+    )
+    draws = ev.crossJoin(F.broadcast(grid)).select(
+        "b",
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("v_micro"),
+        c.alias("c"),
+    )
+    t = F.col("grp") == 1
+    rep = draws.groupBy("b").agg(
+        F.sum(F.when(t, F.col("c") * F.col("v_micro"))).cast("long").alias("s1"),
+        F.sum(F.when(t, F.col("c"))).cast("long").alias("n1"),
+        F.sum(F.when(~t, F.col("c") * F.col("v_micro"))).cast("long").alias("s0"),
+        F.sum(F.when(~t, F.col("c"))).cast("long").alias("n0"),
+    )
+    d = rep.select(
+        "b",
+        (
+            F.col("s1").cast("double") / F.col("n1") / F.lit(1000000)
+            - F.col("s0").cast("double") / F.col("n0") / F.lit(1000000)
+        ).alias("diff"),
+    )
+    return d.select(
+        F.col("b").cast("int").alias("replica"),
+        "diff",
+        F.row_number().over(Window.orderBy("diff", "b")).cast("int").alias("diff_rank"),
+    )
+
+
+@_q(
+    "q_watermark_sweep",
+    """
+    WITH arr AS (
+      SELECT event_id, CAST(event_id % 72 AS BIGINT) AS delay_h
+      FROM events
+    ),
+    grid AS (SELECT UNNEST([1, 6, 12, 24, 48, 72]) AS wm_h),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM arr)
+    SELECT CAST(wm_h AS INTEGER) AS wm_h,
+           CAST(count(*) FILTER (WHERE delay_h > wm_h) AS BIGINT) AS dropped,
+           n AS total,
+           CAST(count(*) FILTER (WHERE delay_h > wm_h) * 1000000 // n AS BIGINT)
+             AS dropped_ppm
+    FROM arr CROSS JOIN grid CROSS JOIN tot
+    GROUP BY 1, n
+    """,
+)
+def q_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sensitivity sweep — the table that decides a
+    streaming job's single most consequential knob: for candidate
+    watermark delays {1,6,12,24,48,72}h, how many events would arrive
+    LATER than the delay after their event time and be dropped
+    (completeness), vs how much state the delay holds open (cost).
+    Arrival lag uses the deterministic event_id-mod-72h landing-delay
+    model shared with q_bitemporal_join, so the sweep reproduces
+    bit-exactly. Plan: a 6-row broadcast grid over a map-side lag
+    column, one aggregate — the fact table is scanned once for all six
+    candidate configurations (vs six re-runs of the stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select("event_id", (F.col("event_id") % 72).cast("long").alias("delay_h"))
+    grid = spark.createDataFrame(
+        [(1,), (6,), (12,), (24,), (48,), (72,)], "wm_h int"
+    )
+    tot = arr.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        arr.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("wm_h", "n")
+        .agg(
+            F.count(F.when(F.col("delay_h") > F.col("wm_h"), 1))
+            .cast("long")
+            .alias("dropped")
+        )
+        .select(
+            "wm_h",
+            "dropped",
+            F.col("n").alias("total"),
+            F.expr("dropped * 1000000 div n").cast("long").alias("dropped_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -21754,6 +22027,8 @@ _CHECK_PRIORITY = [
     "q_two_proportion_ztest",
     "q_stream_window_append", "q_scd3_dim", "q_knn_graph_blocked",
     "q_knn_recall_eval",
+    "q_incr_join_maintenance", "q_delete_vectors_apply",
+    "q_bootstrap_diff_ci", "q_watermark_sweep",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
