@@ -21994,6 +21994,283 @@ def q_watermark_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 103 — lagged cross-correlation, Fano dispersion,
+# seasonal-naive forecast backtest, n-gram novelty by arrival order.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l JOIN daily a ON TRUE JOIN daily b ON b.d = a.d + l.lag
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r
+    FROM m
+    """,
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged CROSS-correlation between two event series (clicks leading
+    purchases): Pearson r of (clicks on day d, purchases on day d+L) for
+    L ∈ −3..3 — the lead-lag discovery table behind "does engagement
+    predict revenue, and by how many days". All five moments are exact
+    integer sums over the ~30-row daily table (counts are integers, so
+    unlike q_corr_exact's decimal path nothing needs scaling), and each
+    r is one fixed scalar IEEE expression. Plan: one aggregate collapses
+    the fact table to days; the 7-lag × day self-join and the moment
+    pass run on O(days) rows — corpus-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.createDataFrame([(-3,), (-2,), (-1,), (0,), (1,), (2,), (3,)], "lag int")
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("d2"), "y")
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("d2") == F.col("d") + F.col("lag"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    r = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(F.col("lag").cast("int").alias("lag"), "n", r.alias("r"))
+
+
+@_q(
+    "q_fano_dispersion",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS total,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT user_id, n_days, total,
+           CAST(n_days * sxx - total * total AS BIGINT) AS disp_num,
+           CAST((n_days - 1) * total AS BIGINT) AS disp_den,
+           CAST(n_days * sxx - total * total AS DOUBLE)
+             / ((n_days - 1) * total) AS dispersion,
+           (n_days * sxx - total * total) * 2
+             > (n_days - 1) * total * 3 AS bursty
+    FROM m WHERE n_days >= 2
+    """,
+)
+def q_fano_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean of daily activity) per
+    user — the burstiness statistic bot/spam curation filters key on: a
+    Poisson-like organic user sits near 1, schedulers and scrapers spike
+    far above. Dispersion is carried as an exact integer fraction
+    (n·Σx² − (Σx)²) / ((n−1)·Σx) — numerator and denominator emitted as
+    integers, the double is ONE division, and the bursty flag (>1.5)
+    is a cross-multiplied INTEGER comparison (·2 vs ·3), never a float
+    threshold. Plan: two map-side-combinable aggregates (events→user-day,
+    user-day→user); output is O(users)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxx") - F.col("total") * F.col("total")
+    den = (F.col("n_days") - 1) * F.col("total")
+    return m.filter(F.col("n_days") >= 2).select(
+        "user_id",
+        "n_days",
+        "total",
+        num.cast("long").alias("disp_num"),
+        den.cast("long").alias("disp_den"),
+        (num.cast("double") / den).alias("dispersion"),
+        (num * 2 > den * 3).alias("bursty"),
+    )
+
+
+@_q(
+    "q_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.event_type, a.d, a.x,
+             s.x AS f_seasonal, p.x AS f_naive
+      FROM daily a
+      JOIN daily s ON s.event_type = a.event_type AND s.d = a.d - 7
+      JOIN daily p ON p.event_type = a.event_type AND p.d = a.d - 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(SUM(ABS(x - f_seasonal)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(ABS(x - f_naive)) AS BIGINT) AS sae_naive1,
+           CAST(SUM(ABS(x - f_seasonal)) AS DOUBLE) / SUM(ABS(x - f_naive))
+             AS mase
+    FROM j GROUP BY 1
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: seasonal-naive (ŷ_d = y_{d−7}) vs naive-1
+    (ŷ_d = y_{d−1}) on daily event counts, scored by MASE — the
+    scale-free "is your model better than repeating last week" gate
+    every capacity-planning forecast must clear (MASE < 1 ⇒ weekly
+    seasonality is real signal). Errors are exact integer absolute sums;
+    MASE is ONE division of two integers. Evaluation days are those with
+    both a 7-day and 1-day predecessor — identical join semantics on
+    both engines. Plan: one aggregate to the daily grid, two self-joins
+    and the error pass on O(days·types) rows — the backtest costs
+    nothing at any corpus size once the daily rollup exists."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a = daily
+    s = daily.select(
+        F.col("event_type").alias("et_s"),
+        F.col("d").alias("d_s"),
+        F.col("x").alias("f_seasonal"),
+    )
+    p = daily.select(
+        F.col("event_type").alias("et_p"),
+        F.col("d").alias("d_p"),
+        F.col("x").alias("f_naive"),
+    )
+    j = a.join(
+        s, (F.col("et_s") == F.col("event_type")) & (F.col("d_s") == F.col("d") - 7)
+    ).join(
+        p, (F.col("et_p") == F.col("event_type")) & (F.col("d_p") == F.col("d") - 1)
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("x") - F.col("f_seasonal"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("x") - F.col("f_naive"))).cast("long").alias("sae_naive1"),
+    ).select(
+        "event_type",
+        "n_eval",
+        "sae_seasonal",
+        "sae_naive1",
+        (
+            F.col("sae_seasonal").cast("double") / F.col("sae_naive1")
+        ).alias("mase"),
+    )
+
+
+@_q(
+    "q_ngram_novelty",
+    """
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+      FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+        FROM documents
+      ) WHERE len(w) >= 3
+    ),
+    first_seen AS (
+      SELECT gram, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS novel,
+           CAST(count(*) FILTER (WHERE first_doc = doc_id) * 1000000 // count(*)
+                AS BIGINT) AS novelty_ppm
+    FROM grams JOIN first_seen USING (gram)
+    GROUP BY 1
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY by arrival order: per document, the fraction of its
+    distinct 3-word shingles appearing for the FIRST time in the corpus
+    (arrival = doc_id order) — the curation signal that separates fresh
+    content from recombinations of what the corpus already holds
+    (q_dup_ngram_coverage asks "shared with anyone"; novelty asks "was I
+    first"). First occurrence is an argmin over the inverted index
+    (MIN(doc_id) per shingle — map-side combinable), joined back on the
+    shingle; novelty is an integer ppm. Plan: the standard two-exchange
+    inverted-index shape — explode distinct shingles, aggregate per
+    shingle, join back, aggregate per doc; never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias("w"),
+    )
+    grams = (
+        words.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("gram").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    return (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel",
+            F.expr("novel * 1000000 div n_grams").cast("long").alias("novelty_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -22029,6 +22306,8 @@ _CHECK_PRIORITY = [
     "q_knn_recall_eval",
     "q_incr_join_maintenance", "q_delete_vectors_apply",
     "q_bootstrap_diff_ci", "q_watermark_sweep",
+    "q_cross_correlation", "q_fano_dispersion", "q_forecast_backtest",
+    "q_ngram_novelty",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
