@@ -22271,6 +22271,255 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 104 — offline policy evaluation (IPS/SNIPS), optimistic-
+# concurrency conflict detection, arc elasticity, SLA burn rate.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_offline_policy_eval",
+    """
+    WITH logged AS (
+      SELECT event_type AS ctx,
+             CAST(event_id % 3 AS INTEGER) AS action,
+             CAST(FLOOR(value * 1000000) AS BIGINT) AS r_micro,
+             CAST(CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) % 3
+               AS INTEGER) AS pi_action
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE action = pi_action) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN action = pi_action THEN r_micro END) AS BIGINT)
+             AS matched_reward_micro,
+           CAST(SUM(CASE WHEN action = pi_action THEN r_micro END) AS DOUBLE)
+             * 3 / count(*) / 1000000 AS ips,
+           CAST(SUM(CASE WHEN action = pi_action THEN r_micro END) AS DOUBLE)
+             / count(*) FILTER (WHERE action = pi_action) / 1000000 AS snips,
+           CAST(SUM(r_micro) AS DOUBLE) / count(*) / 1000000 AS logged_mean
+    FROM logged
+    """,
+)
+def q_offline_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline (counterfactual) policy evaluation — IPS and SNIPS, the
+    estimators that let a logged dataset grade a NEW policy without
+    deploying it: behavior logs actions uniformly over 3 arms
+    (propensity 1/3), the target policy picks a deterministic md5-hashed
+    arm per context, and IPS reweights matched rewards by 1/propensity
+    (= ×3) while SNIPS self-normalizes by the matched weight mass (= the
+    matched-reward mean, robust to propensity drift). Rewards are
+    integer micros, both estimators are fixed expressions with division
+    last. Plan: ONE map-side-combinable aggregate over the log — at
+    100 TB of logged interactions this is a single pass, the property
+    that makes offline evaluation viable at all."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    logged = ev.select(
+        (F.col("event_id") % 3).cast("int").alias("action"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("r_micro"),
+        (
+            F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("long") % 3
+        )
+        .cast("int")
+        .alias("pi_action"),
+    )
+    m = F.col("action") == F.col("pi_action")
+    return logged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(m, 1)).cast("long").alias("n_matched"),
+        F.sum(F.when(m, F.col("r_micro"))).cast("long").alias("matched_reward_micro"),
+        F.sum("r_micro").cast("long").alias("total_reward_micro"),
+    ).select(
+        "n",
+        "n_matched",
+        "matched_reward_micro",
+        (
+            F.col("matched_reward_micro").cast("double")
+            * 3
+            / F.col("n")
+            / F.lit(1000000)
+        ).alias("ips"),
+        (
+            F.col("matched_reward_micro").cast("double")
+            / F.col("n_matched")
+            / F.lit(1000000)
+        ).alias("snips"),
+        (
+            F.col("total_reward_micro").cast("double") / F.col("n") / F.lit(1000000)
+        ).alias("logged_mean"),
+    )
+
+
+@_q(
+    "q_occ_conflicts",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 7 = 0
+    ),
+    b AS (
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'b'), 1, 8)) AS BIGINT) % 8 = 0
+    )
+    SELECT COALESCE(a.o_orderpriority, b.o_orderpriority) AS priority,
+           CAST(count(a.o_orderkey) AS BIGINT) AS n_a,
+           CAST(count(b.o_orderkey) AS BIGINT) AS n_b,
+           CAST(count(*) FILTER (WHERE a.o_orderkey IS NOT NULL
+                                   AND b.o_orderkey IS NOT NULL) AS BIGINT)
+             AS n_conflict
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_occ_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency conflict detection — the commit-time check
+    of every snapshot-isolation table format (Delta/Iceberg commit
+    protocol): two concurrent changesets (deterministic md5-selected key
+    sets, ~14% and ~12.5%) are compared; keys BOTH writers touched are
+    the conflicts that force one writer to retry, everything else
+    commits cleanly. Emitted as a per-priority census from one FULL
+    OUTER join on the key. Plan: two filtered scans + one key-equi
+    join + one aggregate — commit validation costs O(changesets), never
+    O(table), which is why optimistic writers scale."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def pick(salt: str, mod: int):
+        col = F.col("o_orderkey").cast("string")
+        if salt:
+            col = F.concat(col, F.lit(salt))
+        return orders.filter(
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % mod == 0
+        ).select("o_orderkey", "o_orderpriority")
+
+    a = pick("", 7).select(
+        F.col("o_orderkey").alias("key_a"), F.col("o_orderpriority").alias("pri_a")
+    )
+    b = pick("b", 8).select(
+        F.col("o_orderkey").alias("key_b"), F.col("o_orderpriority").alias("pri_b")
+    )
+    j = a.join(b, F.col("key_a") == F.col("key_b"), "full_outer")
+    return j.groupBy(
+        F.coalesce("pri_a", "pri_b").alias("priority")
+    ).agg(
+        F.count("key_a").cast("long").alias("n_a"),
+        F.count("key_b").cast("long").alias("n_b"),
+        F.count(F.when(F.col("key_a").isNotNull() & F.col("key_b").isNotNull(), 1))
+        .cast("long")
+        .alias("n_conflict"),
+    )
+
+
+@_q(
+    "q_arc_elasticity",
+    f"""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01')
+               AS BIGINT) AS q1,
+             CAST(count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+               AS BIGINT) AS q2,
+             {_msum6("CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN o_totalprice END")} AS s1,
+             {_msum6("CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN o_totalprice END")} AS s2
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, q1, q2,
+           s1 / q1 AS p1, s2 / q2 AS p2,
+           (CAST(q2 - q1 AS DOUBLE) / (q2 + q1))
+             / ((s2 / q2 - s1 / q1) / (s2 / q2 + s1 / q1)) AS elasticity
+    FROM g
+    """,
+)
+def q_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARC price elasticity of demand (the midpoint formula —
+    symmetric, so period order doesn't flip the sign): per order
+    priority, compare the early era (<1998) with the late era on order
+    volume (quantity proxy) and average order value (price proxy);
+    elasticity = %Δq_midpoint / %Δp_midpoint. Counts are integers,
+    price sums are exact decimals, and the elasticity is one fixed
+    scalar expression — division last. Plan: ONE conditional aggregate
+    pass over orders (both eras in the same scan — no per-period
+    rescan), O(priorities) output."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    early = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(early, 1)).cast("long").alias("q1"),
+        F.count(F.when(~early, 1)).cast("long").alias("q2"),
+        exact_sum(F.when(early, F.col("o_totalprice")), 6).alias("s1"),
+        exact_sum(F.when(~early, F.col("o_totalprice")), 6).alias("s2"),
+    )
+    p1 = F.col("s1") / F.col("q1")
+    p2 = F.col("s2") / F.col("q2")
+    el = ((F.col("q2") - F.col("q1")).cast("double") / (F.col("q2") + F.col("q1"))) / (
+        (p2 - p1) / (p2 + p1)
+    )
+    return g.select(
+        "o_orderpriority", "q1", "q2", p1.alias("p1"), p2.alias("p2"), el.alias("elasticity")
+    )
+
+
+@_q(
+    "q_sla_burn_rate",
+    """
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    w AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE ts > mx - INTERVAL 24 HOUR) AS BIGINT) AS n_24h,
+             CAST(count(*) FILTER (WHERE ts > mx - INTERVAL 24 HOUR AND value < 10)
+               AS BIGINT) AS err_24h,
+             CAST(count(*) FILTER (WHERE ts > mx - INTERVAL 6 HOUR) AS BIGINT) AS n_6h,
+             CAST(count(*) FILTER (WHERE ts > mx - INTERVAL 6 HOUR AND value < 10)
+               AS BIGINT) AS err_6h
+      FROM events, anchor GROUP BY 1
+    )
+    SELECT event_type, n_24h, err_24h, n_6h, err_6h,
+           CAST(err_24h AS DOUBLE) / n_24h / 0.05 AS burn_24h,
+           CAST(err_6h AS DOUBLE) / n_6h / 0.05 AS burn_6h,
+           err_24h * 20 > n_24h * 2 AND err_6h * 20 > n_6h * 2 AS page
+    FROM w WHERE n_6h > 0
+    """,
+)
+def q_sla_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget BURN RATE with multi-window alerting (the SRE
+    workbook pattern): error rate over a long (24h) and a short (6h)
+    window, each divided by the 5% budget; paging requires BOTH windows
+    to burn >2× budget — the long window keeps alerts significant, the
+    short one makes them fast-resetting. Windows anchor on MAX(ts)
+    (deterministic, no wall clock); burn rates are one division each and
+    the page flag is a cross-multiplied INTEGER comparison (err·20 >
+    n·2), never a float threshold. Plan: one broadcast scalar anchor +
+    one conditional-aggregate pass — both windows from a single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    j = ev.crossJoin(F.broadcast(anchor))
+    in24 = F.col("ts") > F.col("mx") - F.expr("INTERVAL 24 HOURS")
+    in6 = F.col("ts") > F.col("mx") - F.expr("INTERVAL 6 HOURS")
+    err = F.col("value") < 10
+    w = j.groupBy("event_type").agg(
+        F.count(F.when(in24, 1)).cast("long").alias("n_24h"),
+        F.count(F.when(in24 & err, 1)).cast("long").alias("err_24h"),
+        F.count(F.when(in6, 1)).cast("long").alias("n_6h"),
+        F.count(F.when(in6 & err, 1)).cast("long").alias("err_6h"),
+    )
+    return w.filter(F.col("n_6h") > 0).select(
+        "event_type",
+        "n_24h",
+        "err_24h",
+        "n_6h",
+        "err_6h",
+        (F.col("err_24h").cast("double") / F.col("n_24h") / F.lit(0.05)).alias(
+            "burn_24h"
+        ),
+        (F.col("err_6h").cast("double") / F.col("n_6h") / F.lit(0.05)).alias(
+            "burn_6h"
+        ),
+        (
+            (F.col("err_24h") * 20 > F.col("n_24h") * 2)
+            & (F.col("err_6h") * 20 > F.col("n_6h") * 2)
+        ).alias("page"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -22308,6 +22557,8 @@ _CHECK_PRIORITY = [
     "q_bootstrap_diff_ci", "q_watermark_sweep",
     "q_cross_correlation", "q_fano_dispersion", "q_forecast_backtest",
     "q_ngram_novelty",
+    "q_offline_policy_eval", "q_occ_conflicts", "q_arc_elasticity",
+    "q_sla_burn_rate",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
