@@ -1007,6 +1007,123 @@ def main() -> int:
         )
     )
 
+    # --- round-5 batches 101-104 ---
+    p = plan("q_scd3_dim")
+    checks.append(
+        (
+            "q_scd3_dim argmaxes WindowGroupLimit-pruned, joins broadcast or co-keyed, no cartesian",
+            "WindowGroupLimit" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_knn_graph_blocked")
+    checks.append(
+        (
+            "q_knn_graph_blocked one label-keyed pair stage; per-vector top-k WindowGroupLimit-pruned",
+            "WindowGroupLimit" in p
+            and "CartesianProduct" not in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) <= 2,
+            p[:300],
+        )
+    )
+    p = plan("q_knn_recall_eval")
+    checks.append(
+        (
+            "q_knn_recall_eval probes broadcast (corpus never shuffles for scoring), top-k pruned",
+            "BroadcastHashJoin" in p
+            and "WindowGroupLimit" in p
+            and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_incr_join_maintenance")
+    checks.append(
+        (
+            "q_incr_join_maintenance small delta sides broadcast; one partial+final census",
+            "BroadcastHashJoin" in p and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_delete_vectors_apply")
+    checks.append(
+        (
+            "q_delete_vectors_apply tombstone side broadcast into the scan stage",
+            "BroadcastHashJoin" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_bootstrap_diff_ci")
+    checks.append(
+        (
+            "q_bootstrap_diff_ci replica fan-out broadcast inside the scan; one partial+final to 32 rows",
+            "BroadcastNestedLoop" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_watermark_sweep")
+    checks.append(
+        (
+            "q_watermark_sweep six candidate delays from ONE scan via broadcast grid",
+            "BroadcastNestedLoop" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_cross_correlation")
+    checks.append(
+        (
+            "q_cross_correlation fact collapses to days first; lag algebra on the rollup only",
+            "partial" in p.lower() and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_fano_dispersion")
+    checks.append(
+        (
+            "q_fano_dispersion two map-side-combinable aggregates, nothing else",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 2
+            and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_ngram_novelty")
+    checks.append(
+        (
+            "q_ngram_novelty inverted-index shape (shingle agg + join-back), never doc×doc",
+            "CartesianProduct" not in p and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_offline_policy_eval")
+    checks.append(
+        (
+            "q_offline_policy_eval ONE pass: zero hash shuffles, single one-row reduce",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 0
+            and p.count("Exchange SinglePartition") == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_arc_elasticity")
+    checks.append(
+        (
+            "q_arc_elasticity both eras in one conditional-aggregate scan (single exchange)",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 1
+            and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_sla_burn_rate")
+    checks.append(
+        (
+            "q_sla_burn_rate both windows from one scan; anchor broadcast",
+            "BroadcastNestedLoop" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
