@@ -22520,6 +22520,297 @@ def q_sla_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 105 — relational division, Allen interval relations,
+# cents-digit bias forensics, rank-biased overlap.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_relational_division",
+    """
+    WITH need AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+    have AS (SELECT DISTINCT o_custkey, o_orderpriority AS p FROM orders),
+    divided AS (
+      SELECT o_custkey
+      FROM have GROUP BY 1
+      HAVING count(*) = (SELECT count(*) FROM need)
+    )
+    SELECT d.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities
+    FROM divided d JOIN orders o ON o.o_custkey = d.o_custkey
+    GROUP BY 1
+    """,
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION (Codd's ÷, the textbook operator SQL never
+    got a keyword for): customers who have placed orders under ALL
+    order priorities — "suppliers who supply every part" in its classic
+    phrasing. Implemented the scale-right way: distinct (customer,
+    priority) pairs collapse map-side, a per-customer distinct count is
+    compared to the divisor's cardinality (a broadcast scalar) — never
+    the double-NOT-EXISTS correlated form, which rescans per candidate.
+    Divisor cardinality is data-derived, so the query adapts if a
+    priority disappears upstream. Plan: two map-side-combinable
+    aggregates + one scalar subquery + one join back for the census."""
+    orders = load_table(spark, sf_dir, "orders")
+    need = orders.select("o_orderpriority").distinct().count()
+    have = orders.select("o_custkey", "o_orderpriority").distinct()
+    divided = (
+        have.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") == need)
+        .select("o_custkey")
+    )
+    return (
+        divided.join(orders, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+        )
+    )
+
+
+@_q(
+    "q_allen_relations",
+    """
+    WITH spans AS (
+      SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    ab AS (
+      SELECT a.user_id, a.s AS as_, a.e AS ae, b.s AS bs, b.e AS be
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+    ),
+    rel AS (
+      SELECT user_id,
+             CASE WHEN ae < bs THEN 'before'
+                  WHEN be < as_ THEN 'after'
+                  WHEN ae = bs THEN 'meets'
+                  WHEN be = as_ THEN 'met_by'
+                  WHEN as_ = bs AND ae = be THEN 'equals'
+                  WHEN as_ = bs AND ae < be THEN 'starts'
+                  WHEN as_ = bs AND ae > be THEN 'started_by'
+                  WHEN ae = be AND as_ > bs THEN 'finishes'
+                  WHEN ae = be AND as_ < bs THEN 'finished_by'
+                  WHEN as_ > bs AND ae < be THEN 'during'
+                  WHEN as_ < bs AND ae > be THEN 'contains'
+                  WHEN as_ < bs AND ae < be THEN 'overlaps'
+                  ELSE 'overlapped_by' END AS relation
+      FROM ab
+    )
+    SELECT relation, CAST(count(*) AS BIGINT) AS n_users
+    FROM rel GROUP BY 1
+    """,
+)
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA census (Allen 1983 — the 13 exhaustive,
+    mutually exclusive relations between two intervals): per user,
+    classify how the click-activity span relates to the purchase-
+    activity span (before/meets/overlaps/starts/during/finishes/equals
+    + inverses) and count users per relation — the temporal-reasoning
+    vocabulary behind overlap joins, conflict detection and timeline
+    QA, reduced to ONE deterministic CASE chain evaluated identically
+    on both engines (order of WHEN arms IS the tie-break). Plan: one
+    aggregate to per-user spans, a per-user 1×1 join, a 13-ary map-side
+    CASE, and an O(13) census."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a = spans.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("s").alias("as_"), F.col("e").alias("ae")
+    )
+    b = spans.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid_b"),
+        F.col("s").alias("bs"),
+        F.col("e").alias("be"),
+    )
+    ab = a.join(b, F.col("user_id") == F.col("uid_b"))
+    rel = (
+        F.when(F.col("ae") < F.col("bs"), "before")
+        .when(F.col("be") < F.col("as_"), "after")
+        .when(F.col("ae") == F.col("bs"), "meets")
+        .when(F.col("be") == F.col("as_"), "met_by")
+        .when((F.col("as_") == F.col("bs")) & (F.col("ae") == F.col("be")), "equals")
+        .when((F.col("as_") == F.col("bs")) & (F.col("ae") < F.col("be")), "starts")
+        .when(
+            (F.col("as_") == F.col("bs")) & (F.col("ae") > F.col("be")), "started_by"
+        )
+        .when((F.col("ae") == F.col("be")) & (F.col("as_") > F.col("bs")), "finishes")
+        .when(
+            (F.col("ae") == F.col("be")) & (F.col("as_") < F.col("bs")), "finished_by"
+        )
+        .when((F.col("as_") > F.col("bs")) & (F.col("ae") < F.col("be")), "during")
+        .when((F.col("as_") < F.col("bs")) & (F.col("ae") > F.col("be")), "contains")
+        .when((F.col("as_") < F.col("bs")) & (F.col("ae") < F.col("be")), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        ab.select("user_id", rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@_q(
+    "q_cents_digit_bias",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 100 AS INTEGER)
+               AS cents
+      FROM orders
+    ),
+    census AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM census)
+    SELECT cents, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+           n * 10000 > total * 150 AS overrepresented
+    FROM census, tot
+    """,
+)
+def q_cents_digit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cents-digit bias census — the forensic-accounting companion to
+    q_benford_digits: humans inventing numbers over-pick round and
+    "psychological" endings (.00, .99, .50), so the last-two-digit
+    distribution of amounts flags fabricated or price-pointed
+    populations (uniform expectation: 1% per ending; the flag marks
+    endings above 1.5%, compared as integers n·10000 > total·150).
+    Cents come from ROUND(price·100) — the same decimal discipline as
+    the money helpers — and shares are integer ppm. Plan: one map-side
+    mod + one aggregate + a broadcast scalar total; ≤100 output rows at
+    any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") % 100)
+        .cast("int")
+        .alias("cents")
+    )
+    census = c.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = census.agg(F.sum("n").cast("long").alias("total"))
+    return census.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n",
+        F.expr("n * 1000000 div total").cast("long").alias("share_ppm"),
+        (F.col("n") * 10000 > F.col("total") * 150).alias("overrepresented"),
+    )
+
+
+@_q(
+    "q_rank_biased_overlap",
+    """
+    WITH ra AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+        AS INTEGER) AS r FROM documents QUALIFY r <= 10
+    ),
+    rb AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY nw DESC, doc_id)
+        AS INTEGER) AS r
+      FROM (
+        SELECT doc_id,
+               len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS nw
+        FROM documents
+      ) QUALIFY r <= 10
+    ),
+    common AS (
+      SELECT GREATEST(ra.r, rb.r) AS m
+      FROM ra JOIN rb USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           CAST(COALESCE(SUM(CASE m
+             WHEN 1 THEN 5932493265528 WHEN 2 THEN 3412493265528
+             WHEN 3 THEN 2278493265528 WHEN 4 THEN 1598093265528
+             WHEN 5 THEN 1138823265528 WHEN 6 THEN 808148865528
+             WHEN 7 THEN 560143065528 WHEN 8 THEN 368824305528
+             WHEN 9 THEN 218160782028 ELSE 97629963228 END), 0) AS BIGINT)
+             AS rbo_num,
+           CAST(25200000000000 AS BIGINT) AS rbo_den,
+           CAST(COALESCE(SUM(CASE m
+             WHEN 1 THEN 5932493265528 WHEN 2 THEN 3412493265528
+             WHEN 3 THEN 2278493265528 WHEN 4 THEN 1598093265528
+             WHEN 5 THEN 1138823265528 WHEN 6 THEN 808148865528
+             WHEN 7 THEN 560143065528 WHEN 8 THEN 368824305528
+             WHEN 9 THEN 218160782028 ELSE 97629963228 END), 0) AS DOUBLE)
+             / 25200000000000 AS rbo
+    FROM common
+    """,
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber/Moffat/Zobel, TOIS 2010) between two
+    top-10 rankings — the top-weighted ranking-similarity metric for
+    comparing retrieval systems (here: longest-docs vs richest-
+    vocabulary rankings): RBO@10, p=0.9 = (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d.
+    Made EXACT: a doc in both lists joins the intersection at depth
+    m = max(r_A, r_B) and contributes the suffix sum Σ_{d≥m} w_d, where
+    w_d = 9^(d−1)·10^(9−(d−1))·(2520/d) are PRE-REDUCED integer weights
+    over the common denominator 10·10⁹·2520 — so RBO is an exact integer
+    fraction with ONE final division, no floating powers of p anywhere.
+    Plan: two TakeOrdered top-10s + a ≤10-row join; corpus scanned once
+    per ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    ra = (
+        docs.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+            .cast("int")
+            .alias("r"),
+        )
+        .filter(F.col("r") <= 10)
+        .withColumnRenamed("r", "ra")
+    )
+    rb = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.array_distinct(
+                    F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                )
+            ).alias("nw"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("nw").desc(), "doc_id"))
+            .cast("int")
+            .alias("rb"),
+        )
+        .filter(F.col("rb") <= 10)
+    )
+    suffix = (
+        F.when(F.col("m") == 1, 5932493265528)
+        .when(F.col("m") == 2, 3412493265528)
+        .when(F.col("m") == 3, 2278493265528)
+        .when(F.col("m") == 4, 1598093265528)
+        .when(F.col("m") == 5, 1138823265528)
+        .when(F.col("m") == 6, 808148865528)
+        .when(F.col("m") == 7, 560143065528)
+        .when(F.col("m") == 8, 368824305528)
+        .when(F.col("m") == 9, 218160782028)
+        .otherwise(97629963228)
+    )
+    common = ra.join(rb, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    return common.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.sum(suffix), F.lit(0)).cast("long").alias("rbo_num"),
+    ).select(
+        "n_common",
+        "rbo_num",
+        F.lit(25200000000000).cast("long").alias("rbo_den"),
+        (F.col("rbo_num").cast("double") / F.lit(25200000000000)).alias("rbo"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -22559,6 +22850,8 @@ _CHECK_PRIORITY = [
     "q_ngram_novelty",
     "q_offline_policy_eval", "q_occ_conflicts", "q_arc_elasticity",
     "q_sla_burn_rate",
+    "q_relational_division", "q_allen_relations", "q_cents_digit_bias",
+    "q_rank_biased_overlap",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
