@@ -12619,15 +12619,21 @@ def q_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT o_custkey AS custkey,
              list_sort(list_distinct(list(o_orderpriority))) AS prios_all,
-             list_sort(list_distinct(list(o_orderpriority)
-               FILTER (o_orderdate >= DATE '1996-01-01'))) AS prios_recent
+             -- COALESCE to []: a customer with no qualifying rows gets NULL
+             -- from the filtered list() aggregate, where Spark's collect_set
+             -- gives an EMPTY array ('' after join, [] in set algebra) —
+             -- invisible until a no-recent-orders customer appears (sf0.1+)
+             list_sort(list_distinct(COALESCE(list(o_orderpriority)
+               FILTER (o_orderdate >= DATE '1996-01-01'), []))) AS prios_recent
       FROM orders GROUP BY 1
     )
     SELECT custkey,
            array_to_string(prios_all, ',') AS all_prios,
-           array_to_string(prios_recent, ',') AS recent_prios,
-           array_to_string(list_sort(list_intersect(prios_all, prios_recent)),
-                           ',') AS both_prios,
+           -- array_to_string([]) is NULL in DuckDB where Spark's
+           -- array_join gives '' — coalesce every possibly-empty list
+           COALESCE(array_to_string(prios_recent, ','), '') AS recent_prios,
+           COALESCE(array_to_string(list_sort(list_intersect(prios_all, prios_recent)),
+                           ','), '') AS both_prios,
            COALESCE(array_to_string(list_sort(list_filter(prios_all,
                            x -> NOT list_contains(prios_recent, x))), ','), '')
              AS only_old,
@@ -22811,6 +22817,364 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 106 — paired-classifier McNemar test, Cohen's kappa,
+# cost-sensitive threshold selection, matched-pairs ATT.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_mcnemar_test",
+    """
+    WITH lab AS (
+      SELECT doc_id,
+             CAST(n_chars >= 300 AS INTEGER) AS a,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+               >= 26 AS INTEGER) AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE a = 1 AND b = 1) AS BIGINT) AS keep_both,
+             CAST(count(*) FILTER (WHERE a = 1 AND b = 0) AS BIGINT) AS a_only,
+             CAST(count(*) FILTER (WHERE a = 0 AND b = 1) AS BIGINT) AS b_only,
+             CAST(count(*) FILTER (WHERE a = 0 AND b = 0) AS BIGINT) AS neither
+      FROM lab
+    )
+    SELECT n, keep_both, a_only, b_only, neither,
+           CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+             / (a_only + b_only) AS chi2
+    FROM cells
+    """,
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST on two paired quality filters (length rule vs
+    vocabulary-richness rule over the same documents) — the paired
+    comparison that answers "do these two filters disagree
+    SYSTEMATICALLY, or just randomly": only the discordant cells matter,
+    χ² = (b−c)²/(b+c). The 2×2 cells are one conditional-aggregate pass
+    of integer counts; χ² is ONE division. This is how a curation team
+    compares a new keep/drop rule against the incumbent without ground
+    truth. Plan: a single map-side-combinable aggregate to one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (
+            F.size(
+                F.array_distinct(
+                    F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                )
+            )
+            >= 26
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    cells = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("keep_both"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("a_only"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1))
+        .cast("long")
+        .alias("b_only"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("long")
+        .alias("neither"),
+    )
+    return cells.select(
+        "n",
+        "keep_both",
+        "a_only",
+        "b_only",
+        "neither",
+        (
+            ((F.col("a_only") - F.col("b_only")) * (F.col("a_only") - F.col("b_only")))
+            .cast("double")
+            / (F.col("a_only") + F.col("b_only"))
+        ).alias("chi2"),
+    )
+
+
+@_q(
+    "q_cohen_kappa",
+    """
+    WITH lab AS (
+      SELECT CAST(n_chars >= 300 AS INTEGER) AS a,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+')))
+               >= 26 AS INTEGER) AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS ka, CAST(SUM(b) AS BIGINT) AS kb,
+             CAST(count(*) FILTER (WHERE a = b) AS BIGINT) AS agree
+      FROM lab
+    )
+    SELECT n, ka, kb, agree,
+           CAST(n * agree - (ka * kb + (n - ka) * (n - kb)) AS BIGINT) AS kappa_num,
+           CAST(n * n - (ka * kb + (n - ka) * (n - kb)) AS BIGINT) AS kappa_den,
+           CAST(n * agree - (ka * kb + (n - ka) * (n - kb)) AS DOUBLE)
+             / (n * n - (ka * kb + (n - ka) * (n - kb))) AS kappa
+    FROM c
+    """,
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA — chance-corrected agreement between two labelers
+    (the same paired rules as q_mcnemar_test, asking the complementary
+    question: "how much do they AGREE beyond chance", the standard
+    inter-annotator metric for labeling pipelines). Algebraically
+    cleared of its inner divisions: κ = (p_o − p_e)/(1 − p_e) =
+    (n·agree − (k_a·k_b + (n−k_a)(n−k_b))) / (n² − (k_a·k_b +
+    (n−k_a)(n−k_b))) — an exact INTEGER fraction emitted as num/den
+    plus ONE final division. Plan: one aggregate pass to one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (
+            F.size(
+                F.array_distinct(
+                    F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+                )
+            )
+            >= 26
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("ka"),
+        F.sum("b").cast("long").alias("kb"),
+        F.count(F.when(F.col("a") == F.col("b"), 1)).cast("long").alias("agree"),
+    )
+    pe_num = F.col("ka") * F.col("kb") + (F.col("n") - F.col("ka")) * (
+        F.col("n") - F.col("kb")
+    )
+    num = F.col("n") * F.col("agree") - pe_num
+    den = F.col("n") * F.col("n") - pe_num
+    return c.select(
+        "n",
+        "ka",
+        "kb",
+        "agree",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        (num.cast("double") / den).alias("kappa"),
+    )
+
+
+@_q(
+    "q_cost_threshold",
+    """
+    WITH scored AS (
+      SELECT n_chars AS score, CAST(lang = 'en' AS INTEGER) AS label
+      FROM documents
+    ),
+    grid AS (
+      SELECT DISTINCT score AS t FROM (
+        SELECT score, ROW_NUMBER() OVER (ORDER BY score, label) AS rn,
+               COUNT(*) OVER () AS n
+        FROM scored
+      ) WHERE (rn - 1) * 10 // n <> rn * 10 // n OR rn = 1
+    ),
+    conf AS (
+      SELECT t,
+             CAST(count(*) FILTER (WHERE score >= t AND label = 1) AS BIGINT) AS tp,
+             CAST(count(*) FILTER (WHERE score >= t AND label = 0) AS BIGINT) AS fp,
+             CAST(count(*) FILTER (WHERE score < t AND label = 1) AS BIGINT) AS fn,
+             CAST(count(*) FILTER (WHERE score < t AND label = 0) AS BIGINT) AS tn
+      FROM scored CROSS JOIN grid GROUP BY 1
+    )
+    SELECT CAST(t AS BIGINT) AS threshold, tp, fp, fn, tn,
+           CAST(fp + 3 * fn AS BIGINT) AS cost,
+           fp + 3 * fn = MIN(fp + 3 * fn) OVER () AS is_optimal
+    FROM conf
+    """,
+)
+def q_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-SENSITIVE threshold selection — pick the operating point of
+    a classifier (score = document length, label = English) under an
+    asymmetric cost matrix (FP costs 1, FN costs 3 — missing a good doc
+    hurts more than keeping a bad one): the full confusion matrix at
+    each of ~10 decile-boundary candidate thresholds, integer cost
+    fp + 3·fn, optimum flagged by an integer window MIN. The candidate
+    grid is rank-derived (decile boundaries with total-order ties), so
+    the sweep is data-adaptive yet deterministic. Plan: one rank pass
+    builds the tiny grid, one broadcast-grid conditional aggregate
+    builds ALL confusion matrices in a single scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("score"), (F.col("lang") == "en").cast("int").alias("label")
+    )
+    rk = scored.select(
+        "score",
+        F.row_number().over(Window.orderBy("score", "label")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    grid = (
+        rk.filter(
+            F.expr("(rn - 1) * 10 div n <> rn * 10 div n OR rn = 1")
+        )
+        .select(F.col("score").alias("t"))
+        .distinct()
+    )
+    conf = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("t")
+        .agg(
+            F.count(F.when((F.col("score") >= F.col("t")) & (F.col("label") == 1), 1))
+            .cast("long")
+            .alias("tp"),
+            F.count(F.when((F.col("score") >= F.col("t")) & (F.col("label") == 0), 1))
+            .cast("long")
+            .alias("fp"),
+            F.count(F.when((F.col("score") < F.col("t")) & (F.col("label") == 1), 1))
+            .cast("long")
+            .alias("fn"),
+            F.count(F.when((F.col("score") < F.col("t")) & (F.col("label") == 0), 1))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    cost = F.col("fp") + 3 * F.col("fn")
+    return conf.select(
+        F.col("t").cast("long").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        cost.cast("long").alias("cost"),
+        (cost == F.min(cost).over(Window.partitionBy())).alias("is_optimal"),
+    )
+
+
+@_q(
+    "q_matched_pairs_att",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(count(*) FILTER (WHERE day(ts) <= 15) AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN day(ts) > 15
+               THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y_micro
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN grp = 0 THEN score END IGNORE NULLS)
+               OVER w AS prev_cs,
+             LAST_VALUE(CASE WHEN grp = 0 THEN y_micro END IGNORE NULLS)
+               OVER w AS prev_cy,
+             FIRST_VALUE(CASE WHEN grp = 0 THEN score END IGNORE NULLS)
+               OVER w2 AS next_cs,
+             FIRST_VALUE(CASE WHEN grp = 0 THEN y_micro END IGNORE NULLS)
+               OVER w2 AS next_cy
+      FROM u
+      WINDOW w AS (ORDER BY score, grp, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (ORDER BY score, grp, user_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    matched AS (
+      SELECT user_id, score, y_micro,
+             CASE WHEN next_cs IS NULL THEN prev_cy
+                  WHEN prev_cs IS NULL THEN next_cy
+                  WHEN score - prev_cs <= next_cs - score THEN prev_cy
+                  ELSE next_cy END AS yc_micro,
+             CASE WHEN next_cs IS NULL THEN score - prev_cs
+                  WHEN prev_cs IS NULL THEN next_cs - score
+                  WHEN score - prev_cs <= next_cs - score THEN score - prev_cs
+                  ELSE next_cs - score END AS match_dist
+      FROM s WHERE grp = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(y_micro) AS BIGINT) AS sum_treated_micro,
+           CAST(SUM(yc_micro) AS BIGINT) AS sum_matched_micro,
+           CAST(SUM(match_dist) AS BIGINT) AS total_match_dist,
+           CAST(SUM(y_micro) - SUM(yc_micro) AS DOUBLE) / count(*) / 1000000
+             AS att
+    FROM matched
+    """,
+)
+def q_matched_pairs_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor MATCHED-PAIRS ATT (average treatment effect on
+    the treated) — observational causal inference's workhorse: every
+    treated user is matched WITH REPLACEMENT to the control whose
+    pre-period activity score is closest, and the ATT is the mean
+    treated-minus-matched outcome. Exact nearest-neighbor at scale uses
+    the as-of trick, not a cross join: one global sort of both arms by
+    (score, grp, user_id), carry the last/next control via IGNORE-NULLS
+    window frames, pick the closer side (ties prefer the predecessor —
+    a total order both engines share). Outcomes are integer micros; the
+    ATT is one fixed expression; total match distance rides along as
+    the match-quality diagnostic. Plan: one unit aggregate + one sorted
+    window pass — O(n log n), no candidate explosion."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.count(F.when(F.dayofmonth("ts") <= 15, 1)).cast("long").alias("score"),
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") > 15,
+                F.floor(F.col("value") * 1000000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y_micro"),
+    )
+    wprev = Window.orderBy("score", "grp", "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wnext = Window.orderBy("score", "grp", "user_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    ctrl_s = F.when(F.col("grp") == 0, F.col("score"))
+    ctrl_y = F.when(F.col("grp") == 0, F.col("y_micro"))
+    s = u.select(
+        "*",
+        F.last(ctrl_s, ignorenulls=True).over(wprev).alias("prev_cs"),
+        F.last(ctrl_y, ignorenulls=True).over(wprev).alias("prev_cy"),
+        F.first(ctrl_s, ignorenulls=True).over(wnext).alias("next_cs"),
+        F.first(ctrl_y, ignorenulls=True).over(wnext).alias("next_cy"),
+    )
+    prefer_prev = (F.col("next_cs").isNull()) | (
+        F.col("prev_cs").isNotNull()
+        & (F.col("score") - F.col("prev_cs") <= F.col("next_cs") - F.col("score"))
+    )
+    matched = s.filter(F.col("grp") == 1).select(
+        "user_id",
+        "score",
+        "y_micro",
+        F.when(prefer_prev, F.col("prev_cy")).otherwise(F.col("next_cy")).alias(
+            "yc_micro"
+        ),
+        F.when(prefer_prev, F.col("score") - F.col("prev_cs"))
+        .otherwise(F.col("next_cs") - F.col("score"))
+        .alias("match_dist"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("y_micro").cast("long").alias("sum_treated_micro"),
+        F.sum("yc_micro").cast("long").alias("sum_matched_micro"),
+        F.sum("match_dist").cast("long").alias("total_match_dist"),
+    ).select(
+        "n_pairs",
+        "sum_treated_micro",
+        "sum_matched_micro",
+        "total_match_dist",
+        (
+            (F.col("sum_treated_micro") - F.col("sum_matched_micro")).cast("double")
+            / F.col("n_pairs")
+            / F.lit(1000000)
+        ).alias("att"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -22852,6 +23216,8 @@ _CHECK_PRIORITY = [
     "q_sla_burn_rate",
     "q_relational_division", "q_allen_relations", "q_cents_digit_bias",
     "q_rank_biased_overlap",
+    "q_mcnemar_test", "q_cohen_kappa", "q_cost_threshold",
+    "q_matched_pairs_att",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
