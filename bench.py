@@ -39,42 +39,18 @@ def _is_streaming_key(key: str) -> bool:
     return key.startswith("q_stream") or key == "q_state_store_read"
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Streaming keys carry fixed micro-batch/state-store setup cost that a
-    # long batch session inflates by 15-200% (accumulated broadcast/state
-    # cleanup backlog — BASELINE.md r4 notes). Isolate them by default:
-    # batch keys run first, then the session restarts and the streaming
-    # block times against a fresh JVM state, so the committed per-key JSON
-    # matches isolated runs. --no-isolated-streaming restores one session.
-    isolate = "--no-isolated-streaming" not in sys.argv and os.environ.get(
-        "SPARK_GRAFT_NO_ISOLATE", ""
-    ) != "1"
-    spark = get_spark("bench")
-
-    # Warm the JVM + parquet footers with the cheapest query once.
-    REGISTRY["q_scan_table"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-
-    # Per key: one untimed warm-up execution (plan compile + code gen +
-    # shuffle-file page cache), then timed runs — N_RUNS for cheap keys,
-    # a single timed run for keys whose warm-up already exceeded
-    # HEAVY_CUTOFF_S (steady-state variance on multi-second jobs is far
-    # below the cutoff, and the registry is >200 keys: 3× runs on every
-    # heavy key would triple a wall-clock dominated by exactly the keys
-    # that need it least).
+def _run_keys(spark, keys, sf_dir):
+    """Time a list of registry keys against an existing session. Per key:
+    one untimed warm-up execution (plan compile + code gen + shuffle-file
+    page cache), then timed runs — N_RUNS for cheap keys, a single timed
+    run for keys whose warm-up already exceeded HEAVY_CUTOFF_S
+    (steady-state variance on multi-second jobs is far below the cutoff,
+    and the registry is >400 keys: 3x runs on every heavy key would
+    triple a wall-clock dominated by exactly the keys that need it
+    least)."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    ordered = sorted(REGISTRY, key=lambda k: (_is_streaming_key(k), k))
-    n_batch = sum(1 for k in ordered if not _is_streaming_key(k))
-    for i, key in enumerate(ordered):
-        if isolate and i == n_batch:
-            # first streaming key: restart the session so streaming
-            # timings don't inherit the batch block's session-state noise
-            spark.stop()
-            spark = get_spark("bench-streaming")
-            REGISTRY["q_scan_table"](spark, sf_dir).write.mode(
-                "overwrite"
-            ).format("noop").save()
+    for key in keys:
         # one broken key must not zero out the whole benchmark: record the
         # failure, keep timing the rest, and surface it in the JSON line
         try:
@@ -95,6 +71,66 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[key] = f"{type(exc).__name__}: {exc}"[:300]
             sys.stderr.write(f"BENCH ERROR {key}: {errors[key]}\n")
+    return timings, errors
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # Child mode: time an explicit key list in a FRESH process and print a
+    # bare JSON dict — used by the parent to isolate the streaming block.
+    if "--keys" in sys.argv:
+        keys = sys.argv[sys.argv.index("--keys") + 1].split(",")
+        spark = get_spark("bench-child")
+        REGISTRY["q_scan_table"](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        timings, errors = _run_keys(spark, keys, sf_dir)
+        print(json.dumps({"timings": timings, "errors": errors}))
+        return
+
+    # Streaming keys carry fixed micro-batch/state-store setup cost that a
+    # long batch session inflates heavily (r4 measured +15-200%; the r5
+    # in-process session "restart" still showed 3-7x, because
+    # spark.stop() keeps the aged JVM — heap, code cache, GC pressure
+    # from 400+ batch keys). Isolate them by default in a FRESH CHILD
+    # PROCESS (new JVM), so the committed per-key JSON matches what an
+    # isolated run of each streaming key actually costs.
+    # --no-isolated-streaming restores one shared session.
+    isolate = "--no-isolated-streaming" not in sys.argv and os.environ.get(
+        "SPARK_GRAFT_NO_ISOLATE", ""
+    ) != "1"
+
+    ordered = sorted(REGISTRY, key=lambda k: (_is_streaming_key(k), k))
+    batch_keys = [k for k in ordered if not _is_streaming_key(k)]
+    stream_keys = [k for k in ordered if _is_streaming_key(k)]
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers with the cheapest query once.
+    REGISTRY["q_scan_table"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    if isolate:
+        timings, errors = _run_keys(spark, batch_keys, sf_dir)
+        import subprocess
+
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--keys", ",".join(stream_keys)],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        try:
+            payload = json.loads(child.stdout.strip().splitlines()[-1])
+            timings.update(payload["timings"])
+            errors.update(payload["errors"])
+        except Exception:  # noqa: BLE001
+            for k in stream_keys:
+                errors[k] = f"streaming child failed rc={child.returncode}: " + (
+                    child.stderr[-200:] if child.stderr else "no stderr"
+                )
+    else:
+        timings, errors = _run_keys(spark, ordered, sf_dir)
 
     total = round(sum(timings.values()), 4)
     out = {

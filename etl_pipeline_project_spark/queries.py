@@ -23175,6 +23175,264 @@ def q_matched_pairs_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 107 — group-sequential interim analysis, Beta posterior,
+# empirical-Bayes shrinkage, Bonferroni pairwise comparisons.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_interim_analysis",
+    f"""
+    WITH cuts AS (SELECT UNNEST([10, 20, 30]) AS cut_day),
+    g AS (
+      SELECT cut_day,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1 AND day(ts) <= cut_day)
+               AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0 AND day(ts) <= cut_day)
+               AS BIGINT) AS n0,
+             {_msum6("CASE WHEN user_id % 2 = 1 AND day(ts) <= cut_day THEN value END")} AS s1,
+             {_msum6("CASE WHEN user_id % 2 = 0 AND day(ts) <= cut_day THEN value END")} AS s0,
+             {_msum6("CASE WHEN user_id % 2 = 1 AND day(ts) <= cut_day THEN value * value END")} AS q1,
+             {_msum6("CASE WHEN user_id % 2 = 0 AND day(ts) <= cut_day THEN value * value END")} AS q0
+      FROM events CROSS JOIN cuts WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(cut_day AS INTEGER) AS cut_day, n1, n0,
+           (s1 / n1 - s0 / n0)
+             / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                    + (q0 - s0 * s0 / n0) / (n0 - 1) / n0) AS z,
+           ABS((s1 / n1 - s0 / n0)
+             / sqrt((q1 - s1 * s1 / n1) / (n1 - 1) / n1
+                    + (q0 - s0 * s0 / n0) / (n0 - 1) / n0)) > 2.289 AS crossed
+    FROM g
+    """,
+)
+def q_interim_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL interim analysis (Pocock design, K=3 looks): the
+    Welch z statistic for treatment-vs-control at three interim data
+    cuts (days ≤10/≤20/≤30), each compared against the constant Pocock
+    boundary 2.289 that keeps the FAMILY-wISE error at 5% across the
+    three peeks — the discipline that lets an experiment stop early
+    without p-hacking itself. All three cuts come from ONE conditional-
+    aggregate pass (the cut grid broadcasts map-side); moments are exact
+    decimal sums and each z is a fixed scalar expression, the boundary
+    an exact literal. Plan: one scan, one aggregate to 3 rows."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cuts = spark.createDataFrame([(10,), (20,), (30,)], "cut_day int")
+    j = ev.crossJoin(F.broadcast(cuts))
+    inc = F.dayofmonth("ts") <= F.col("cut_day")
+    t = F.col("user_id") % 2 == 1
+    g = j.groupBy("cut_day").agg(
+        F.count(F.when(t & inc, 1)).cast("long").alias("n1"),
+        F.count(F.when(~t & inc, 1)).cast("long").alias("n0"),
+        exact_sum(F.when(t & inc, F.col("value")), 6).alias("s1"),
+        exact_sum(F.when(~t & inc, F.col("value")), 6).alias("s0"),
+        exact_sum(F.when(t & inc, F.col("value") * F.col("value")), 6).alias("q1"),
+        exact_sum(F.when(~t & inc, F.col("value") * F.col("value")), 6).alias("q0"),
+    )
+    z = (F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")) / F.sqrt(
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+        + (F.col("q0") - F.col("s0") * F.col("s0") / F.col("n0"))
+        / (F.col("n0") - 1)
+        / F.col("n0")
+    )
+    return g.select(
+        F.col("cut_day").cast("int").alias("cut_day"),
+        "n1",
+        "n0",
+        z.alias("z"),
+        (F.abs(z) > 2.289).alias("crossed"),
+    )
+
+
+@_q(
+    "q_beta_posterior",
+    """
+    WITH u AS (
+      SELECT user_id, event_type,
+             CAST(MAX(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS INTEGER) AS conv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM u GROUP BY 1
+    )
+    SELECT event_type, n, x,
+           CAST(1 + x AS BIGINT) AS alpha, CAST(1 + n - x AS BIGINT) AS beta,
+           CAST(1 + x AS DOUBLE) / (2 + n) AS post_mean,
+           CAST((1 + x) * (1 + n - x) AS BIGINT) AS var_num,
+           CAST((2 + n) * (2 + n) * (3 + n) AS BIGINT) AS var_den,
+           CAST((1 + x) * (1 + n - x) AS DOUBLE)
+             / ((2 + n) * (2 + n) * (3 + n)) AS post_var
+    FROM g
+    """,
+)
+def q_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETA-BINOMIAL posterior summary — the Bayesian conversion-rate
+    report: with a uniform Beta(1,1) prior and x successes in n users,
+    the posterior is Beta(1+x, 1+n−x); its mean (1+x)/(2+n) and variance
+    αβ/((α+β)²(α+β+1)) are EXACT RATIONALS of the integer counts, so the
+    whole posterior summary is emitted as integer numerators/denominators
+    plus one division per double — no special functions, no sampling.
+    This is the smoothing that keeps small segments from reporting 0% or
+    100% rates. Plan: a user-grain aggregate then a segment aggregate —
+    two map-side-combinable passes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.col("value") > 100, 1).otherwise(0)).cast("int").alias("conv")
+    )
+    g = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    alpha = 1 + F.col("x")
+    beta = 1 + F.col("n") - F.col("x")
+    return g.select(
+        "event_type",
+        "n",
+        "x",
+        alpha.cast("long").alias("alpha"),
+        beta.cast("long").alias("beta"),
+        (alpha.cast("double") / (2 + F.col("n"))).alias("post_mean"),
+        (alpha * beta).cast("long").alias("var_num"),
+        ((2 + F.col("n")) * (2 + F.col("n")) * (3 + F.col("n")))
+        .cast("long")
+        .alias("var_den"),
+        (
+            (alpha * beta).cast("double")
+            / ((2 + F.col("n")) * (2 + F.col("n")) * (3 + F.col("n")))
+        ).alias("post_var"),
+    )
+
+
+@_q(
+    "q_eb_shrinkage",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS gx, CAST(SUM(n) AS BIGINT) AS gn FROM u
+    )
+    SELECT user_id, n, x,
+           CAST(x AS DOUBLE) / n AS raw_rate,
+           CAST(gx AS DOUBLE) / gn AS global_rate,
+           (x + 20 * (CAST(gx AS DOUBLE) / gn)) / (n + 20) AS shrunk_rate,
+           CAST(x * gn AS BIGINT) AS rank_num, CAST(n * gx AS BIGINT) AS rank_den
+    FROM u, tot
+    """,
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES shrinkage of per-user purchase rates toward the
+    corpus rate (the batting-average estimator): shrunk = (x + m·p̄)/
+    (n + m) with prior strength m=20 pseudo-observations — the fix for
+    small-sample leaderboards where a 1/1 user would otherwise outrank a
+    95/100 user. The global rate is ONE division of two broadcast
+    integers; the shrunk rate is a fixed expression; rank_num/rank_den
+    emit the raw-vs-global comparison as an exact integer cross-product
+    (x·gn vs n·gx) so over/under-performers are flagged without float
+    thresholds. Plan: one unit aggregate + broadcast scalar totals —
+    map-side arithmetic, O(users) output."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("x"),
+    )
+    tot = u.agg(
+        F.sum("x").cast("long").alias("gx"), F.sum("n").cast("long").alias("gn")
+    )
+    j = u.crossJoin(F.broadcast(tot))
+    grate = F.col("gx").cast("double") / F.col("gn")
+    return j.select(
+        "user_id",
+        "n",
+        "x",
+        (F.col("x").cast("double") / F.col("n")).alias("raw_rate"),
+        grate.alias("global_rate"),
+        ((F.col("x") + 20 * grate) / (F.col("n") + 20)).alias("shrunk_rate"),
+        (F.col("x") * F.col("gn")).cast("long").alias("rank_num"),
+        (F.col("n") * F.col("gx")).cast("long").alias("rank_den"),
+    )
+
+
+@_q(
+    "q_pairwise_bonferroni",
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             {_msum6("value")} AS s1, {_msum6("value * value")} AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS n_a, b.n AS n_b,
+           (a.s1 / a.n - b.s1 / b.n)
+             / sqrt((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n
+                    + (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n) AS z,
+           ABS((a.s1 / a.n - b.s1 / b.n)
+             / sqrt((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n
+                    + (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n))
+             > 2.807033768343811 AS significant
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    """,
+)
+def q_pairwise_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-PAIRS mean comparison with BONFERRONI correction — the
+    multiple-testing discipline for "which segments actually differ":
+    Welch z for every unordered pair of event types, declared
+    significant only beyond z_{α/(2m)} with m = 10 pairs (the exact
+    double literal 2.807033768343811 = Φ⁻¹(1 − 0.05/20), hard-coded —
+    no inverse-normal evaluation at query time). Uncorrected pairwise
+    peeks at 10 pairs would fire falsely ~40% of the time. Moments are
+    exact decimal sums; each z is one fixed expression over the 5-row
+    aggregate's self-join. Plan: one aggregate pass + an O(groups²)
+    broadcast self-join."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        exact_sum(F.col("value"), 6).alias("s1"),
+        exact_sum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("sa1"),
+        F.col("s2").alias("sa2"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("sb1"),
+        F.col("s2").alias("sb2"),
+    )
+    j = a.join(b, F.col("type_a") < F.col("type_b"))
+    z = (F.col("sa1") / F.col("n_a") - F.col("sb1") / F.col("n_b")) / F.sqrt(
+        (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+        + (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        z.alias("z"),
+        (F.abs(z) > 2.807033768343811).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -23218,6 +23476,8 @@ _CHECK_PRIORITY = [
     "q_rank_biased_overlap",
     "q_mcnemar_test", "q_cohen_kappa", "q_cost_threshold",
     "q_matched_pairs_att",
+    "q_interim_analysis", "q_beta_posterior", "q_eb_shrinkage",
+    "q_pairwise_bonferroni",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
