@@ -1124,6 +1124,84 @@ def main() -> int:
         )
     )
 
+    # --- round-5 batches 105-107 ---
+    p = plan("q_relational_division")
+    checks.append(
+        (
+            "q_relational_division distinct-pair collapse + broadcast divisor (no correlated rescan)",
+            "BroadcastHashJoin" in p and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_rank_biased_overlap")
+    checks.append(
+        (
+            "q_rank_biased_overlap two TakeOrdered top-10s, zero hash shuffles",
+            "TakeOrderedAndProject" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 0,
+            p[:300],
+        )
+    )
+    for key, desc in [
+        ("q_mcnemar_test", "ONE pass to one row (no hash shuffle)"),
+        ("q_cohen_kappa", "ONE pass to one row (no hash shuffle)"),
+    ]:
+        p = plan(key)
+        checks.append(
+            (
+                f"{key} {desc}",
+                len(re.findall(r"Exchange hashpartitioning", p)) == 0
+                and p.count("Exchange SinglePartition") == 1,
+                p[:300],
+            )
+        )
+    p = plan("q_cost_threshold")
+    checks.append(
+        (
+            "q_cost_threshold all confusion matrices from one broadcast-grid scan",
+            "BroadcastNestedLoop" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_matched_pairs_att")
+    checks.append(
+        (
+            "q_matched_pairs_att one unit aggregate + one sorted window (no candidate explosion)",
+            "CartesianProduct" not in p
+            and "BroadcastNestedLoop" not in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_interim_analysis")
+    checks.append(
+        (
+            "q_interim_analysis all three interim cuts from ONE conditional-aggregate scan",
+            "BroadcastNestedLoop" in p
+            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_eb_shrinkage")
+    checks.append(
+        (
+            "q_eb_shrinkage global rate broadcast; map-side shrinkage arithmetic",
+            "BroadcastNestedLoop" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_pairwise_bonferroni")
+    checks.append(
+        (
+            "q_pairwise_bonferroni one aggregate + broadcast self-join of the 5-row stats",
+            "BroadcastNestedLoop" in p
+            and "partial" in p.lower()
+            and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
