@@ -23433,6 +23433,369 @@ def q_pairwise_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 108 — Benjamini-Hochberg FDR, Page-Hinkley drift,
+# Simpson-reversal detector, storage tiering plan.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_benjamini_hochberg",
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             {_msum6("value")} AS s1, {_msum6("value * value")} AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    pz AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             (a.s1 / a.n - b.s1 / b.n)
+               / sqrt((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n
+                      + (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n) AS z
+      FROM g a JOIN g b ON a.event_type < b.event_type
+    ),
+    rk AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, type_a, type_b)
+        AS INTEGER) AS bh_rank
+      FROM pz
+    ),
+    crit AS (
+      SELECT *, CAST(CASE bh_rank
+        WHEN 1 THEN 2.8070337683438114 WHEN 2 THEN 2.5758293035489
+        WHEN 3 THEN 2.432379058584449 WHEN 4 THEN 2.3263478740408408
+        WHEN 5 THEN 2.2414027276049464 WHEN 6 THEN 2.17009037758456
+        WHEN 7 THEN 2.1083583991691093 WHEN 8 THEN 2.053748910631822
+        WHEN 9 THEN 2.0046544617650963 ELSE 1.9599639845400536 END
+        AS DOUBLE) AS crit_z
+      FROM rk
+    ),
+    k AS (
+      SELECT *, MAX(CASE WHEN ABS(z) >= crit_z THEN bh_rank ELSE 0 END)
+        OVER () AS k_star
+      FROM crit
+    )
+    SELECT type_a, type_b, z, bh_rank, crit_z,
+           bh_rank <= k_star AS rejected,
+           ABS(z) > 2.8070337683438114 AS bonferroni_sig
+    FROM k
+    """,
+)
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG step-up FDR control over the 10 pairwise mean
+    comparisons — the modern multiple-testing correction (controls the
+    FALSE DISCOVERY RATE instead of Bonferroni's family-wise error, so
+    it rejects everything Bonferroni does and usually more; the
+    bonferroni_sig column rides along to show exactly that). The p-value
+    sort is replaced by the equivalent |z| sort, the 10 rank-dependent
+    critical values Φ⁻¹(1 − α·i/(2m)) are EXACT double literals (no
+    inverse-normal at query time), and the step-up "largest passing
+    rank" is one integer window MAX — every comparison is double-vs-
+    literal or integer. Plan: one aggregate + O(pairs) self-join +
+    O(pairs) windows."""
+    from etl_pipeline_project_spark.operators.aggregates import exact_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        exact_sum(F.col("value"), 6).alias("s1"),
+        exact_sum(F.col("value") * F.col("value"), 6).alias("s2"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("sa1"),
+        F.col("s2").alias("sa2"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("sb1"),
+        F.col("s2").alias("sb2"),
+    )
+    z = (F.col("sa1") / F.col("n_a") - F.col("sb1") / F.col("n_b")) / F.sqrt(
+        (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+        + (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    pz = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a", "type_b", z.alias("z")
+    )
+    rk = pz.withColumn(
+        "bh_rank",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z")).desc(), "type_a", "type_b"))
+        .cast("int"),
+    )
+    crit = (
+        F.when(F.col("bh_rank") == 1, 2.8070337683438114)
+        .when(F.col("bh_rank") == 2, 2.5758293035489)
+        .when(F.col("bh_rank") == 3, 2.432379058584449)
+        .when(F.col("bh_rank") == 4, 2.3263478740408408)
+        .when(F.col("bh_rank") == 5, 2.2414027276049464)
+        .when(F.col("bh_rank") == 6, 2.17009037758456)
+        .when(F.col("bh_rank") == 7, 2.1083583991691093)
+        .when(F.col("bh_rank") == 8, 2.053748910631822)
+        .when(F.col("bh_rank") == 9, 2.0046544617650963)
+        .otherwise(1.9599639845400536)
+    )
+    kdf = rk.withColumn("crit_z", crit).withColumn(
+        "k_star",
+        F.max(
+            F.when(F.abs(F.col("z")) >= F.col("crit_z"), F.col("bh_rank")).otherwise(0)
+        ).over(Window.partitionBy()),
+    )
+    return kdf.select(
+        "type_a",
+        "type_b",
+        "z",
+        "bh_rank",
+        "crit_z",
+        (F.col("bh_rank") <= F.col("k_star")).alias("rejected"),
+        (F.abs(F.col("z")) > 2.8070337683438114).alias("bonferroni_sig"),
+    )
+
+
+@_q(
+    "q_page_hinkley",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             list(x ORDER BY d) AS xs
+      FROM daily GROUP BY 1
+    ),
+    -- accumulator = [n, sum, m, m_min, ph_max] as a DOUBLE list; elements
+    -- are wrapped [v] so both fold arguments are DOUBLE[] (DuckDB 1.0
+    -- list_reduce mis-evaluates STRUCT accumulators — the q_holt_linear
+    -- workaround)
+    folded AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_prepend([0e0, 0e0, 0e0, 0e0, 0e0],
+                            list_transform(xs, v -> [v])),
+               (acc, c) -> [
+                 acc[1] + 1,
+                 acc[2] + c[1],
+                 acc[3] + c[1] - (acc[2] + c[1]) / (acc[1] + 1) - 0.5,
+                 LEAST(acc[4], acc[3] + c[1] - (acc[2] + c[1]) / (acc[1] + 1) - 0.5),
+                 GREATEST(acc[5],
+                   acc[3] + c[1] - (acc[2] + c[1]) / (acc[1] + 1) - 0.5
+                     - LEAST(acc[4],
+                         acc[3] + c[1] - (acc[2] + c[1]) / (acc[1] + 1) - 0.5))
+               ]) AS acc
+      FROM series
+    )
+    SELECT event_type, n_days,
+           acc[3] AS m_final, acc[4] AS m_min, acc[5] AS ph_max,
+           acc[5] > 20.0 AS drift_alarm
+    FROM folded
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY drift detection over each event type's daily-count
+    series — the sequential change detector streaming-ML monitors run on
+    feature/label distributions: m_t accumulates deviations from the
+    RUNNING mean (tolerance δ=0.5), and the test statistic is
+    PH_t = m_t − min_{i≤t} m_i, alarming when it exceeds λ=20. The fold
+    is inherently sequential, so it runs as a per-series sorted-list
+    reduce with a 5-slot DOUBLE-list accumulator ([n, Σx, m, min m,
+    max PH] — the q_holt_linear fold discipline; both engines evaluate
+    the identical association order, so the doubles match bit-for-bit).
+    Series are bounded (days per type), never row-count-sized. Plan: one
+    aggregate to the daily grid, one bounded fold per series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("pairs"),
+    )
+    xs = F.transform(F.col("pairs"), lambda p: p["x"])
+
+    def step(acc, x):
+        m_new = acc[2] + x - (acc[1] + x) / (acc[0] + 1) - 0.5
+        mmin_new = F.least(acc[3], m_new)
+        return F.array(
+            acc[0] + 1,
+            acc[1] + x,
+            m_new,
+            mmin_new,
+            F.greatest(acc[4], m_new - mmin_new),
+        )
+
+    folded = series.select(
+        "event_type",
+        "n_days",
+        F.aggregate(
+            xs,
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            step,
+        ).alias("acc"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("acc")[2].alias("m_final"),
+        F.col("acc")[3].alias("m_min"),
+        F.col("acc")[4].alias("ph_max"),
+        (F.col("acc")[4] > 20.0).alias("drift_alarm"),
+    )
+
+
+@_q(
+    "q_simpson_detect",
+    """
+    WITH u AS (
+      SELECT user_id, event_type, CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(MAX(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS INTEGER) AS conv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT event_type AS stratum,
+             CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_c,
+             CAST(SUM(conv) FILTER (WHERE grp = 1) AS BIGINT) AS x_t,
+             CAST(SUM(conv) FILTER (WHERE grp = 0) AS BIGINT) AS x_c
+      FROM u GROUP BY 1
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n_t) AS BIGINT) AS pn_t, CAST(SUM(n_c) AS BIGINT) AS pn_c,
+             CAST(SUM(x_t) AS BIGINT) AS px_t, CAST(SUM(x_c) AS BIGINT) AS px_c
+      FROM cells
+    )
+    SELECT stratum, n_t, n_c, x_t, x_c,
+           CAST(x_t * n_c - x_c * n_t AS BIGINT) AS stratum_sign_num,
+           CAST(px_t * pn_c - px_c * pn_t AS BIGINT) AS pooled_sign_num,
+           (x_t * n_c - x_c * n_t) * (px_t * pn_c - px_c * pn_t) < 0 AS reversed
+    FROM cells, pooled
+    """,
+)
+def q_simpson_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX detector: per stratum, does the treatment-vs-
+    control conversion-rate difference point the OPPOSITE way from the
+    pooled difference — the composition trap every segmented report
+    should check before anyone acts on the pooled number. Rate
+    comparisons are exact INTEGER cross-products (x_t·n_c vs x_c·n_t —
+    never a float rate), the pooled sign is a broadcast scalar, and the
+    reversal flag is a product-sign test on two integers. Plan: one
+    user-grain aggregate, one stratum aggregate, one broadcast scalar —
+    a single fact scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy(
+        "user_id", "event_type", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.max(F.when(F.col("value") > 100, 1).otherwise(0)).cast("int").alias("conv")
+    )
+    t = F.col("grp") == 1
+    cells = u.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.when(t, 1)).cast("long").alias("n_t"),
+        F.count(F.when(~t, 1)).cast("long").alias("n_c"),
+        F.sum(F.when(t, F.col("conv"))).cast("long").alias("x_t"),
+        F.sum(F.when(~t, F.col("conv"))).cast("long").alias("x_c"),
+    )
+    pooled = cells.agg(
+        F.sum("n_t").cast("long").alias("pn_t"),
+        F.sum("n_c").cast("long").alias("pn_c"),
+        F.sum("x_t").cast("long").alias("px_t"),
+        F.sum("x_c").cast("long").alias("px_c"),
+    )
+    j = cells.crossJoin(F.broadcast(pooled))
+    ssign = F.col("x_t") * F.col("n_c") - F.col("x_c") * F.col("n_t")
+    psign = F.col("px_t") * F.col("pn_c") - F.col("px_c") * F.col("pn_t")
+    return j.select(
+        "stratum",
+        "n_t",
+        "n_c",
+        "x_t",
+        "x_c",
+        ssign.cast("long").alias("stratum_sign_num"),
+        psign.cast("long").alias("pooled_sign_num"),
+        (ssign * psign < 0).alias("reversed"),
+    )
+
+
+@_q(
+    "q_storage_tiering",
+    """
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    tiered AS (
+      SELECT CASE WHEN ts > mx - INTERVAL 7 DAY THEN 'hot'
+                  WHEN ts > mx - INTERVAL 21 DAY THEN 'warm'
+                  ELSE 'cold' END AS tier,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(FLOOR(COALESCE(value, 0) * 1000000) AS BIGINT) AS v_micro
+      FROM events, anchor
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+           CAST(SUM(v_micro) AS BIGINT) AS value_micro,
+           CAST(count(*) * 1000000 // n AS BIGINT) AS share_ppm,
+           CASE tier WHEN 'hot' THEN 'keep-on-ssd'
+                     WHEN 'warm' THEN 'compact-and-standard'
+                     ELSE 'archive-columnar-max-compression' END AS action
+    FROM tiered, tot GROUP BY 1, n
+    """,
+)
+def q_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage LIFECYCLE TIERING plan — the table-maintenance pass that
+    keeps a petabyte table affordable: partitions bucket into hot
+    (≤7 days from the data's own horizon — no wall clock), warm (≤21)
+    and cold, each with its row/day/value census, corpus share in
+    integer ppm, and the maintenance action a lifecycle policy would
+    emit (SSD / compact / archive). Plan: one broadcast scalar anchor +
+    one aggregate with a distinct-day count — a single scan produces
+    the entire tiering manifest; at scale the CASE runs on partition
+    values, making the plan metadata-only."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    j = ev.crossJoin(F.broadcast(anchor))
+    tier = (
+        F.when(F.col("ts") > F.col("mx") - F.expr("INTERVAL 7 DAYS"), "hot")
+        .when(F.col("ts") > F.col("mx") - F.expr("INTERVAL 21 DAYS"), "warm")
+        .otherwise("cold")
+    )
+    tiered = j.select(
+        tier.alias("tier"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0)) * 1000000)
+        .cast("long")
+        .alias("v_micro"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    action = (
+        F.when(F.col("tier") == "hot", "keep-on-ssd")
+        .when(F.col("tier") == "warm", "compact-and-standard")
+        .otherwise("archive-columnar-max-compression")
+    )
+    return (
+        tiered.crossJoin(F.broadcast(tot))
+        .groupBy("tier", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("d").cast("long").alias("n_days"),
+            F.sum("v_micro").cast("long").alias("value_micro"),
+        )
+        .select(
+            "tier",
+            "n_rows",
+            "n_days",
+            "value_micro",
+            F.expr("n_rows * 1000000 div n").cast("long").alias("share_ppm"),
+            action.alias("action"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -23478,6 +23841,8 @@ _CHECK_PRIORITY = [
     "q_matched_pairs_att",
     "q_interim_analysis", "q_beta_posterior", "q_eb_shrinkage",
     "q_pairwise_bonferroni",
+    "q_benjamini_hochberg", "q_page_hinkley", "q_simpson_detect",
+    "q_storage_tiering",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
