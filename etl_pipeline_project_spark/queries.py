@@ -23796,6 +23796,317 @@ def q_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 109 — capture-recapture coverage, fixed-point raking,
+# Chao1 vocabulary richness, hash-collision audit.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_capture_recapture",
+    """
+    WITH pop AS (SELECT DISTINCT user_id FROM events),
+    marks AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 's1'), 1, 8))
+               AS BIGINT) % 2 = 0 AS in_s1,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 's2'), 1, 8))
+               AS BIGINT) % 2 = 0 AS in_s2
+      FROM pop
+    )
+    SELECT CAST(count(*) FILTER (WHERE in_s1) AS BIGINT) AS n1,
+           CAST(count(*) FILTER (WHERE in_s2) AS BIGINT) AS n2,
+           CAST(count(*) FILTER (WHERE in_s1 AND in_s2) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS true_n,
+           CAST((count(*) FILTER (WHERE in_s1) + 1)
+                * (count(*) FILTER (WHERE in_s2) + 1)
+                // (count(*) FILTER (WHERE in_s1 AND in_s2) + 1) - 1
+             AS BIGINT) AS chapman_est
+    FROM marks
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE population estimation (Chapman's corrected
+    Lincoln-Petersen) — the data-quality technique for estimating how
+    many entities exist when no source sees them all: two independent
+    "capture" samples (deterministic md5 halves of the user population),
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from the overlap m. Here the true N
+    rides along, so the estimator's error is inspectable — in
+    production the two samples are two ingestion pipelines and N is
+    unknown. The estimate is computed in INTEGER arithmetic (floor
+    division — a whole-entity count). Plan: one distinct + one
+    conditional aggregate to a single row."""
+    ev = load_table(spark, sf_dir, "events")
+    pop = ev.select("user_id").distinct()
+
+    def mark(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0
+        )
+
+    marks = pop.select(mark("s1").alias("in_s1"), mark("s2").alias("in_s2"))
+    g = marks.agg(
+        F.count(F.when(F.col("in_s1"), 1)).cast("long").alias("n1"),
+        F.count(F.when(F.col("in_s2"), 1)).cast("long").alias("n2"),
+        F.count(F.when(F.col("in_s1") & F.col("in_s2"), 1)).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("true_n"),
+    )
+    return g.select(
+        "n1",
+        "n2",
+        "m",
+        "true_n",
+        (
+            F.expr("(n1 + 1) * (n2 + 1) div (m + 1)") - 1
+        )
+        .cast("long")
+        .alias("chapman_est"),
+    )
+
+
+@_q(
+    "q_raking",
+    """
+    WITH cells AS (
+      SELECT event_type AS e, CAST(user_id % 2 AS INTEGER) AS g,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(count(DISTINCT e) AS BIGINT) AS n_rows_dim
+      FROM cells
+    ),
+    w0 AS (SELECT e, g, n, n * 10000 AS w, total, n_rows_dim FROM cells, t),
+    r1 AS (
+      SELECT e, g, n, total, n_rows_dim,
+             w * (total * 10000 // n_rows_dim)
+               // SUM(w) OVER (PARTITION BY e) AS w
+      FROM w0
+    ),
+    c1 AS (
+      SELECT e, g, n, total, n_rows_dim,
+             w * (total * 10000 // 2) // SUM(w) OVER (PARTITION BY g) AS w
+      FROM r1
+    ),
+    r2 AS (
+      SELECT e, g, n, total, n_rows_dim,
+             w * (total * 10000 // n_rows_dim)
+               // SUM(w) OVER (PARTITION BY e) AS w
+      FROM c1
+    ),
+    c2 AS (
+      SELECT e, g, n, total, n_rows_dim,
+             w * (total * 10000 // 2) // SUM(w) OVER (PARTITION BY g) AS w
+      FROM r2
+    )
+    SELECT e AS event_type, g AS grp, n,
+           CAST(w AS BIGINT) AS weight_dmilli,
+           CAST(SUM(w) OVER (PARTITION BY e) AS BIGINT) AS row_mass,
+           CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS col_mass
+    FROM c2
+    """,
+)
+def q_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKING (iterative proportional fitting) of the event-type × group
+    cell table to UNIFORM margins — survey statistics' post-
+    stratification workhorse, two full row/column sweeps. Determinism is
+    the hard part: real IPF multiplies by float ratios whose margin sums
+    are order-dependent, so this is FIXED-POINT raking — weights live in
+    integer 10⁻⁴ units, every margin sum is an associative integer SUM,
+    and each adjustment is integer multiply-then-div. The emitted
+    row/col masses show convergence toward the targets (exactness to the
+    target is bounded by the fixed-point quantum — documented, not
+    hidden). Plan: one aggregate + four O(cells) window passes; the
+    fact table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("e"), (F.col("user_id") % 2).cast("int").alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = cells.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.countDistinct("e").cast("long").alias("n_rows_dim"),
+    )
+    w0 = cells.crossJoin(F.broadcast(t)).select(
+        "e", "g", "n", "total", "n_rows_dim", (F.col("n") * 10000).alias("w")
+    )
+    we = Window.partitionBy("e")
+    wg = Window.partitionBy("g")
+    row_t = F.expr("total * 10000 div n_rows_dim")
+    col_t = F.expr("total * 10000 div 2")
+
+    def row_sweep(df):
+        return df.select(
+            "e",
+            "g",
+            "n",
+            "total",
+            "n_rows_dim",
+            F.expr(
+                "w * (total * 10000 div n_rows_dim) div rowsum"
+            ).alias("w"),
+        )
+
+    r1 = w0.withColumn("rowsum", F.sum("w").over(we))
+    r1 = row_sweep(r1)
+    c1 = r1.withColumn("colsum", F.sum("w").over(wg)).select(
+        "e",
+        "g",
+        "n",
+        "total",
+        "n_rows_dim",
+        F.expr("w * (total * 10000 div 2) div colsum").alias("w"),
+    )
+    r2 = c1.withColumn("rowsum", F.sum("w").over(we))
+    r2 = row_sweep(r2)
+    c2 = r2.withColumn("colsum", F.sum("w").over(wg)).select(
+        "e",
+        "g",
+        "n",
+        "total",
+        "n_rows_dim",
+        F.expr("w * (total * 10000 div 2) div colsum").alias("w"),
+    )
+    return c2.select(
+        F.col("e").alias("event_type"),
+        F.col("g").alias("grp"),
+        "n",
+        F.col("w").cast("long").alias("weight_dmilli"),
+        F.sum("w").over(we).cast("long").alias("row_mass"),
+        F.sum("w").over(wg).cast("long").alias("col_mass"),
+    )
+
+
+@_q(
+    "q_vocab_richness",
+    """
+    WITH tf AS (
+      SELECT t.term, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents
+      ) t GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS s_obs,
+             CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE f = 1) AS BIGINT) AS f1,
+             CAST(count(*) FILTER (WHERE f = 2) AS BIGINT) AS f2
+      FROM tf
+    )
+    SELECT s_obs, n_tokens, f1, f2,
+           s_obs + (f1 * f1) // (2 * GREATEST(f2, 1)) AS chao1_est,
+           CAST(f1 AS DOUBLE) / n_tokens AS gt_unseen_mass
+    FROM s
+    """,
+)
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY RICHNESS estimation — Chao1 (ecology's species-
+    richness lower bound, standard in corpus linguistics): how many word
+    types exist beyond the S_obs observed, estimated from the singleton/
+    doubleton counts as S + f₁²/(2f₂); plus the GOOD-TURING unseen
+    probability mass f₁/N — the fraction of the NEXT token expected to
+    be a never-seen word, the number that tells a corpus curator whether
+    more data still buys vocabulary. Chao1 is integer arithmetic (floor
+    div, f₂ guarded to ≥1 per the bias-corrected convention); GT mass is
+    ONE division. Plan: explode + one term-frequency aggregate + one
+    reduction to a single row — the inverted-index shape again."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    s = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("f") == 1, 1)).cast("long").alias("f1"),
+        F.count(F.when(F.col("f") == 2, 1)).cast("long").alias("f2"),
+    )
+    return s.select(
+        "s_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        (
+            F.col("s_obs")
+            + F.expr("(f1 * f1) div (2 * GREATEST(f2, CAST(1 AS BIGINT)))")
+        )
+        .cast("long")
+        .alias("chao1_est"),
+        (F.col("f1").cast("double") / F.col("n_tokens")).alias("gt_unseen_mass"),
+    )
+
+
+@_q(
+    "q_hash_collision_audit",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        AS h16
+      FROM documents
+    ),
+    buckets AS (SELECT h16, CAST(count(*) AS BIGINT) AS k FROM h GROUP BY 1),
+    s AS (
+      SELECT CAST(SUM(k) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS coll_pairs,
+             CAST(MAX(k) AS BIGINT) AS max_bucket
+      FROM buckets
+    )
+    SELECT n, n_distinct, coll_pairs, max_bucket,
+           CAST(n * (n - 1) AS BIGINT) AS expected_num,
+           CAST(131072 AS BIGINT) AS expected_den,
+           CAST(n * (n - 1) AS DOUBLE) / 131072 AS expected_pairs
+    FROM s
+    """,
+)
+def q_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-COLLISION audit (birthday-bound check) for a 16-bit hash
+    prefix over document ids — the sanity pass any hash-partitioned or
+    hash-bucketed scheme owes its operator: observed colliding pairs
+    Σk(k−1)/2 against the birthday expectation n(n−1)/2·2⁻¹⁶ (emitted
+    as an exact integer fraction n(n−1)/131072 plus one double), and the
+    worst bucket's load. A healthy hash sits near the expectation; a
+    broken or truncated one blows past it and silently skews every
+    downstream salt/shard/bucket decision. Plan: one map-side hash, one
+    aggregate to buckets, one reduction row."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("h16")
+    )
+    buckets = h.groupBy("h16").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    s = buckets.agg(
+        F.sum("k").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("coll_pairs"),
+        F.max("k").cast("long").alias("max_bucket"),
+    )
+    return s.select(
+        "n",
+        "n_distinct",
+        "coll_pairs",
+        "max_bucket",
+        (F.col("n") * (F.col("n") - 1)).cast("long").alias("expected_num"),
+        F.lit(131072).cast("long").alias("expected_den"),
+        (
+            (F.col("n") * (F.col("n") - 1)).cast("double") / F.lit(131072)
+        ).alias("expected_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -23843,6 +24154,8 @@ _CHECK_PRIORITY = [
     "q_pairwise_bonferroni",
     "q_benjamini_hochberg", "q_page_hinkley", "q_simpson_detect",
     "q_storage_tiering",
+    "q_capture_recapture", "q_raking", "q_vocab_richness",
+    "q_hash_collision_audit",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
