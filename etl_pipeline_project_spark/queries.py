@@ -24107,6 +24107,307 @@ def q_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 110 — standardized residuals, complementary suppression,
+# newsvendor fractile, ABC-XYZ planning matrix.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_haberman_residuals",
+    """
+    WITH cells AS (
+      -- DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based
+      SELECT event_type, dayofweek(ts) + 1 AS dow, CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, dow, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r_tot,
+             CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS c_tot,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow, o, r_tot, c_tot,
+           CAST(r_tot AS DOUBLE) / n * c_tot AS expected,
+           (o - CAST(r_tot AS DOUBLE) / n * c_tot)
+             / sqrt(CAST(r_tot AS DOUBLE) / n * c_tot
+                    * (1 - CAST(r_tot AS DOUBLE) / n)
+                    * (1 - CAST(c_tot AS DOUBLE) / n)) AS adj_residual,
+           ABS((o - CAST(r_tot AS DOUBLE) / n * c_tot)
+             / sqrt(CAST(r_tot AS DOUBLE) / n * c_tot
+                    * (1 - CAST(r_tot AS DOUBLE) / n)
+                    * (1 - CAST(c_tot AS DOUBLE) / n))) > 1.959963984540054
+             AS outlier_cell
+    FROM m
+    """,
+)
+def q_haberman_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HABERMAN ADJUSTED RESIDUALS for the event-type × weekday
+    contingency table — the cell-level diagnostic q_chi_square's omnibus
+    statistic can't give: WHICH cells drive the dependence, each as
+    (O−E)/√(E(1−p_r)(1−p_c)), approximately N(0,1) under independence,
+    flagged beyond the exact z_{0.975} literal. Every input to the fixed
+    scalar expression is an exact integer margin (the windows run on the
+    ≤49-cell table); the expectation and residual are identical IEEE
+    expression trees on both engines. Plan: one fact aggregate, three
+    O(cells) windows — at 100 TB the residual table costs nothing beyond
+    the census."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    m = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).cast("long").alias("r_tot"),
+        F.sum("o").over(Window.partitionBy("dow")).cast("long").alias("c_tot"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    expected = F.col("r_tot").cast("double") / F.col("n") * F.col("c_tot")
+    resid = (F.col("o") - expected) / F.sqrt(
+        expected
+        * (1 - F.col("r_tot").cast("double") / F.col("n"))
+        * (1 - F.col("c_tot").cast("double") / F.col("n"))
+    )
+    return m.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "o",
+        "r_tot",
+        "c_tot",
+        expected.alias("expected"),
+        resid.alias("adj_residual"),
+        (F.abs(resid) > 1.959963984540054).alias("outlier_cell"),
+    )
+
+
+@_q(
+    "q_complementary_suppression",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(user_id % 4 AS INTEGER) AS cohort,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    primary_s AS (SELECT *, n < 20 AS primary_sup FROM cells),
+    ranked AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN primary_sup THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type) AS INTEGER) AS n_sup_row,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY primary_sup, n, cohort) AS rn_small
+      FROM primary_s
+    )
+    SELECT event_type, cohort, n,
+           primary_sup,
+           n_sup_row = 1 AND rn_small = 1 AS complementary_sup,
+           primary_sup OR (n_sup_row = 1 AND rn_small = 1) AS suppressed,
+           CASE WHEN primary_sup OR (n_sup_row = 1 AND rn_small = 1)
+                THEN NULL ELSE n END AS published_n
+    FROM ranked
+    """,
+)
+def q_complementary_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATISTICAL DISCLOSURE CONTROL — primary + COMPLEMENTARY cell
+    suppression: cells under the threshold (n<20 distinct users) are
+    primary-suppressed, but a row with exactly ONE suppressed cell leaks
+    it through the row total, so the smallest unsuppressed cell in that
+    row is suppressed too (total-order tie-break (primary, n, cohort) —
+    both engines pick the same victim). This is the step census
+    agencies run after k-anonymity-style thresholds (q_k_anonymize stops
+    at primary suppression). Published values are NULLed, never zeroed —
+    absence of data is not a value. Plan: one aggregate + two O(cells)
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("int").alias("cohort")
+    ).agg(F.countDistinct("user_id").cast("long").alias("n"))
+    primary_s = cells.withColumn("primary_sup", F.col("n") < 20)
+    we = Window.partitionBy("event_type")
+    ranked = primary_s.select(
+        "*",
+        F.sum(F.when(F.col("primary_sup"), 1).otherwise(0))
+        .over(we)
+        .cast("int")
+        .alias("n_sup_row"),
+        F.row_number()
+        .over(we.orderBy("primary_sup", "n", "cohort"))
+        .alias("rn_small"),
+    )
+    comp = (F.col("n_sup_row") == 1) & (F.col("rn_small") == 1)
+    sup = F.col("primary_sup") | comp
+    return ranked.select(
+        "event_type",
+        "cohort",
+        "n",
+        "primary_sup",
+        comp.alias("complementary_sup"),
+        sup.alias("suppressed"),
+        F.when(sup, F.lit(None).cast("long")).otherwise(F.col("n")).alias(
+            "published_n"
+        ),
+    )
+
+
+@_q(
+    "q_newsvendor",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS demand
+      FROM events GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT event_type, demand, CAST(count(*) AS BIGINT) AS c,
+             CAST(SUM(count(*)) OVER (PARTITION BY event_type ORDER BY demand)
+               AS BIGINT) AS cum,
+             CAST(SUM(count(*)) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+      FROM daily GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT event_type, MIN(demand) AS q_star
+      FROM dist WHERE cum * 4 >= nd * 3
+      GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days, q.q_star,
+           CAST(SUM(GREATEST(d.demand - q.q_star, 0)) AS BIGINT) AS total_underage,
+           CAST(SUM(GREATEST(q.q_star - d.demand, 0)) AS BIGINT) AS total_overage,
+           CAST(3 * SUM(GREATEST(d.demand - q.q_star, 0))
+                + SUM(GREATEST(q.q_star - d.demand, 0)) AS BIGINT) AS total_cost
+    FROM daily d JOIN q ON d.event_type = q.event_type
+    GROUP BY 1, q.q_star
+    """,
+)
+def q_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR critical-fractile stocking — operations research's
+    canonical single-period inventory decision: with underage cost 3 and
+    overage cost 1, stock at the demand distribution's cu/(cu+co) = 75%
+    fractile. The quantile is the count-based discrete rule on the daily
+    demand distribution (integer cum·4 ≥ nd·3 — the q_percentile_disc
+    discipline), and the realized backtest cost 3·Σ(d−Q)⁺ + Σ(Q−d)⁺ is
+    pure integer arithmetic — the optimality of Q* at this fractile is
+    pytest-asserted against its ±1 neighbors. Plan: one aggregate to the
+    daily grid, one cumulative window over distinct demands, a broadcast
+    Q* join back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    dist = daily.groupBy("event_type", "demand").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("demand")
+    dist = dist.select(
+        "event_type",
+        "demand",
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).cast("long").alias("nd"),
+    )
+    q = (
+        dist.filter(F.col("cum") * 4 >= F.col("nd") * 3)
+        .groupBy("event_type")
+        .agg(F.min("demand").alias("q_star"))
+    )
+    j = daily.join(F.broadcast(q), "event_type")
+    under = F.greatest(F.col("demand") - F.col("q_star"), F.lit(0))
+    over = F.greatest(F.col("q_star") - F.col("demand"), F.lit(0))
+    return j.groupBy("event_type", "q_star").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(under).cast("long").alias("total_underage"),
+        F.sum(over).cast("long").alias("total_overage"),
+        (F.sum(under * 3) + F.sum(over)).cast("long").alias("total_cost"),
+    ).select(
+        "event_type", "n_days", "q_star", "total_underage", "total_overage", "total_cost"
+    )
+
+
+@_q(
+    "q_abc_xyz",
+    """
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+               AS BIGINT) AS sqq
+      FROM lineitem GROUP BY 1
+    ),
+    abc AS (
+      SELECT *,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT)
+               AS cum,
+             CAST(SUM(cents) OVER () AS BIGINT) AS tot
+      FROM part_rev
+    ),
+    cls AS (
+      SELECT l_partkey, cents, n, sq, sqq,
+             CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                  WHEN cum * 20 <= tot * 19 THEN 'B' ELSE 'C' END AS abc,
+             -- XYZ on the demand variability: cv^2 = (n*sqq - sq^2)/sq^2,
+             -- classed by INTEGER cross-multiplication (X: cv^2<=1/16,
+             -- Y: cv^2<=1/4, Z above)
+             CASE WHEN (n * sqq - sq * sq) * 16 <= sq * sq THEN 'X'
+                  WHEN (n * sqq - sq * sq) * 4 <= sq * sq THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM abc WHERE n >= 2
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ PLANNING MATRIX — the two-axis inventory segmentation
+    supply planners actually use: ABC = revenue concentration
+    (q_abc_classes' cross-multiplied Pareto cut), XYZ = demand
+    VARIABILITY (coefficient of variation of per-line quantities,
+    classed at cv ≤ 0.25 / ≤ 0.5 / above — compared as the INTEGER
+    cross-multiplication (n·Σq²−(Σq)²)·k ≤ (Σq)², no float cv anywhere).
+    AX items get automated replenishment, CZ items get manual review —
+    the 9-cell census with revenue mass is the planning dashboard. Plan:
+    one lineitem aggregate to parts, two O(parts) windows, a 9-row
+    census."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.sum(F.col("l_quantity").cast("long") * F.col("l_quantity").cast("long"))
+        .cast("long")
+        .alias("sqq"),
+    )
+    wcum = Window.orderBy(F.col("cents").desc(), "l_partkey")
+    abc = part_rev.select(
+        "*",
+        F.sum("cents").over(wcum).cast("long").alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).cast("long").alias("tot"),
+    )
+    var_num = F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")
+    cls = abc.filter(F.col("n") >= 2).select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("cum") * 5 <= F.col("tot") * 4, "A")
+        .when(F.col("cum") * 20 <= F.col("tot") * 19, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(var_num * 16 <= F.col("sq") * F.col("sq"), "X")
+        .when(var_num * 4 <= F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return cls.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -24156,6 +24457,8 @@ _CHECK_PRIORITY = [
     "q_storage_tiering",
     "q_capture_recapture", "q_raking", "q_vocab_richness",
     "q_hash_collision_audit",
+    "q_haberman_residuals", "q_complementary_suppression", "q_newsvendor",
+    "q_abc_xyz",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
