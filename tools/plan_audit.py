@@ -1202,6 +1202,60 @@ def main() -> int:
         )
     )
 
+    # --- round-5 batches 108-110 ---
+    for key in ["q_capture_recapture", "q_vocab_richness",
+                "q_hash_collision_audit", "q_abc_xyz"]:
+        p = plan(key)
+        checks.append(
+            (
+                f"{key} one keyed aggregate + one-row/window reduce (1 hash + 1 single exchange)",
+                len(re.findall(r"Exchange hashpartitioning", p)) == 1
+                and p.count("Exchange SinglePartition") == 1,
+                p[:300],
+            )
+        )
+    p = plan("q_page_hinkley")
+    checks.append(
+        (
+            "q_page_hinkley two aggregates then per-series bounded fold (no extra shuffles)",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 2
+            and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_benjamini_hochberg")
+    checks.append(
+        (
+            "q_benjamini_hochberg broadcast pair self-join, no cartesian",
+            "BroadcastNestedLoop" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_simpson_detect")
+    checks.append(
+        (
+            "q_simpson_detect pooled sign broadcast to strata, no cartesian",
+            "BroadcastNestedLoop" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_newsvendor")
+    checks.append(
+        (
+            "q_newsvendor Q* joined back via BroadcastHashJoin",
+            "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    p = plan("q_haberman_residuals")
+    checks.append(
+        (
+            "q_haberman_residuals margins computed on the tiny cell table (1 fact exchange)",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
