@@ -24408,6 +24408,272 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 111 — inspection paradox, Wilson interval, Palma ratio,
+# Mann-Kendall trend test.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_inspection_paradox",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM events
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(g) AS BIGINT) AS sg,
+             CAST(SUM(g * g) AS BIGINT) AS sgg
+      FROM gaps WHERE g IS NOT NULL
+    )
+    SELECT n_gaps, sg, sgg,
+           CAST(sg AS DOUBLE) / n_gaps AS mean_gap_sec,
+           CAST(sgg AS DOUBLE) / sg AS observer_mean_gap_sec,
+           CAST(sgg AS DOUBLE) / sg / (CAST(sg AS DOUBLE) / n_gaps)
+             AS paradox_ratio
+    FROM s
+    """,
+)
+def q_inspection_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INSPECTION PARADOX (length-biased sampling) quantified on the
+    event stream: the mean interarrival gap is Σg/n, but a probe landing
+    at a RANDOM INSTANT falls into a gap with probability proportional
+    to its length, so the gap it observes averages Σg²/Σg — always ≥ the
+    plain mean (ratio = 1 + CV²). This is why "time since last event"
+    monitors over-report staleness and why sampled latencies skew long —
+    a bias every ops dashboard should correct for, computed here from
+    three exact integer sums with two final divisions. Plan: one
+    partitioned lag window + one map-side-combinable reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gaps = ev.select((sec - F.lag(sec).over(w)).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    s = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+    )
+    mean_gap = F.col("sg").cast("double") / F.col("n_gaps")
+    obs_mean = F.col("sgg").cast("double") / F.col("sg")
+    return s.select(
+        "n_gaps",
+        "sg",
+        "sgg",
+        mean_gap.alias("mean_gap_sec"),
+        obs_mean.alias("observer_mean_gap_sec"),
+        (obs_mean / mean_gap).alias("paradox_ratio"),
+    )
+
+
+@_q(
+    "q_wilson_interval",
+    """
+    WITH u AS (
+      SELECT user_id, event_type,
+             CAST(MAX(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS INTEGER) AS conv
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS x
+      FROM u GROUP BY 1
+    )
+    SELECT event_type, n, x,
+           CAST(x AS DOUBLE) / n AS p_hat,
+           (CAST(x AS DOUBLE) / n + 3.8414588206941254 / (2 * n)
+             - 1.959963984540054 * sqrt(CAST(x AS DOUBLE) / n
+                 * (1 - CAST(x AS DOUBLE) / n) / n
+                 + 3.8414588206941254 / (4.0 * n * n)))
+             / (1 + 3.8414588206941254 / n) AS wilson_lo,
+           (CAST(x AS DOUBLE) / n + 3.8414588206941254 / (2 * n)
+             + 1.959963984540054 * sqrt(CAST(x AS DOUBLE) / n
+                 * (1 - CAST(x AS DOUBLE) / n) / n
+                 + 3.8414588206941254 / (4.0 * n * n)))
+             / (1 + 3.8414588206941254 / n) AS wilson_hi
+    FROM g
+    """,
+)
+def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE confidence interval for segment conversion rates —
+    the CI that behaves at the boundaries where the naive Wald interval
+    collapses (p̂±z√(p̂q̂/n) gives zero width at 0% or 100% and escapes
+    [0,1]): center (p̂ + z²/2n)/(1 + z²/n) with the score-test radius.
+    z = 1.959963984540054 and z² = 3.8414588206941254 are exact double
+    LITERALS; the interval is a fixed scalar IEEE expression over two
+    integers, so both engines agree bit-for-bit. Plan: user-grain
+    aggregate + segment aggregate — two map-side-combinable passes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.col("value") > 100, 1).otherwise(0)).cast("int").alias("conv")
+    )
+    g = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    z = F.lit(1.959963984540054)
+    z2 = F.lit(3.8414588206941254)
+    radius = z * F.sqrt(p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n")))
+    denom = 1 + z2 / F.col("n")
+    return g.select(
+        "event_type",
+        "n",
+        "x",
+        p.alias("p_hat"),
+        ((p + z2 / (2 * F.col("n")) - radius) / denom).alias("wilson_lo"),
+        ((p + z2 / (2 * F.col("n")) + radius) / denom).alias("wilson_hi"),
+    )
+
+
+@_q(
+    "q_palma_ratio",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    rk AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM u
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN rn * 10 <= n THEN v END) AS BIGINT) AS top10_micro,
+           CAST(SUM(CASE WHEN (n - rn) * 10 < n * 4 THEN v END) AS BIGINT)
+             AS bottom40_micro,
+           CAST(SUM(CASE WHEN rn * 10 <= n THEN v END) AS DOUBLE)
+             / SUM(CASE WHEN (n - rn) * 10 < n * 4 THEN v END) AS palma
+    FROM rk
+    """,
+)
+def q_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALMA RATIO — the inequality measure that reads directly (top-10%
+    share over bottom-40% share; the Gini compresses exactly the part of
+    the distribution that moves) — here over per-user value mass, the
+    whale-concentration number a marketplace/abuse team tracks next to
+    q_gini and q_hhi. Membership in the decile groups is decided by
+    INTEGER rank arithmetic (rn·10 ≤ n for the top, (n−rn)·10 < 4n for
+    the bottom — total-order tie-break by user), the masses are integer
+    micro sums, the ratio ONE division. Plan: one unit aggregate + one
+    global rank (single shuffle) + one reduction."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    rk = u.select(
+        "v",
+        "user_id",
+        F.row_number().over(Window.orderBy(F.col("v").desc(), "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    top = F.when(F.col("rn") * 10 <= F.col("n"), F.col("v"))
+    bot = F.when((F.col("n") - F.col("rn")) * 10 < F.col("n") * 4, F.col("v"))
+    return rk.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.sum(top).cast("long").alias("top10_micro"),
+        F.sum(bot).cast("long").alias("bottom40_micro"),
+    ).select(
+        "n_users",
+        "top10_micro",
+        "bottom40_micro",
+        (
+            F.col("top10_micro").cast("double") / F.col("bottom40_micro")
+        ).alias("palma"),
+    )
+
+
+@_q(
+    "q_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    ),
+    nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1)
+    SELECT s.event_type, n, s_stat, n_pairs,
+           CAST(n * (n - 1) * (2 * n + 5) AS BIGINT) AS var18_num,
+           (CAST(s_stat AS DOUBLE)
+              - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+             / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18) AS z,
+           ABS((CAST(s_stat AS DOUBLE)
+              - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+             / sqrt(CAST(n * (n - 1) * (2 * n + 5) AS DOUBLE) / 18))
+             > 1.959963984540054 AS trending
+    FROM s JOIN nn ON s.event_type = nn.event_type
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test per daily series — the nonparametric
+    "is this metric actually trending" test (no normality or linearity
+    assumption; the standard in environmental and capacity monitoring):
+    S = Σ_{i<j} sign(x_j − x_i) over all day pairs, variance
+    n(n−1)(2n+5)/18 (no-ties form — emitted as the integer numerator),
+    continuity-corrected z against the exact z_{0.975} literal. S and
+    the pair census are pure integers from a self-join of the ~30-row
+    daily rollup; z is one fixed expression. Plan: one fact aggregate,
+    one O(days²)-on-the-rollup join — corpus-size-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("db") > F.col("da"))
+    ).select(
+        "event_type",
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = s.join(nn, "event_type")
+    var18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)).cast("long")
+    cc = (
+        F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
+    )
+    z = (F.col("s_stat").cast("double") - cc) / F.sqrt(var18.cast("double") / 18)
+    return j.select(
+        "event_type",
+        "n",
+        "s_stat",
+        "n_pairs",
+        var18.alias("var18_num"),
+        z.alias("z"),
+        (F.abs(z) > 1.959963984540054).alias("trending"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -24459,6 +24725,8 @@ _CHECK_PRIORITY = [
     "q_hash_collision_audit",
     "q_haberman_residuals", "q_complementary_suppression", "q_newsvendor",
     "q_abc_xyz",
+    "q_inspection_paradox", "q_wilson_interval", "q_palma_ratio",
+    "q_mann_kendall",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
