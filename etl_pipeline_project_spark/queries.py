@@ -24674,6 +24674,327 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 batch 112 — Brier score with Murphy decomposition, expected
+# calibration error, Qini curve, risk-coverage curve.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q_brier_score",
+    """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 2000) AS BIGINT) AS p_micro,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END
+               AS BIGINT) AS y_micro
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM((p_micro - y_micro) * (p_micro - y_micro)) AS BIGINT)
+             AS sq_err_micro2,
+           CAST(SUM((p_micro - y_micro) * (p_micro - y_micro)) AS DOUBLE)
+             / count(*) / 1000000000000 AS brier,
+           CAST(SUM(y_micro) AS BIGINT) AS pos_micro,
+           (CAST(SUM(y_micro) AS DOUBLE) / count(*) / 1000000)
+             * (1 - CAST(SUM(y_micro) AS DOUBLE) / count(*) / 1000000)
+             AS uncertainty
+    FROM s
+    """,
+)
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE — mean squared error of a probability forecast
+    (score = value/500 as the proxy model, outcome = purchase), plus the
+    UNCERTAINTY term of Murphy's decomposition (p̄(1−p̄), the score a
+    climatology forecast would get — the floor any model must beat).
+    Determinism: probabilities and outcomes are integer MICROS, so the
+    squared-error sum is an exact associative integer (≤10¹² per row)
+    and the Brier is ONE division; uncertainty is a fixed expression on
+    two integers. Plan: a single map-side-combinable aggregate — grading
+    a 100 TB forecast log costs one pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        F.floor(F.col("value") * 2000).cast("long").alias("p_micro"),
+        F.when(F.col("event_type") == "purchase", 1000000)
+        .otherwise(0)
+        .cast("long")
+        .alias("y_micro"),
+    )
+    d = F.col("p_micro") - F.col("y_micro")
+    g = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * d).cast("long").alias("sq_err_micro2"),
+        F.sum("y_micro").cast("long").alias("pos_micro"),
+    )
+    pbar = F.col("pos_micro").cast("double") / F.col("n") / F.lit(1000000)
+    return g.select(
+        "n",
+        "sq_err_micro2",
+        (
+            F.col("sq_err_micro2").cast("double")
+            / F.col("n")
+            / F.lit(1000000000000)
+        ).alias("brier"),
+        "pos_micro",
+        (pbar * (1 - pbar)).alias("uncertainty"),
+    )
+
+
+@_q(
+    "q_expected_calibration_error",
+    """
+    WITH s AS (
+      SELECT CAST(FLOOR(value * 2000) AS BIGINT) AS p_micro,
+             CAST(event_type = 'purchase' AS INTEGER) AS y,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p_micro, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    bins AS (
+      SELECT CAST((rn - 1) * 10 // n + 1 AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS n_bin,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro,
+             CAST(MAX(n) AS BIGINT) AS n_total
+      FROM rk GROUP BY 1
+    )
+    SELECT bin, n_bin, pos, sum_p_micro,
+           ABS(CAST(pos AS DOUBLE) / n_bin
+               - CAST(sum_p_micro AS DOUBLE) / n_bin / 1000000) AS bin_gap,
+           ABS(CAST(pos AS DOUBLE) / n_bin
+               - CAST(sum_p_micro AS DOUBLE) / n_bin / 1000000)
+             * n_bin / n_total AS ece_contrib
+    FROM bins
+    """,
+)
+def q_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR (per-bin contributions) — the modern
+    "is the model's confidence honest" metric: in each of 10 rank-based
+    equal-count bins, |observed positive rate − mean predicted
+    probability|, weighted by bin mass; ECE is the sum of the emitted
+    ece_contrib column (the per-bin table is the contract surface, so no
+    cross-bin float summation order enters the hash). Probabilities are
+    integer micros, bins use the engine-stable rank rule, each gap is a
+    fixed expression with divisions last. Extends q_calibration_bins
+    from the reliability TABLE to the reliability METRIC. Plan: one
+    global rank + one aggregate — a percentile-pass shape."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        F.floor(F.col("value") * 2000).cast("long").alias("p_micro"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        "event_id",
+    )
+    rk = s.select(
+        "*",
+        F.row_number().over(Window.orderBy("p_micro", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bins = rk.groupBy(
+        F.expr("((rn - 1) * 10) div n + 1").cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bin"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("p_micro").cast("long").alias("sum_p_micro"),
+        F.max("n").cast("long").alias("n_total"),
+    )
+    gap = F.abs(
+        F.col("pos").cast("double") / F.col("n_bin")
+        - F.col("sum_p_micro").cast("double") / F.col("n_bin") / F.lit(1000000)
+    )
+    return bins.select(
+        "bin",
+        "n_bin",
+        "pos",
+        "sum_p_micro",
+        gap.alias("bin_gap"),
+        (gap * F.col("n_bin") / F.col("n_total")).alias("ece_contrib"),
+    )
+
+
+@_q(
+    "q_qini_curve",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS grp,
+             CAST(count(*) FILTER (WHERE day(ts) <= 15) AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+                           THEN 1 ELSE 0 END) AS INTEGER) AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM u
+    ),
+    dec AS (
+      SELECT CAST((rn - 1) * 10 // n + 1 AS INTEGER) AS decile,
+             CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_t,
+             CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_c,
+             CAST(SUM(conv) FILTER (WHERE grp = 1) AS BIGINT) AS conv_t,
+             CAST(SUM(conv) FILTER (WHERE grp = 0) AS BIGINT) AS conv_c
+      FROM rk GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(SUM(n_t) OVER w AS BIGINT) AS cum_nt,
+             CAST(SUM(n_c) OVER w AS BIGINT) AS cum_nc,
+             CAST(SUM(conv_t) OVER w AS BIGINT) AS cum_ct,
+             CAST(SUM(conv_c) OVER w AS BIGINT) AS cum_cc
+      FROM dec
+      WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT decile, cum_nt, cum_nc, cum_ct, cum_cc,
+           CAST(cum_ct * cum_nc - cum_cc * cum_nt AS BIGINT) AS qini_num,
+           CAST(GREATEST(cum_nc, 1) AS BIGINT) AS qini_den_nc,
+           CAST(cum_ct AS DOUBLE)
+             - CAST(cum_cc AS DOUBLE) * cum_nt / GREATEST(cum_nc, 1)
+             AS qini_y
+    FROM cum
+    """,
+)
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI CURVE points — uplift modeling's cumulative-gain chart: rank
+    the population by the targeting score, and at each decile plot the
+    incremental conversions cum_ct − cum_cc·(n_t/n_c) (treated
+    conversions beyond what the control rate predicts for the treated
+    mass). The curve's integer core rides along (qini_num =
+    cum_ct·cum_nc − cum_cc·cum_nt — the sign and ordering carrier),
+    the y value is one fixed expression. Extends q_uplift_deciles from
+    per-bucket rates to the cumulative targeting-policy view. Plan: one
+    unit aggregate, one global rank, one O(10) cumulative window."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.count(F.when(F.dayofmonth("ts") <= 15, 1)).cast("long").alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.dayofmonth("ts") > 15), 1
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("conv"),
+    )
+    rk = u.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    t = F.col("grp") == 1
+    dec = rk.groupBy(
+        F.expr("((rn - 1) * 10) div n + 1").cast("int").alias("decile")
+    ).agg(
+        F.count(F.when(t, 1)).cast("long").alias("n_t"),
+        F.count(F.when(~t, 1)).cast("long").alias("n_c"),
+        F.sum(F.when(t, F.col("conv"))).cast("long").alias("conv_t"),
+        F.sum(F.when(~t, F.col("conv"))).cast("long").alias("conv_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dec.select(
+        "decile",
+        F.sum("n_t").over(w).cast("long").alias("cum_nt"),
+        F.sum("n_c").over(w).cast("long").alias("cum_nc"),
+        F.sum("conv_t").over(w).cast("long").alias("cum_ct"),
+        F.sum("conv_c").over(w).cast("long").alias("cum_cc"),
+    )
+    den = F.greatest(F.col("cum_nc"), F.lit(1))
+    return cum.select(
+        "decile",
+        "cum_nt",
+        "cum_nc",
+        "cum_ct",
+        "cum_cc",
+        (
+            F.col("cum_ct") * F.col("cum_nc") - F.col("cum_cc") * F.col("cum_nt")
+        )
+        .cast("long")
+        .alias("qini_num"),
+        den.cast("long").alias("qini_den_nc"),
+        (
+            F.col("cum_ct").cast("double")
+            - F.col("cum_cc").cast("double") * F.col("cum_nt") / den
+        ).alias("qini_y"),
+    )
+
+
+@_q(
+    "q_risk_coverage",
+    """
+    WITH s AS (
+      SELECT n_chars AS conf, CAST(lang <> 'en' AS INTEGER) AS err, doc_id
+      FROM documents
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY conf DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    dec AS (
+      SELECT CAST((rn - 1) * 10 // n + 1 AS INTEGER) AS decile,
+             CAST(count(*) AS BIGINT) AS n_bin,
+             CAST(SUM(err) AS BIGINT) AS errs,
+             CAST(MAX(n) AS BIGINT) AS n_total
+      FROM rk GROUP BY 1
+    )
+    SELECT decile,
+           CAST(SUM(n_bin) OVER w AS BIGINT) AS covered,
+           CAST(SUM(errs) OVER w AS BIGINT) AS cum_errs,
+           CAST(SUM(n_bin) OVER w AS DOUBLE) / MAX(n_total) OVER () AS coverage,
+           CAST(SUM(errs) OVER w AS DOUBLE) / SUM(n_bin) OVER w AS risk
+    FROM dec
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def q_risk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RISK-COVERAGE CURVE — selective prediction's operating chart:
+    rank items by model confidence (proxy: document length predicting
+    English), and at each coverage decile report the error rate among
+    the items the model would answer on (abstaining on the rest). The
+    curve answers "how much coverage can we keep at ≤X% risk" — the
+    abstention-policy question every selective classifier and every
+    LLM-routing cascade asks. Counts are integers through the cumulative
+    windows; coverage and risk are one division each. Plan: one global
+    rank + one aggregate + an O(10) cumulative window."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        F.col("n_chars").alias("conf"),
+        (F.col("lang") != "en").cast("int").alias("err"),
+        "doc_id",
+    )
+    rk = s.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.col("conf").desc(), "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    dec = rk.groupBy(
+        F.expr("((rn - 1) * 10) div n + 1").cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bin"),
+        F.sum("err").cast("long").alias("errs"),
+        F.max("n").cast("long").alias("n_total"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return dec.select(
+        "decile",
+        F.sum("n_bin").over(w).cast("long").alias("covered"),
+        F.sum("errs").over(w).cast("long").alias("cum_errs"),
+        (
+            F.sum("n_bin").over(w).cast("double") / F.max("n_total").over(wall)
+        ).alias("coverage"),
+        (F.sum("errs").over(w).cast("double") / F.sum("n_bin").over(w)).alias(
+            "risk"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering. The correctness driver checks keys in registration
 # order and caps how many it checks per round, so ordering is evidence
 # policy: (1) an explicit priority block — keys that most need fresh driver
@@ -24727,6 +25048,8 @@ _CHECK_PRIORITY = [
     "q_abc_xyz",
     "q_inspection_paradox", "q_wilson_interval", "q_palma_ratio",
     "q_mann_kendall",
+    "q_brier_score", "q_expected_calibration_error", "q_qini_curve",
+    "q_risk_coverage",
     # --- never driver-checked (223 keys after r1-r4's 182; original
     # relative order preserved) ---
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
