@@ -1256,6 +1256,63 @@ def main() -> int:
         )
     )
 
+    # --- round-5 batches 111-112 ---
+    p = plan("q_brier_score")
+    checks.append(
+        (
+            "q_brier_score ONE map-side-combinable pass to one row (zero hash shuffles)",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 0
+            and p.count("Exchange SinglePartition") == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_inspection_paradox")
+    checks.append(
+        (
+            "q_inspection_paradox one lag window + one-row reduce (1 hash + 1 single exchange)",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 1
+            and p.count("Exchange SinglePartition") == 1,
+            p[:300],
+        )
+    )
+    p = plan("q_wilson_interval")
+    checks.append(
+        (
+            "q_wilson_interval two map-side-combinable aggregates only",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 2
+            and "partial" in p.lower(),
+            p[:300],
+        )
+    )
+    p = plan("q_mann_kendall")
+    checks.append(
+        (
+            "q_mann_kendall pair algebra on the broadcast daily rollup, no cartesian",
+            "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+    for key in ["q_expected_calibration_error", "q_risk_coverage"]:
+        p = plan(key)
+        checks.append(
+            (
+                f"{key} global rank + decile aggregate (single-partition rank only)",
+                len(re.findall(r"Exchange hashpartitioning", p)) == 0
+                and p.count("Exchange SinglePartition") == 1,
+                p[:300],
+            )
+        )
+    p = plan("q_qini_curve")
+    checks.append(
+        (
+            "q_qini_curve one unit aggregate + global rank + O(10) cumulative window",
+            len(re.findall(r"Exchange hashpartitioning", p)) == 1
+            and p.count("Exchange SinglePartition") == 1
+            and "CartesianProduct" not in p,
+            p[:300],
+        )
+    )
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
