@@ -4795,20 +4795,14 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT user_id,
-             CAST(SUM(CAST(v_micro AS DECIMAL(38,0)) * date_diff('microsecond', ts, next_ts)) AS DECIMAL(24,0)) AS s,
+             CAST(SUM(CAST(v_micro AS HUGEINT) * date_diff('microsecond', ts, next_ts)) AS DECIMAL(24,0)) AS s,
              SUM(date_diff('microsecond', ts, next_ts)) AS total_us
       FROM seq WHERE next_ts IS NOT NULL GROUP BY 1
-    ),
-    ext AS (
-      SELECT user_id, s, total_us,
-             CAST(CAST(s AS HUGEINT) // total_us AS BIGINT) AS q,
-             CAST(CAST(s AS HUGEINT) % total_us AS BIGINT) AS r
-      FROM agg
     )
     SELECT user_id, s, total_us,
-           (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / CAST(total_us AS DOUBLE))
-             / 1000000 AS time_weighted_avg
-    FROM ext
+           CAST(CAST(s AS HUGEINT) // total_us AS BIGINT) AS q,
+           CAST(CAST(s AS HUGEINT) % total_us AS BIGINT) AS r
+    FROM agg
     """,
 )
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4817,21 +4811,24 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     not by sample count. lead() over the (ts, event_id) total order gives
     each reading's holding interval.
 
-    Determinism recipe (engine-version-proof, per the round-4 verdict):
+    Determinism recipe (engine-version-proof, per the round-5 verdict):
     the reading is quantized to integer micro-units with ``floor(value·1e6)``
-    (floor is rounding-MODE-free), products accumulate exactly in
-    decimal(38,0) and narrow to decimal(24,0) — still exact: sf0.1 max |s|
-    ≈ 2.2e20, 1e4× headroom. The PROJECTED surface is then only exact
-    integers plus one double derived from integers below 2^53: the r4
-    driver hash-FAIL traced to decimal ROUND/rescale rules that changed
-    across DuckDB versions, so no decimal ever meets a ROUND or a double
-    cast here. Instead q = s div total_us (≤ max value·1e6 ≈ 5.6e8) and
-    r = s mod total_us (< total_us ≤ 2.6e12; 2^53 µs ≈ 285 years — safe
-    at any scale) are mathematically determined integer div/mod on
-    non-negative operands (value ≥ 0 ⇒ s ≥ 0), every double conversion is
-    exact, and the remaining three IEEE ops (r/t, +q, /1e6) are
-    correctly-rounded with identical operands in identical order on both
-    engines — no engine-discretion surface remains."""
+    (floor is rounding-MODE-free). The twin accumulates in HUGEINT —
+    ``SUM(CAST(v_micro AS HUGEINT) * date_diff(...))`` — because
+    HUGEINT×BIGINT is exact in EVERY DuckDB release, whereas the previous
+    ``DECIMAL(38,0) * BIGINT`` product overflows precision 38 and DuckDB's
+    handling of that overflow changed across versions (clamp in 1.0.0,
+    convert-to-DOUBLE — lossy above 2^53 — in newer releases): exactly the
+    rows check-pass / schema check-pass / hash-FAIL driver signature seen in
+    r4 and r5. One final CAST narrows the exact sum to decimal(24,0) (sf0.1
+    max |s| ~ 2.2e20, 1e4x headroom; Spark mirrors with decimal(38,0)
+    accumulation, which never overflows there because Spark's sum widens
+    correctly — only the DuckDB side had the version trap). The PROJECTED
+    surface is integers only — user_id, s, total_us, q = s div total_us,
+    r = s mod total_us (mathematically determined div/mod on non-negative
+    operands; value >= 0 implies s >= 0) — so the hash contains ZERO IEEE
+    operations of any provenance; a consumer reconstructs the average as
+    (q + r/total_us)/1e6."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.withColumn(
@@ -4853,21 +4850,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
         F.sum(dur_us).alias("total_us"),
     )
-    ext = agg.select(
+    return agg.select(
         "user_id",
         "s",
         "total_us",
         F.expr("CAST(s div total_us AS BIGINT)").alias("q"),
         F.expr("CAST(s % total_us AS BIGINT)").alias("r"),
-    )
-    return ext.select(
-        "user_id",
-        "s",
-        "total_us",
-        (
-            (F.col("q").cast("double") + F.col("r").cast("double") / F.col("total_us").cast("double"))
-            / F.lit(1000000.0)
-        ).alias("time_weighted_avg"),
     )
 
 
@@ -24683,7 +24671,7 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_brier_score",
     """
     WITH s AS (
-      SELECT CAST(FLOOR(value * 2000) AS BIGINT) AS p_micro,
+      SELECT LEAST(CAST(FLOOR(value * 2000) AS BIGINT), 1000000) AS p_micro,
              CAST(CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END
                AS BIGINT) AS y_micro
       FROM events WHERE value IS NOT NULL
@@ -24708,11 +24696,16 @@ def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: probabilities and outcomes are integer MICROS, so the
     squared-error sum is an exact associative integer (≤10¹² per row)
     and the Brier is ONE division; uncertainty is a fixed expression on
-    two integers. Plan: a single map-side-combinable aggregate — grading
-    a 100 TB forecast log costs one pass."""
+    two integers. The proxy probability is clamped with LEAST(·, 1e6) on
+    BOTH engines so rows with value > 500 cannot produce p > 1 and break
+    the Murphy-decomposition floor semantics (round-5 ADVICE low). Plan:
+    a single map-side-combinable aggregate — grading a 100 TB forecast
+    log costs one pass."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = ev.select(
-        F.floor(F.col("value") * 2000).cast("long").alias("p_micro"),
+        F.least(
+            F.floor(F.col("value") * 2000).cast("long"), F.lit(1000000)
+        ).alias("p_micro"),
         F.when(F.col("event_type") == "purchase", 1000000)
         .otherwise(0)
         .cast("long")
@@ -25005,53 +24998,40 @@ def q_risk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the tail, where a capped check loses the least information.
 # ---------------------------------------------------------------------------
 
+# The round whose CORRECTNESS_r*.json files were the input to the current
+# rotation below. tests/test_registry_order.py asserts the rotation never
+# lags the newest committed driver artifact by more than one round, so the
+# re-rotation step cannot be silently skipped (round-5 verdict item 7).
+_ROTATION_INPUT_ROUNDS = 5
+
 _CHECK_PRIORITY = [
-    # --- round-5 rotation (re-rotate each round from CORRECTNESS_r*.json).
-    # Position 1: q_time_weighted_avg — the single r4 driver hash-FAIL,
-    # reworked this round to an integer-only projected surface (no decimal
-    # ROUND/cast); first so CORRECTNESS_r05 re-checks the fix.
+    # --- round-6 rotation (regenerated each round from the union of
+    # committed CORRECTNESS_r*.json — see tests/test_registry_order.py,
+    # which enforces this policy so it cannot silently regress).
+    # Position 1: q_time_weighted_avg — the r4+r5 driver hash-FAIL, twin
+    # rewritten this round to HUGEINT accumulation + an integer-only
+    # projected surface (round-5 verdict item 1); first so CORRECTNESS_r06
+    # re-checks the fix.
     "q_time_weighted_avg",
-    # --- round-5 new keys (driver should see them first after the fix) ---
-    "q_scan_xml_roundtrip", "q_hybrid_search_rrf", "q_source_tv_distance",
-    "q_blocking_eval", "q_stream_quality_gate",
-    "q_m4_downsample", "q_priority_sample", "q_calibration_bins",
-    "q_epoch_plan",
-    "q_stream_stream_left_join", "q_bitemporal_join", "q_kfold_assign",
-    "q_semi_additive_balance",
-    "q_lttb_downsample", "q_ngram_lm_pairs", "q_poisson_bootstrap",
-    "q_rendezvous_hash",
-    "q_diff_in_diff", "q_ratio_delta_method", "q_neyman_allocation",
-    "q_term_pmi",
-    "q_cuped", "q_mde_power", "q_quantile_treatment_effect",
-    "q_post_stratified_ate",
-    "q_shapley_attribution", "q_kmv_set_ops", "q_uplift_deciles",
-    "q_two_proportion_ztest",
-    "q_stream_window_append", "q_scd3_dim", "q_knn_graph_blocked",
-    "q_knn_recall_eval",
-    "q_incr_join_maintenance", "q_delete_vectors_apply",
-    "q_bootstrap_diff_ci", "q_watermark_sweep",
-    "q_cross_correlation", "q_fano_dispersion", "q_forecast_backtest",
-    "q_ngram_novelty",
-    "q_offline_policy_eval", "q_occ_conflicts", "q_arc_elasticity",
-    "q_sla_burn_rate",
-    "q_relational_division", "q_allen_relations", "q_cents_digit_bias",
-    "q_rank_biased_overlap",
-    "q_mcnemar_test", "q_cohen_kappa", "q_cost_threshold",
-    "q_matched_pairs_att",
-    "q_interim_analysis", "q_beta_posterior", "q_eb_shrinkage",
-    "q_pairwise_bonferroni",
+    # --- batches 108-112 (landed after the r5 driver check ran; never
+    # driver-sampled) ---
     "q_benjamini_hochberg", "q_page_hinkley", "q_simpson_detect",
-    "q_storage_tiering",
-    "q_capture_recapture", "q_raking", "q_vocab_richness",
-    "q_hash_collision_audit",
-    "q_haberman_residuals", "q_complementary_suppression", "q_newsvendor",
-    "q_abc_xyz",
+    "q_storage_tiering", "q_capture_recapture", "q_raking",
+    "q_vocab_richness", "q_hash_collision_audit", "q_haberman_residuals",
+    "q_complementary_suppression", "q_newsvendor", "q_abc_xyz",
     "q_inspection_paradox", "q_wilson_interval", "q_palma_ratio",
-    "q_mann_kendall",
-    "q_brier_score", "q_expected_calibration_error", "q_qini_curve",
-    "q_risk_coverage",
-    # --- never driver-checked (223 keys after r1-r4's 182; original
-    # relative order preserved) ---
+    "q_mann_kendall", "q_brier_score", "q_expected_calibration_error",
+    "q_qini_curve", "q_risk_coverage",
+    # --- remaining never-driver-checked keys, OLDEST FIRST (registration
+    # order): the r2-r3 mid-tier — TPC-H q2-q22, stats/TSDB batches,
+    # warehouse tier — drains before anything newer. New-key production is
+    # FROZEN this round (round-5 verdict item 2) so the backlog converges.
+    "q_text_pii_redact", "q_stratified_sample", "q_token_stats_by_source",
+    "q_dedup_groups", "q_join_full_outer", "q_window_distribution",
+    "q_agg_grouping_sets", "q_scd2_dim", "q_cdc_apply",
+    "q_profile_stats", "q_corr_exact", "q_array_ops",
+    "q_doc_chunk", "q_text_ngram_freq", "q_fuzzy_match",
+    "q_embed_centroid", "q_text_lm_quality", "q_ewma",
     "q_hash_split", "q_scan_json_roundtrip", "q_pagerank_nations",
     "q_sql_q7", "q_sql_q10", "q_udf_arrow_batch",
     "q_robust_scaler", "q_window_first_last", "q_sql_q14",
@@ -25061,107 +25041,73 @@ _CHECK_PRIORITY = [
     "q_sql_q17", "q_sql_q19", "q_sql_q22",
     "q_sql_q2", "q_sql_q9", "q_sql_q11",
     "q_sql_q12", "q_sql_q16", "q_sql_q20",
-    "q_sql_q21", "q_text_lm_quality", "q_ewma",
-    "q_locf_fill", "q_counter_increase", "q_autocorr_lag1",
-    "q_table_checksum", "q_table_diff", "q_feature_hash",
-    "q_embed_quantize_int8", "q_domain_mix_sample", "q_numeric_histogram",
-    "q_bitmap_distinct", "q_chi_square", "q_holt_linear",
-    "q_bollinger_bands", "q_eval_metrics", "q_ndcg_bm25",
-    "q_cusum_detect", "q_mutual_information", "q_agg_window_hopping",
-    "q_ks_test", "q_dq_uniqueness", "q_partition_migration",
-    "q_rolling_mau", "q_attribution_last_touch", "q_streak_longest",
-    "q_weighted_median", "q_spearman_rho", "q_mann_whitney_u",
-    "q_tree_reachability", "q_boilerplate_strip", "q_doc_keywords",
-    "q_quantile_normalize", "q_vector_normalize", "q_split_leakage",
-    "q_file_stats_pruning", "q_snapshot_time_travel", "q_compaction_plan",
-    "q_join_theta_bnl", "q_sax_symbolize", "q_time_to_convert",
-    "q_inventory_fifo", "q_variant_json", "q_lateral_topk",
-    "q_scalar_subquery_corr", "q_try_arith", "q_hint_suite",
-    "q_observe_metrics", "q_stream_hopping", "q_cms_heavy_hitters",
-    "q_bloom_membership", "q_tz_convert", "q_iso_week_rollup",
-    "q_emd_tcloseness", "q_retention_sweep", "q_alloc_largest_remainder",
-    "q_benford_digits", "q_rfm_segments", "q_assoc_confidence",
-    "q_survival_table", "q_dup_ngram_coverage", "q_partition_bounds",
-    "q_kmv_distinct", "q_union_by_name", "q_l_diversity",
-    "q_scan_text_roundtrip", "q_ltv_cohort_curve", "q_string_agg_ordered",
-    "q_log2_histogram", "q_seasonal_residual", "q_scan_csv_permissive",
-    "q_stream_complete_agg", "q_struct_ops", "q_lambda_array_suite",
-    "q_auc_roc", "q_vacuum_plan", "q_scan_python_datasource",
-    "q_sql_pipe", "q_group_by_all", "q_merge_all_clauses",
-    "q_fd_audit", "q_null_ordering", "q_array_set_ops",
-    "q_id_gap_ranges", "q_price_volume_bridge", "q_abc_classes",
-    "q_segment_migration", "q_interarrival_histogram", "q_dup_span_detect",
-    "q_corpus_report", "q_cluster_size_stats", "q_dedup_normalized",
-    "q_session_paths", "q_peak_detect", "q_vwap",
-    "q_history_compress", "q_scan_binaryfile", "q_join_asof_nearest",
-    "q_gains_table", "q_keyset_pagination", "q_set_intersect_all",
-    "q_attribution_linear", "q_seasonality_index", "q_feature_assembly",
-    "q_pattern_match_triple", "q_inverted_index_stats", "q_daily_percentile_bands",
-    "q_langid_eval", "q_agg_bucketed", "q_agg_salted_skew",
-    "q_join_dpp", "q_stream_checkpoint_resume", "q_lambda_map_suite",
-    "q_udf_sql_registered", "q_incremental_watermark", "q_dead_letter_route",
-    "q_per_user_cap", "q_target_encode_loo", "q_profile_drift",
-    "q_session_bounce", "q_preagg_before_join", "q_fiscal_445",
-    "q_dynamic_partition_overwrite", "q_rate_smoothed", "q_nested_schema_pruning",
-    "q_entity_sample", "q_collation_group", "q_interval_daytime",
-    "q_str_to_map", "q_negative_sampling", "q_monotonic_ids",
-    "q_dedup_policy_matrix", "q_stream_late_drop", "q_sql_parameterized",
-    "q_sql_identifier", "q_rolling_slope", "q_role_playing_dim",
-    "q_unknown_member", "q_accumulating_snapshot", "q_embed_drift",
-    "q_cross_source_dups", "q_tokenizer_fertility", "q_nest_denormalize",
-    "q_empty_relation", "q_union_distinct", "q_inline_dim_join",
-    "q_try_cast_matrix", "q_vocab_drift", "q_debounce",
-    "q_hierarchical_share", "q_model_score_broadcast", "q_stream_dedup_watermarked",
-    "q_stream_sink_partitioned", "q_mtd_ytd", "q_business_days",
-    "q_aging_report", "q_grouped_map_pandas", "q_minmax_scale",
-    "q_group_vs_rest", "q_freshness_audit", "q_cte_reuse",
-    "q_distinct_complex", "q_item_similarity", "q_graph_2hop",
-    "q_composition_shares", "q_max_concurrency", "q_backlog_curve",
-    "q_sla_compliance", "q_centered_ma", "q_multi_offset_lags",
-    "q_temporal_cooccurrence", "q_conversion_by_path", "q_decayed_frequency",
-    "q_decile_spread", "q_onehot_encode", "q_column_checksums",
-    "q_select_except", "q_mode_all_ties", "q_text_pii_redact",
-    "q_stratified_sample", "q_token_stats_by_source", "q_dedup_groups",
-    "q_join_full_outer", "q_window_distribution", "q_agg_grouping_sets",
-    "q_scd2_dim", "q_cdc_apply", "q_profile_stats",
-    "q_corr_exact", "q_array_ops", "q_doc_chunk",
-    "q_text_ngram_freq", "q_fuzzy_match", "q_embed_centroid",
+    "q_sql_q21", "q_locf_fill", "q_counter_increase",
+    "q_autocorr_lag1", "q_table_checksum", "q_table_diff",
+    "q_feature_hash", "q_embed_quantize_int8", "q_domain_mix_sample",
+    "q_numeric_histogram", "q_bitmap_distinct", "q_chi_square",
+    "q_holt_linear", "q_bollinger_bands", "q_eval_metrics",
+    "q_ndcg_bm25", "q_cusum_detect", "q_mutual_information",
+    "q_agg_window_hopping", "q_ks_test", "q_dq_uniqueness",
+    "q_partition_migration", "q_rolling_mau", "q_attribution_last_touch",
+    "q_streak_longest", "q_weighted_median", "q_spearman_rho",
+    "q_mann_whitney_u", "q_tree_reachability", "q_boilerplate_strip",
+    "q_doc_keywords", "q_quantile_normalize", "q_vector_normalize",
+    "q_split_leakage", "q_file_stats_pruning", "q_snapshot_time_travel",
+    "q_compaction_plan", "q_join_theta_bnl", "q_sax_symbolize",
+    "q_time_to_convert", "q_inventory_fifo", "q_variant_json",
+    "q_lateral_topk", "q_scalar_subquery_corr", "q_try_arith",
+    "q_hint_suite", "q_observe_metrics", "q_stream_hopping",
+    "q_cms_heavy_hitters", "q_bloom_membership", "q_tz_convert",
+    "q_iso_week_rollup", "q_emd_tcloseness", "q_retention_sweep",
+    "q_alloc_largest_remainder", "q_benford_digits", "q_rfm_segments",
+    "q_assoc_confidence", "q_survival_table", "q_dup_ngram_coverage",
+    "q_partition_bounds", "q_kmv_distinct", "q_union_by_name",
+    "q_l_diversity", "q_scan_text_roundtrip", "q_ltv_cohort_curve",
+    "q_string_agg_ordered", "q_log2_histogram", "q_seasonal_residual",
+    "q_scan_csv_permissive", "q_stream_complete_agg", "q_struct_ops",
+    "q_lambda_array_suite", "q_auc_roc", "q_vacuum_plan",
+    "q_scan_python_datasource", "q_sql_pipe", "q_group_by_all",
+    "q_merge_all_clauses", "q_fd_audit", "q_null_ordering",
+    "q_array_set_ops", "q_id_gap_ranges", "q_price_volume_bridge",
+    "q_abc_classes", "q_segment_migration", "q_interarrival_histogram",
+    "q_dup_span_detect", "q_corpus_report", "q_cluster_size_stats",
+    "q_dedup_normalized", "q_session_paths", "q_peak_detect",
+    "q_vwap", "q_history_compress", "q_scan_binaryfile",
+    "q_join_asof_nearest", "q_gains_table", "q_keyset_pagination",
+    "q_set_intersect_all", "q_attribution_linear", "q_seasonality_index",
+    "q_feature_assembly", "q_pattern_match_triple", "q_inverted_index_stats",
+    "q_daily_percentile_bands", "q_langid_eval", "q_agg_bucketed",
+    "q_agg_salted_skew", "q_join_dpp", "q_stream_checkpoint_resume",
+    "q_lambda_map_suite", "q_udf_sql_registered", "q_incremental_watermark",
+    "q_dead_letter_route", "q_per_user_cap", "q_target_encode_loo",
+    "q_profile_drift", "q_session_bounce", "q_preagg_before_join",
+    "q_fiscal_445", "q_dynamic_partition_overwrite", "q_rate_smoothed",
+    "q_nested_schema_pruning", "q_entity_sample", "q_collation_group",
+    "q_interval_daytime", "q_str_to_map", "q_negative_sampling",
+    "q_monotonic_ids", "q_dedup_policy_matrix", "q_stream_late_drop",
+    "q_sql_parameterized", "q_sql_identifier", "q_rolling_slope",
+    "q_role_playing_dim", "q_unknown_member", "q_accumulating_snapshot",
+    "q_embed_drift", "q_cross_source_dups", "q_tokenizer_fertility",
+    "q_nest_denormalize", "q_empty_relation", "q_union_distinct",
+    "q_inline_dim_join", "q_try_cast_matrix", "q_vocab_drift",
+    "q_debounce", "q_hierarchical_share", "q_model_score_broadcast",
+    "q_stream_dedup_watermarked", "q_stream_sink_partitioned", "q_mtd_ytd",
+    "q_business_days", "q_aging_report", "q_grouped_map_pandas",
+    "q_minmax_scale", "q_group_vs_rest", "q_freshness_audit",
+    "q_cte_reuse", "q_distinct_complex", "q_item_similarity",
+    "q_graph_2hop", "q_composition_shares", "q_max_concurrency",
+    "q_backlog_curve", "q_sla_compliance", "q_centered_ma",
+    "q_multi_offset_lags", "q_temporal_cooccurrence", "q_conversion_by_path",
+    "q_decayed_frequency", "q_decile_spread", "q_onehot_encode",
+    "q_column_checksums", "q_select_except", "q_mode_all_ties",
+    "q_mcnemar_test", "q_cohen_kappa", "q_cost_threshold",
+    "q_matched_pairs_att", "q_interim_analysis", "q_beta_posterior",
+    "q_eb_shrinkage", "q_pairwise_bonferroni",
+    # --- never-checked rows-only keys (no SQL twin; a driver sample gives
+    # only the weaker rows-check, so they drain after the oracled tier) ---
     "q_quantiles_approx",
-    # --- driver-green in r1-r4 (181 keys; regression coverage continues
-    # via pytest + tools/oracle_check.py full replays) ---
-    "q_stream_pit_enrich", "q_stream_backfill_paced", "q_prefix_cluster",
-    "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
-    "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
-    "q_event_rate_alert", "q_skew_report", "q_session_census",
-    "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
-    "q_join_existence_matrix", "q_pivot_multi_agg", "q_stream_scd2",
-    "q_state_store_read", "q_stream_python_source", "q_ohlc_downsample",
-    "q_derivative", "q_scan_orc_roundtrip", "q_interp_linear",
-    "q_scd2_pit_join", "q_decontaminate", "q_agg_mode",
-    "q_linreg_trend", "q_percentile_disc", "q_window_rank_semantics",
-    "q_skyline", "q_running_distinct", "q_iqr_outliers",
-    "q_ntile_quartiles", "q_heavy_hitters", "q_gini",
-    "q_text_repetition", "q_hhi", "q_interval_overlap",
-    "q_rolling_median", "q_mad_outliers", "q_rollup_cascade",
-    "q_sql_q1", "q_sql_q3", "q_sql_q18",
-    "q_market_basket", "q_moments_skew_kurt", "q_k_anonymize",
-    "q_regex_suite", "q_stream_dedup", "q_stream_window",
-    "q_mart_fact_pengeluaran", "q_mart_fact_pemasukan", "q_stream_join",
-    "q_unpivot", "q_funnel", "q_retention_cohort",
-    "q_window_range_time", "q_gap_fill", "q_compact_files",
-    "q_scan_csv_roundtrip", "q_balanced_sample", "q_length_histogram",
-    "q_set_except_all", "q_join_null_safe", "q_schema_evolution",
-    "q_pack_sequences", "q_vocab_coverage", "q_source_entropy",
-    "q_merge_upsert", "q_incr_agg_maintenance", "q_join_asof_grouped",
-    "q_udaf_grouped_median", "q_udtf_split", "q_search_bm25",
-    "q_knn_classify", "q_dedup_containment", "q_stream_session",
-    "q_geo_radius_join", "q_join_bucketed", "q_anti_null_semantics",
-    "q_explode_outer", "q_sink_partitioned", "q_agg_argmax",
-    "q_agg_conditional", "q_dq_checks", "q_text_ttr",
-    "q_string_suite", "q_date_suite", "q_grid_zero_fill",
-    "q_multimodal_resize", "q_event_transitions", "q_adoption_curve",
-    "q_wow_change", "q_agg_bitwise", "q_map_ops",
-    "q_stream_stream_join", "q_pct_of_total", "q_dq_referential",
+    # --- driver-green in r1-r5 (230 keys; regression coverage
+    # continues via pytest + tools/oracle_check.py full replays) ---
     "q_scan_table", "q_scan_union_files", "q_scan_project_ids",
     "q_project_select", "q_rename_cols", "q_filter_notnull",
     "q_filter_predicate", "q_join_left_equi", "q_join_anti_incremental",
@@ -25169,27 +25115,76 @@ _CHECK_PRIORITY = [
     "q_time_dimension", "q_ts_parse", "q_concat_key",
     "q_hash_key", "q_string_join_array", "q_coalesce",
     "q_cast_types", "q_conditional_expr", "q_agg_sum_by_dim",
-    "q_agg_rollup", "q_agg_count_distinct", "q_window_rank",
-    "q_sort_limit", "q_agg_window_day", "q_sink_overwrite",
-    "q_sink_append", "q_stream_ingest", "q_stream_upsert",
-    "q_stream_stateful", "q_text_token_count", "q_text_quality",
+    "q_agg_rollup", "q_agg_count_distinct", "q_agg_approx_distinct",
+    "q_window_rank", "q_sort_limit", "q_agg_window_day",
+    "q_sink_overwrite", "q_sink_append", "q_stream_ingest",
+    "q_stream_dedup", "q_stream_upsert", "q_stream_stateful",
+    "q_stream_window", "q_text_token_count", "q_text_quality",
     "q_text_lang_id", "q_doc_fingerprint", "q_dedup_exact_docs",
     "q_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
     "q_ann_bruteforce", "q_embed_neardup", "q_ann_ivf",
-    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frame_sample",
-    "q_mart_dim_waktu", "q_mart_dim_place", "q_mart_dim_user",
-    "q_mart_dim_vendor", "q_mart_dim_departemen", "q_mart_dim_proyek",
-    "q_mart_dim_penyumbang", "q_mart_fact_maps", "q_mart_fact_twitter",
-    "q_mart_analytics", "q_ops_load_incremental", "q_set_intersect",
-    "q_set_except", "q_pivot", "q_agg_cube",
-    "q_sessionize", "q_join_asof", "q_sql_entry",
-    "q_join_semi", "q_join_range", "q_window_running",
-    "q_window_lag", "q_null_fill", "q_quantiles",
-    "q_json_extract", "q_explode_collect", "q_sql_q5",
-    "q_udf_pandas_scalar", "q_tfidf_top_terms", "q_winsorized_agg",
-    "q_outlier_zscore", "q_interval_months", "q_bloom_prune_semi",
-    "q_join_skew_salted", "q_clean_pipeline", "q_agg_approx_distinct",
-    "q_ann_lsh",
+    "q_ann_lsh", "q_multimodal_meta", "q_multimodal_features",
+    "q_multimodal_frame_sample", "q_mart_analytics", "q_ops_load_incremental",
+    "q_set_intersect", "q_set_except", "q_pivot",
+    "q_agg_cube", "q_sessionize", "q_join_asof",
+    "q_sql_entry", "q_join_semi", "q_join_range",
+    "q_window_running", "q_window_lag", "q_null_fill",
+    "q_quantiles", "q_json_extract", "q_explode_collect",
+    "q_sql_q5", "q_udf_pandas_scalar", "q_tfidf_top_terms",
+    "q_winsorized_agg", "q_outlier_zscore", "q_interval_months",
+    "q_bloom_prune_semi", "q_join_skew_salted", "q_clean_pipeline",
+    "q_stream_join", "q_unpivot", "q_funnel",
+    "q_retention_cohort", "q_window_range_time", "q_gap_fill",
+    "q_compact_files", "q_scan_csv_roundtrip", "q_balanced_sample",
+    "q_length_histogram", "q_set_except_all", "q_join_null_safe",
+    "q_schema_evolution", "q_pack_sequences", "q_vocab_coverage",
+    "q_source_entropy", "q_merge_upsert", "q_incr_agg_maintenance",
+    "q_join_asof_grouped", "q_udaf_grouped_median", "q_udtf_split",
+    "q_search_bm25", "q_knn_classify", "q_dedup_containment",
+    "q_stream_session", "q_geo_radius_join", "q_join_bucketed",
+    "q_anti_null_semantics", "q_explode_outer", "q_sink_partitioned",
+    "q_agg_argmax", "q_agg_conditional", "q_dq_checks",
+    "q_text_ttr", "q_string_suite", "q_date_suite",
+    "q_grid_zero_fill", "q_multimodal_resize", "q_event_transitions",
+    "q_adoption_curve", "q_wow_change", "q_agg_bitwise",
+    "q_map_ops", "q_stream_stream_join", "q_pct_of_total",
+    "q_dq_referential", "q_ohlc_downsample", "q_derivative",
+    "q_scan_orc_roundtrip", "q_interp_linear", "q_scd2_pit_join",
+    "q_decontaminate", "q_agg_mode", "q_linreg_trend",
+    "q_percentile_disc", "q_window_rank_semantics", "q_skyline",
+    "q_running_distinct", "q_iqr_outliers", "q_ntile_quartiles",
+    "q_heavy_hitters", "q_gini", "q_text_repetition",
+    "q_hhi", "q_interval_overlap", "q_rolling_median",
+    "q_mad_outliers", "q_rollup_cascade", "q_sql_q1",
+    "q_sql_q3", "q_sql_q18", "q_market_basket",
+    "q_moments_skew_kurt", "q_k_anonymize", "q_regex_suite",
+    "q_stream_neardup", "q_shard_manifest", "q_bipartite_degree",
+    "q_partition_checksums", "q_currency_convert", "q_tax_brackets",
+    "q_event_rate_alert", "q_skew_report", "q_session_census",
+    "q_audience_overlap", "q_embed_dim_stats", "q_dedup_threshold_sweep",
+    "q_join_existence_matrix", "q_pivot_multi_agg", "q_stream_scd2",
+    "q_state_store_read", "q_stream_python_source", "q_stream_pit_enrich",
+    "q_stream_backfill_paced", "q_prefix_cluster", "q_scan_xml_roundtrip",
+    "q_hybrid_search_rrf", "q_source_tv_distance", "q_blocking_eval",
+    "q_stream_quality_gate", "q_m4_downsample", "q_priority_sample",
+    "q_calibration_bins", "q_epoch_plan", "q_stream_stream_left_join",
+    "q_bitemporal_join", "q_kfold_assign", "q_semi_additive_balance",
+    "q_lttb_downsample", "q_ngram_lm_pairs", "q_poisson_bootstrap",
+    "q_rendezvous_hash", "q_diff_in_diff", "q_ratio_delta_method",
+    "q_neyman_allocation", "q_term_pmi", "q_cuped",
+    "q_mde_power", "q_quantile_treatment_effect", "q_post_stratified_ate",
+    "q_shapley_attribution", "q_kmv_set_ops", "q_uplift_deciles",
+    "q_two_proportion_ztest", "q_stream_window_append", "q_scd3_dim",
+    "q_knn_graph_blocked", "q_knn_recall_eval", "q_incr_join_maintenance",
+    "q_delete_vectors_apply", "q_bootstrap_diff_ci", "q_watermark_sweep",
+    "q_cross_correlation", "q_fano_dispersion", "q_forecast_backtest",
+    "q_ngram_novelty", "q_offline_policy_eval", "q_occ_conflicts",
+    "q_arc_elasticity", "q_sla_burn_rate", "q_relational_division",
+    "q_allen_relations", "q_cents_digit_bias", "q_rank_biased_overlap",
+    "q_mart_dim_departemen", "q_mart_dim_penyumbang", "q_mart_dim_place",
+    "q_mart_dim_proyek", "q_mart_dim_user", "q_mart_dim_vendor",
+    "q_mart_dim_waktu", "q_mart_fact_maps", "q_mart_fact_pemasukan",
+    "q_mart_fact_pengeluaran", "q_mart_fact_twitter",
 ]
 
 

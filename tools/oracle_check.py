@@ -158,10 +158,23 @@ def main() -> int:
             print(f"PASS  {key} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
 
     if json_path:
+        # Record how many keys were actually checked so a filtered run can
+        # never masquerade as full coverage (round-5 ADVICE low).
+        payload = dict(results)
+        payload["__meta__"] = {
+            "checked": len(results),
+            "registry": len(qs),
+            "failures": sorted(failures),
+            "sf_dir": sf_dir,
+        }
         with open(json_path, "w") as fh:
-            json.dump(results, fh, indent=1, sort_keys=True)
+            json.dump(payload, fh, indent=1, sort_keys=True)
         print(f"wrote {json_path} ({len(results)} keys)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    # Count over the keys actually checked, not the whole registry — a
+    # filtered sweep must not print a seemingly full pass (ADVICE r5).
+    n_checked = len(results)
+    suffix = "" if n_checked == len(qs) else f" (of {len(qs)} registry keys)"
+    print(f"\n{n_checked - len(failures)}/{n_checked} checked passed{suffix}")
     return 1 if failures else 0
 
 
