@@ -1313,6 +1313,37 @@ def main() -> int:
         )
     )
 
+    # ---- generic full-registry anti-scale-killer sweep (round 6) ----
+    # One check per registry key, on top of the hand-written shape checks
+    # above: the plan must contain NO CartesianProduct (fatal at 100 TB
+    # regardless of intent — every broadcast-grid/one-row-aggregate
+    # crossJoin in this repo plans as BroadcastNestedLoopJoin over a
+    # broadcast-bounded side, never CartesianProduct) and NO
+    # BatchEvalPython (row-at-a-time Python; the sanctioned Python edges
+    # — ArrowEvalPython, FlatMapGroupsInPandas, MapInPandas — are all
+    # Arrow-batched). q_udtf_split is the one documented exception: its
+    # docstring declares the UDTF row path deliberate (the vectorized
+    # fast path is q_doc_chunk's explode).
+    ROW_PYTHON_OK = {"q_udtf_split"}
+    generic_failed: list[str] = []
+    for key in sorted(REGISTRY):
+        try:
+            p = plan(key)
+        except Exception as e:  # noqa: BLE001
+            checks.append((f"{key} [generic] plan compiles", False, str(e)[:200]))
+            generic_failed.append(key)
+            continue
+        bad = []
+        if "CartesianProduct" in p:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in p and key not in ROW_PYTHON_OK:
+            bad.append("BatchEvalPython (row-at-a-time Python)")
+        checks.append(
+            (f"{key} [generic] no cartesian, no row-at-a-time Python", not bad, ", ".join(bad))
+        )
+        if bad:
+            generic_failed.append(key)
+
     failed = 0
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name}")
