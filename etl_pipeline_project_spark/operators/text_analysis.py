@@ -35,9 +35,13 @@ CJK_PATTERN = r"[一-鿿]"
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, trimmed, whitespace
-    collapsed."""
+    collapsed. Collapse runs FIRST, then trim: Spark's ``trim`` strips
+    ASCII spaces only, so trimming the collapsed form (edges are at most
+    one space) gives full whitespace-trim semantics — ``"a\\n"`` and
+    ``"a"`` must fingerprint identically or edge-newline duplicates
+    survive dedup (found by hypothesis in tests/test_properties_history_text.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def doc_fingerprint(col: Column | str) -> Column:
@@ -46,9 +50,14 @@ def doc_fingerprint(col: Column | str) -> Column:
 
 
 def word_count(col: Column | str) -> Column:
+    """Whitespace-separated word count. Counts over the collapsed+trimmed
+    form: ``trim`` alone strips only ASCII spaces, so a leading tab or
+    newline would leave an empty head token and overcount by one."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(c), r"\s+")
-    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words)).cast("long")
+    norm = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return (
+        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
+    )
 
 
 def token_count_bpe(col: Column | str) -> Column:

@@ -804,13 +804,21 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # North-star: text analysis over `documents` (SURVEY §7 step 7)
 # ---------------------------------------------------------------------------
 
-_WC_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+# Collapse whitespace runs BEFORE trim on both engines: both Spark's and
+# DuckDB's trim strip ASCII spaces only, so trimming the collapsed form is
+# what gives full whitespace-trim semantics (edge tabs/newlines otherwise
+# leave an empty head token / a padded fingerprint — hypothesis-found).
+_WS_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_WC_SQL = (
+    f"CASE WHEN {_WS_NORM} = '' THEN 0 "
+    f"ELSE CAST(len(string_split({_WS_NORM}, ' ')) AS BIGINT) END"
+)
 _BPE_SQL = "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
 _PUNCT_SQL = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE)"
 _STOP_SQL = (
     "CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is)\\b')) AS BIGINT)"
 )
-_FP_SQL = "sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_FP_SQL = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
 @_q(
