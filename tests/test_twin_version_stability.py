@@ -1,28 +1,43 @@
-"""Demonstrates the q_time_weighted_avg twin's r4/r5 failure mechanism and
-that the round-6 HUGEINT rewrite removes it (round-5 verdict items 1 and 8).
+"""q_time_weighted_avg twin version-stability: the r4-r6 failure mechanism
+and why the round-7 int64-only rewrite is immune to it (round-6 verdict
+item 1).
 
-The driver's DuckDB converted the precision-overflowing
-``DECIMAL(38,0) * BIGINT`` product to DOUBLE (newer-release behavior),
-lossy above 2^53, while local DuckDB 1.0.0 clamped it — producing the
-rows-pass/schema-pass/hash-FAIL signature two rounds running. A second
-DuckDB version cannot be installed in this container (no pip), so instead
-this test reproduces the newer-version semantics EXPLICITLY (accumulate
-via DOUBLE) inside the local engine and shows:
+History: the driver red-flagged this key three rounds running with the
+rows-pass/schema-pass/hash-FAIL signature. r4/r5 shipped a
+``DECIMAL(38,0) * BIGINT`` twin whose precision-overflow handling is
+version-dependent (clamp in 1.0.0, convert-to-DOUBLE — lossy above 2^53 —
+in newer releases); r6 shipped a HUGEINT twin that is exact under every
+LOCALLY observable semantics yet still reds in the driver's (different,
+uninstallable-here) DuckDB. Only one DuckDB can ever run in this container,
+so ANY wide-type arithmetic is unfalsifiable locally. The round-7 rewrite
+therefore removes wide types from the problem entirely: milli-unit values ×
+millisecond intervals keep every intermediate, aggregate, and projected
+value inside int64 (judge-measured per-group max ~2.3e14 at sf0.1, ~4e4×
+headroom), where all engines agree by construction.
 
-1. the magnitudes in the actual testdata exceed 2^53, so the DOUBLE path
-   genuinely diverges here (the mechanism is real at this SF, not
-   hypothetical), and
-2. the shipped HUGEINT twin is bit-identical to arbitrary-precision
-   Python integer arithmetic over the same rows (no version-discretion
-   surface remains).
+This module pins three facts:
+
+1. the DOUBLE-accumulation mechanism is REAL at the old micro-unit
+   quantization on this very testdata (magnitudes exceed 2^53 and the
+   emulated newer-version path diverges) — the history is documented, not
+   hypothetical;
+2. the shipped twin's SQL text contains NO type wider than BIGINT — no
+   HUGEINT, no DECIMAL, no DOUBLE/FLOAT/REAL — so no wide-type semantics
+   can ever matter again (the round-6 verdict's "done" criterion);
+3. the shipped twin is bit-identical to arbitrary-precision Python integer
+   arithmetic over the same rows, and its magnitudes sit far inside int64.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import sys
 
 import duckdb
 import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
 
@@ -37,22 +52,27 @@ def con():
     c.close()
 
 
-_SEQ = """
-  SELECT user_id, event_id,
-         CAST(floor(value * 1000000) AS BIGINT) AS v_micro, ts,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
-  FROM events
-"""
+@pytest.fixture(scope="module")
+def twin_sql() -> str:
+    import __spark_entry__ as contract
+
+    return contract.oracle_sql()["q_time_weighted_avg"]
 
 
 def test_double_accumulation_diverges_above_2_53(con) -> None:
-    """Newer DuckDB releases convert the precision-overflowing decimal
-    product to DOUBLE; emulate that explicitly and verify it disagrees
-    with exact HUGEINT arithmetic on the real testdata — i.e. the r4/r5
-    driver hash-FAIL is fully explained by this mechanism."""
+    """The r4/r5 mechanism, kept as a pinned repro: at the OLD micro-unit
+    quantization the per-group sums exceed 2^53, so any driver-side path
+    that transits DOUBLE corrupts low-order digits — emulate it explicitly
+    and verify it disagrees with exact integer arithmetic on the real
+    testdata."""
     row = con.execute(
-        f"""
-        WITH seq AS ({_SEQ}), agg AS (
+        """
+        WITH seq AS (
+          SELECT user_id,
+                 CAST(floor(value * 1000000) AS BIGINT) AS v_micro, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+          FROM events
+        ), agg AS (
           SELECT user_id,
             SUM(CAST(v_micro AS HUGEINT)
                 * date_diff('microsecond', ts, next_ts)) AS s_exact,
@@ -69,8 +89,8 @@ def test_double_accumulation_diverges_above_2_53(con) -> None:
     n, n_diverged, max_s = row
     assert n > 0
     assert int(max_s) > 2**53, (
-        "testdata magnitudes no longer exceed 2^53 — the mechanism test "
-        "is vacuous at this SF; raise the SF or the quantization factor"
+        "testdata magnitudes no longer exceed 2^53 at micro-unit "
+        "quantization — the mechanism repro is vacuous at this SF"
     )
     assert n_diverged > 0, (
         "DOUBLE-converted accumulation matched exact arithmetic — the "
@@ -78,32 +98,56 @@ def test_double_accumulation_diverges_above_2_53(con) -> None:
     )
 
 
-def test_hugeint_twin_matches_python_bigints(con) -> None:
-    """The shipped twin accumulation (HUGEINT x BIGINT) must equal
-    arbitrary-precision Python integers over the same rows — exact in
-    every DuckDB release, no overflow/rounding discretion anywhere."""
+def test_twin_contains_no_type_wider_than_bigint(twin_sql: str) -> None:
+    """Round-6 verdict done-criterion: the twin's SQL text must mention no
+    HUGEINT, DECIMAL, DOUBLE, FLOAT, or REAL — with no wide type anywhere,
+    there is no cross-version arithmetic surface left to vary. (floor() on
+    the raw DOUBLE column is the one sanctioned IEEE op: `value * 1000` and
+    `floor` are exact, deterministic, and identical in Spark.)"""
+    for tok in ("HUGEINT", "DECIMAL", "DOUBLE", "FLOAT", "REAL"):
+        assert not re.search(rf"\b{tok}\b", twin_sql, re.IGNORECASE), (
+            f"twin reintroduced wide/float type {tok}; the int64-only "
+            "contract (round-6 verdict item 1) forbids it"
+        )
+    # and integer floor-division / modulo only ever touch BIGINT operands
+    assert "//" in twin_sql and "%" in twin_sql
+
+
+def test_int64_twin_matches_python_bigints(con, twin_sql: str) -> None:
+    """The SHIPPED twin must equal arbitrary-precision Python integers over
+    the same rows, and every projected magnitude must sit far inside int64
+    (≥1000× headroom at this SF), so no engine on any version has overflow
+    or rounding discretion."""
     per_row = con.execute(
-        f"""
-        WITH seq AS ({_SEQ})
-        SELECT user_id, v_micro,
-               date_diff('microsecond', ts, next_ts) AS dur_us
+        """
+        WITH seq AS (
+          SELECT user_id,
+                 CAST(floor(value * 1000) AS BIGINT) AS v_milli, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+          FROM events
+        )
+        SELECT user_id, v_milli,
+               date_diff('microsecond', ts, next_ts) // 1000 AS dur_ms
         FROM seq WHERE next_ts IS NOT NULL
         """
     ).fetchall()
-    expect: dict[str, int] = {}
-    for user_id, v_micro, dur_us in per_row:
-        expect[user_id] = expect.get(user_id, 0) + int(v_micro) * int(dur_us)
+    exp_s: dict[str, int] = {}
+    exp_t: dict[str, int] = {}
+    for user_id, v_milli, dur_ms in per_row:
+        assert dur_ms >= 0
+        exp_s[user_id] = exp_s.get(user_id, 0) + int(v_milli) * int(dur_ms)
+        exp_t[user_id] = exp_t.get(user_id, 0) + int(dur_ms)
 
-    got = dict(
-        con.execute(
-            f"""
-            WITH seq AS ({_SEQ})
-            SELECT user_id,
-                   CAST(SUM(CAST(v_micro AS HUGEINT)
-                       * date_diff('microsecond', ts, next_ts))
-                     AS DECIMAL(24,0)) AS s
-            FROM seq WHERE next_ts IS NOT NULL GROUP BY 1
-            """
-        ).fetchall()
-    )
-    assert {k: int(v) for k, v in got.items()} == expect
+    got = con.execute(twin_sql).fetchall()
+    cols = [d[0] for d in con.description]
+    assert cols == ["user_id", "s", "total_ms", "q", "r"]
+    assert len(got) == len(exp_s)
+    for user_id, s, total_ms, q, r in got:
+        assert int(s) == exp_s[user_id]
+        assert int(total_ms) == exp_t[user_id]
+        assert abs(int(s)) < 2**63 // 1000, "int64 headroom eroded"
+        if exp_t[user_id] == 0:
+            assert q is None and r is None
+        else:
+            assert int(q) == exp_s[user_id] // exp_t[user_id]
+            assert int(r) == exp_s[user_id] % exp_t[user_id]
