@@ -82,7 +82,14 @@ def main() -> None:
     # streaming block. A file (not stdout) so stray JVM/py4j output after
     # the payload can never corrupt the parent's parse (round-5 ADVICE).
     if "--keys" in sys.argv:
-        keys = [k for k in sys.argv[sys.argv.index("--keys") + 1].split(",") if k]
+        ki = sys.argv.index("--keys")
+        if ki + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py --keys k1,k2,... --out PATH")
+        keys = [k for k in sys.argv[ki + 1].split(",") if k]
+        # fail fast BEFORE paying Spark startup: --out is mandatory in
+        # child mode (the old stdout interface is gone — round-6 ADVICE)
+        if "--out" not in sys.argv or sys.argv.index("--out") + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py --keys k1,k2,... --out PATH")
         out_path = sys.argv[sys.argv.index("--out") + 1]
         spark = get_spark("bench-child")
         REGISTRY["q_scan_table"](spark, sf_dir).write.mode("overwrite").format(
@@ -187,6 +194,16 @@ def main() -> None:
     # only a stdout tail, so BENCH_r04/r05 recorded `parsed: null` — this
     # one short machine-readable line survives any tail truncation
     # (round-5 verdict item 3).
+    # the trailer and the JSON both derive from `timings`, so the only way
+    # they can disagree with the registry is keys silently skipped — make
+    # that loud instead of letting a short trailer read as a fast round
+    n_covered = len(timings) + len(errors)
+    if n_covered != len(REGISTRY):
+        sys.stderr.write(
+            f"BENCH COVERAGE MISMATCH: {n_covered} keys timed/errored "
+            f"vs {len(REGISTRY)} registered\n"
+        )
+        sys.exit(2)
     print(
         f"BENCH_TOTAL sec={total} keys={len(timings)} "
         f"errors={len(errors)} sf={_sf_of(sf_dir)}"

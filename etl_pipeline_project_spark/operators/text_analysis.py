@@ -18,8 +18,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # BPE-ish tokenization: letter runs, digit runs, single punctuation marks.
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
-PUNCT_PATTERN = r"[^A-Za-z0-9\s]"
+# Explicit whitespace class instead of \s: Java's \s (Spark) includes
+# vertical tab \x0B while DuckDB's RE2 \s does not, so a document
+# containing \x0B would tokenize/fingerprint differently per engine.
+# This class is interpreted identically by both. (Don't use \v: in Java
+# regex \v is a vertical-whitespace CLASS, not the vertical-tab char.)
+WS_CLASS = r"[ \t\n\r\f\x0b]"
+NON_WS_CLASS = r"[^ \t\n\r\f\x0b]"
+
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]"
+PUNCT_PATTERN = r"[^A-Za-z0-9 \t\n\r\f\x0b]"
 
 # Minimal per-language stopword signals for the n-gram/stopword-hit
 # heuristic. Order matters: ties resolve by this precedence.
@@ -41,7 +49,7 @@ def normalize_text(col: Column | str) -> Column:
     ``"a"`` must fingerprint identically or edge-newline duplicates
     survive dedup (found by hypothesis in tests/test_properties_history_text.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
 
 
 def doc_fingerprint(col: Column | str) -> Column:
@@ -54,7 +62,7 @@ def word_count(col: Column | str) -> Column:
     form: ``trim`` alone strips only ASCII spaces, so a leading tab or
     newline would leave an empty head token and overcount by one."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.trim(F.regexp_replace(c, r"\s+", " "))
+    norm = F.trim(F.regexp_replace(c, WS_CLASS + "+", " "))
     return (
         F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long")
     )
@@ -105,7 +113,7 @@ def quality_score(col: Column | str) -> Column:
 # numbers); extend per deployment.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"https?://[^\s]+", "<URL>"),
+    (r"https?://[^ \t\n\r\f\x0b]+", "<URL>"),
     (r"[0-9]{4,}", "<NUM>"),
 ]
 
@@ -204,7 +212,7 @@ def ngram_pairs(text_col: Column | str) -> Column:
     into every ``element_at`` call, re-tokenizing the document once per
     bigram (measured 11× slower at sf0.1)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(c), r"\s+")
+    toks = F.split(F.trim(c), WS_CLASS + "+")
     n = F.size(toks)
     bigrams = F.zip_with(
         F.slice(toks, 1, n - 1),

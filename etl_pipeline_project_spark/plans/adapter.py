@@ -147,7 +147,7 @@ WITH places AS (
          'u_' || l_suppkey AS author_url,
          CASE WHEN l_orderkey % 29 = 0 THEN NULL
               ELSE l_returnflag || ' ' || l_linestatus END AS review_text,
-         (CAST(l_quantity AS BIGINT) % 5) + 1.0 AS rating
+         (CAST(l_quantity AS BIGINT) % 5) + 1.0e0 AS rating
   FROM lineitem
 ), tweets AS (
   SELECT CAST(event_id AS VARCHAR) AS id_tweet,

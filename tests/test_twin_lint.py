@@ -1,15 +1,23 @@
-"""CI gate for tools/twin_lint.py (round-5 verdict item 4).
+"""CI gate for tools/twin_lint.py (round-5 verdict item 4, hardened in
+round 7 per round-6 verdict item 4).
 
-Every ORACLE twin is statically scanned for the DuckDB-version-sensitive
-surfaces that caused the q_time_weighted_avg driver hash-FAIL in rounds 4
-and 5 (precision-overflowing decimal products, decimal floor-division,
-scale-0 decimal ROUND). A new hit fails pytest, so the trap cannot be
-reintroduced by a future twin.
+Every ORACLE twin is statically scanned for DuckDB-version-sensitive
+surfaces: precision-overflowing decimal products (H1), scale-0 decimal
+ROUND (H3), ANY HUGEINT (H4 — the r6 twin passed the old lint and still
+failed the driver, so wide types are now banned outright), and floor-div/
+modulo touching a wide operand (H6). The data-driven H5 magnitude scan
+(run every twin on real parquet; flag wide projected types and >=2^63
+values) is exercised here at sf0.001 so plain pytest drives it too; the
+full sf0.1 sweep runs via ``python tools/twin_lint.py --magnitude-scan``.
 """
 
 from __future__ import annotations
 
-from tools.twin_lint import lint_all, lint_sql
+import os
+
+from tools.twin_lint import lint_all, lint_sql, magnitude_scan
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
 
 
 def test_all_twins_version_stable() -> None:
@@ -18,18 +26,24 @@ def test_all_twins_version_stable() -> None:
 
 
 def test_lint_catches_the_original_trap() -> None:
-    """Regression self-test: the exact r4/r5 q_time_weighted_avg twin shape
-    must be flagged, and the HUGEINT rewrite must pass clean."""
-    trap = (
+    """Regression self-test: the r4/r5 decimal-product twin shape and the
+    r6 HUGEINT shape must BOTH be flagged; the r7 int64-only rewrite must
+    pass clean."""
+    trap_r45 = (
         "SELECT CAST(SUM(CAST(v_micro AS DECIMAL(38,0)) * "
         "date_diff('microsecond', ts, next_ts)) AS DECIMAL(24,0)) FROM t"
     )
-    assert any(h.startswith("H1") for h in lint_sql("k", trap))
-    fix = (
+    assert any(h.startswith("H1") for h in lint_sql("k", trap_r45))
+    trap_r6 = (
         "SELECT CAST(SUM(CAST(v_micro AS HUGEINT) * "
         "date_diff('microsecond', ts, next_ts)) AS DECIMAL(24,0)) FROM t"
     )
-    assert not lint_sql("k", fix)
+    assert any(h.startswith("H4") for h in lint_sql("k", trap_r6))
+    fix_r7 = (
+        "SELECT CAST(SUM(v_milli * dur_ms) AS BIGINT) AS s, "
+        "s // NULLIF(total_ms, 0) AS q, s % NULLIF(total_ms, 0) AS r FROM t"
+    )
+    assert not lint_sql("k", fix_r7)
 
 
 def test_lint_allows_known_good_patterns() -> None:
@@ -40,13 +54,38 @@ def test_lint_allows_known_good_patterns() -> None:
         "AS DECIMAL(38,2)) AS DOUBLE) * 0.01 FROM t"
     )
     assert not lint_sql("k", msum)
-    # integer and explicit-HUGEINT floor division are stable
+    # pure-integer floor division / modulo are the sanctioned forms
     assert not lint_sql("k", "SELECT (rn - 1) * 10 // n FROM t")
-    assert not lint_sql("k", "SELECT CAST(s AS HUGEINT) // total_us FROM t")
+    assert not lint_sql("k", "SELECT o_orderkey % 100 FROM orders")
+    # `%` inside string literals (LIKE patterns, strftime) never flags
+    assert not lint_sql("k", "SELECT * FROM t WHERE s LIKE '%abc%'")
+    assert not lint_sql("k", "SELECT strftime(ts, '%Y-%m') FROM t")
 
 
-def test_lint_flags_decimal_floor_division() -> None:
+def test_lint_flags_wide_floor_division_and_modulo() -> None:
+    # DECIMAL on the left of `//`
     assert any(
-        h.startswith("H2")
+        h.startswith("H6")
         for h in lint_sql("k", "SELECT CAST(s AS DECIMAL(20,0)) // n FROM t")
     )
+    # HUGEINT on the left of `//` (sanctioned pre-r7, banned now)
+    assert any(
+        h.startswith("H6")
+        for h in lint_sql("k", "SELECT CAST(s AS HUGEINT) // total_us FROM t")
+    )
+    # wide cast on the RIGHT of `%`
+    assert any(
+        h.startswith("H6")
+        for h in lint_sql("k", "SELECT s % CAST(n AS DECIMAL(20,0)) FROM t")
+    )
+
+
+def test_magnitude_scan_runs_clean_on_testdata() -> None:
+    """H5 end-to-end at the small SF: no twin may fail to execute, project
+    a wide type, or produce a >=2^63 magnitude. (Warnings — values in
+    [2^53, 2^63) — are allowed; the one expected today is the simhash64
+    column, which is a verbatim 64-bit hash, not arithmetic.)"""
+    errors, warnings = magnitude_scan(SF_SMALL)
+    assert not errors, "H5 magnitude errors:\n" + "\n".join(errors)
+    unexpected = [w for w in warnings if "simhash64" not in w]
+    assert not unexpected, "new H5 warnings:\n" + "\n".join(unexpected)

@@ -22,7 +22,31 @@ H3  ``ROUND`` applied directly to a scale-0 decimal — an implicit rescale
     with no fractional digits to round is a rewrite smell (the known-good
     ``_msum`` pattern rounds scale-10 decimals and is NOT flagged).
 
-Run: ``python tools/twin_lint.py`` (exit 1 on any hit). Also enforced by
+Round-7 additions (round-6 verdict item 4 — the r6 HUGEINT twin passed
+the lint and still failed the driver, so the rules harden from "no
+version-sensitive DECIMAL" to "no wide type at all"):
+
+H4  ANY ``HUGEINT`` token in a twin. The r6 lesson: HUGEINT arithmetic is
+    exact under every semantics observable against the single DuckDB
+    pinned in this container, yet the driver's DuckDB still diverged —
+    wide-type behavior is UNFALSIFIABLE locally, so it is banned outright.
+    Rewrite pattern: quantize the inputs until every intermediate and
+    every projected value fits BIGINT (see q_time_weighted_avg /
+    q_dedup_simhash / q_model_score_broadcast, round 7).
+H5  (data-driven, ``--magnitude-scan [sf_dir]``) run every twin against
+    the committed parquet and flag any result column that (a) comes back
+    with a HUGEINT/DECIMAL(p>18) type — an implicit wide projected
+    surface the static rules can't see — or (b) holds an integer/decimal
+    value with |v| ≥ 2^63, which PROVES wide arithmetic happened. Values
+    in [2^53, 2^63) on integer columns are reported as warnings (any
+    driver-side path through DOUBLE would corrupt them).
+H6  ``//`` or ``%`` adjacent to a DECIMAL or HUGEINT cast — floor-div /
+    modulo must only ever touch BIGINT operands (integer semantics are
+    the only version-invariant ones).
+
+Run: ``python tools/twin_lint.py`` (exit 1 on any static hit) or
+``python tools/twin_lint.py --magnitude-scan /root/testdata/sf0.1``
+(adds the H5 data scan; ~minutes at sf0.1). Also enforced by
 ``tests/test_twin_lint.py`` so plain pytest is the CI gate.
 """
 
@@ -166,6 +190,14 @@ def _other_operand_precision(sql: str, start: int, end: int) -> int:
 def lint_sql(key: str, sql: str) -> list[str]:
     hits: list[str] = []
 
+    # H4 — any HUGEINT at all (round-7: banned outright, see module doc)
+    if re.search(r"\bHUGEINT\b", sql, re.IGNORECASE):
+        hits.append(
+            f"H4 {key}: twin mentions HUGEINT — wide-type arithmetic is "
+            "unfalsifiable against the single local DuckDB and has burned "
+            "three driver rounds; quantize inputs until BIGINT suffices."
+        )
+
     # H1 — decimal product exceeding precision 38
     for start, end, p, s in _cast_spans(sql):
         if _adjacent_star(sql, start, end):
@@ -179,16 +211,23 @@ def lint_sql(key: str, sql: str) -> list[str]:
                     "Accumulate in HUGEINT and cast once at the end."
                 )
 
-    # H2 — floor division with a DECIMAL operand
-    for m in re.finditer(r"//", sql):
-        window = sql[max(0, m.start() - 120) : m.start()]
-        # a decimal cast closing right before `//` (allow a chain of casts)
-        seg = window.rstrip()
-        if re.search(r"AS\s+DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)*$", seg, re.IGNORECASE):
+    # H2/H6 — floor division or modulo with a wide (DECIMAL/HUGEINT)
+    # operand on either side. `%` inside string literals (LIKE patterns,
+    # strftime formats) never sits adjacent to a wide cast, so the
+    # adjacency test is naturally immune to those.
+    wide_close = re.compile(
+        r"AS\s+(DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)|HUGEINT)\s*\)*$", re.IGNORECASE
+    )
+    wide_open = re.compile(r"^\s*CAST\s*\((?:(?!AS\b).)*AS\s+(DECIMAL|HUGEINT)", re.IGNORECASE | re.DOTALL)
+    for m in re.finditer(r"//|%", sql):
+        op = m.group()
+        before = sql[max(0, m.start() - 120) : m.start()].rstrip()
+        after = sql[m.end() : m.end() + 120]
+        if wide_close.search(before) or wide_open.match(after):
             hits.append(
-                f"H2 {key}: `//` applied to a DECIMAL operand — decimal "
-                "floor-division semantics are version-sensitive; CAST to "
-                "HUGEINT first."
+                f"H6 {key}: `{op}` with a DECIMAL/HUGEINT operand — only "
+                "pure-BIGINT floor-div/modulo is version-invariant; "
+                "quantize the inputs until BIGINT suffices."
             )
 
     # H3 — ROUND whose first argument IS (at top level) a scale-0 decimal
@@ -228,14 +267,101 @@ def lint_all() -> list[str]:
     return hits
 
 
+# H5 thresholds: beyond INT64_EDGE the value PROVES wide arithmetic; in
+# [DOUBLE_EDGE, INT64_EDGE) an integer value would be corrupted by any
+# driver-side transit through DOUBLE — warn so the headroom stays visible.
+INT64_EDGE = 2**63
+DOUBLE_EDGE = 2**53
+
+
+def magnitude_scan(sf_dir: str, keys=None) -> tuple[list[str], list[str]]:
+    """H5: execute every twin on DuckDB over `sf_dir` and inspect the
+    RESULT — wide projected types and >=2^63 magnitudes are errors,
+    integer values at [2^53, 2^63) are warnings. Catches implicit wide
+    surfaces (e.g. a bare SUM(BIGINT) projecting HUGEINT) that the static
+    rules can't see, driven by the committed data rather than analysis."""
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as contract
+    from etl_pipeline_project_spark.schemas import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    errors: list[str] = []
+    warnings: list[str] = []
+    twins = contract.oracle_sql()
+    for key in sorted(keys or twins):
+        sql = twins[key]
+        try:
+            rel = con.sql(sql)
+            cols, types = rel.columns, [str(t).upper() for t in rel.types]
+        except Exception as exc:  # noqa: BLE001 - report, don't abort the sweep
+            errors.append(f"H5 {key}: twin failed to execute: {exc}")
+            continue
+        probes = []
+        for c, t in zip(cols, types):
+            if "HUGEINT" in t or re.match(r"DECIMAL\((?:19|[2-9]\d)", t):
+                errors.append(
+                    f"H5 {key}: projected column {c} has wide type {t} — "
+                    "an implicit wide surface (narrow the twin to BIGINT)."
+                )
+            if ("INT" in t and "INTERVAL" not in t) or t.startswith("DECIMAL"):
+                probes.append(c)
+        if not probes:
+            continue
+        sel = ", ".join(f'max(abs("{c}"))' for c in probes)
+        try:
+            row = con.sql(f"SELECT {sel} FROM ({sql})").fetchone()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"H5 {key}: magnitude probe failed: {exc}")
+            continue
+        for c, v in zip(probes, row):
+            if v is None:
+                continue
+            v = int(v)
+            if v >= INT64_EDGE:
+                errors.append(
+                    f"H5 {key}: |{c}| reaches {v:.3e} >= 2^63 at this SF — "
+                    "wide arithmetic happened; re-quantize."
+                )
+            elif v >= DOUBLE_EDGE:
+                warnings.append(
+                    f"H5-warn {key}: |{c}| reaches {v:.3e} in [2^53, 2^63) "
+                    "— exact today, but any DOUBLE transit would corrupt it."
+                )
+    return errors, warnings
+
+
 def main() -> int:
+    argv = sys.argv[1:]
     hits = lint_all()
     for h in hits:
         print(h)
     import __spark_entry__ as contract
 
     n = len(contract.oracle_sql())
-    print(f"twin_lint: {len(hits)} hit(s) across {n} twins")
+    print(f"twin_lint: {len(hits)} static hit(s) across {n} twins")
+    if "--magnitude-scan" in argv:
+        i = argv.index("--magnitude-scan")
+        sf_dir = (
+            argv[i + 1]
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-")
+            else "/root/testdata/sf0.1"
+        )
+        errors, warnings = magnitude_scan(sf_dir)
+        for w in warnings:
+            print(w)
+        for e in errors:
+            print(e)
+        print(
+            f"twin_lint H5 @ {sf_dir}: {len(errors)} error(s), "
+            f"{len(warnings)} warning(s)"
+        )
+        hits.extend(errors)
     return 1 if hits else 0
 
 
