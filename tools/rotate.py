@@ -1,0 +1,143 @@
+"""Regenerate ``_CHECK_PRIORITY`` in queries.py from the committed
+CORRECTNESS_r*.json artifacts (the round-N ritual the verdicts keep
+prescribing — rounds 6 and 7 did this by hand; this tool makes round 8+
+one command and keeps the policy identical to what
+tests/test_registry_order.py enforces):
+
+1. position 0: any key whose newest driver record is a FAIL (hash or
+   rows mismatch, or an err) — red keys get re-checked first; if none,
+   the head goes straight to the backlog.
+2. ``_STALE_TWIN_PINS`` next (keys whose only driver sample predates a
+   check upgrade — edit the list in queries.py when a twin changes after
+   its key was sampled).
+3. every never-driver-checked ORACLE-backed key, preserving their
+   current relative order (registration order, oldest first).
+4. never-checked rows-only keys.
+5. everything already driver-checked, preserving current relative order.
+
+Also bumps ``_ROTATION_INPUT_ROUNDS`` to the newest committed round.
+
+Run: ``python tools/rotate.py`` (rewrites queries.py in place; prints the
+new 50-key window). Then run ``python -m pytest
+tests/test_registry_order.py -q`` and the window pre-validation:
+``python tools/oracle_check.py --plain /root/testdata/sf0.01 <window>``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QPATH = os.path.join(REPO, "etl_pipeline_project_spark", "queries.py")
+
+
+def _correctness() -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            with open(path) as fh:
+                out[int(m.group(1))] = {
+                    k: v for k, v in json.load(fh).items()
+                    if not k.startswith("__")
+                }
+    return out
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from etl_pipeline_project_spark.queries import (
+        ORACLE,
+        _CHECK_PRIORITY,
+        _STALE_TWIN_PINS,
+    )
+
+    rounds = _correctness()
+    if not rounds:
+        print("no CORRECTNESS_r*.json found", file=sys.stderr)
+        return 1
+    newest = max(rounds)
+
+    latest: dict[str, dict] = {}
+    for rnd in sorted(rounds):
+        for k, rec in rounds[rnd].items():
+            latest[k] = rec
+    checked = set(latest)
+
+    def is_red(k: str) -> bool:
+        rec = latest.get(k)
+        if rec is None:
+            return False
+        # 'no_oracle' is the rows-only marker, not a failure
+        if rec.get("err") and rec["err"] != "no_oracle":
+            return True
+        if rec.get("rows_match") is False or rec.get("schema_match") is False:
+            return True
+        return rec.get("hash_match") is False
+
+    cur = list(_CHECK_PRIORITY)
+    reds = [k for k in cur if is_red(k)]
+    pins = [k for k in _STALE_TWIN_PINS if k in cur and k not in reds]
+    never = [k for k in cur if k not in checked]
+    never_oracled = [k for k in never if k in ORACLE]
+    never_rows = [k for k in never if k not in ORACLE]
+    head = reds + pins
+    rest = [k for k in cur if k in checked and k not in head]
+    new = head + never_oracled + never_rows + rest
+    assert sorted(new) == sorted(cur), "rotation must be a permutation"
+
+    def fmt(keys: list[str], per: int = 3) -> str:
+        return "\n".join(
+            "    " + ", ".join(f'"{k}"' for k in keys[i : i + per]) + ","
+            for i in range(0, len(keys), per)
+        )
+
+    block = ["_CHECK_PRIORITY = ["]
+    block.append(
+        f"    # --- auto-rotation from CORRECTNESS_r01..r{newest:02d} "
+        "(tools/rotate.py;"
+    )
+    block.append("    # policy enforced by tests/test_registry_order.py).")
+    if reds:
+        block.append("    # red in their newest driver record — re-check first:")
+        block.append(fmt(reds))
+    if pins:
+        block.append("    # stale-evidence pins (_STALE_TWIN_PINS):")
+        block.append(fmt(pins))
+    block.append("    # never-driver-checked, oldest first (oracled tier):")
+    block.append(fmt(never_oracled))
+    if never_rows:
+        block.append("    # never-checked rows-only keys (weaker check, drain last):")
+        block.append(fmt(never_rows))
+    block.append(
+        f"    # driver-checked through r{newest:02d} "
+        f"({len(rest)} keys; regression cover via pytest + sf0.1 replays):"
+    )
+    block.append(fmt(rest))
+    block.append("]")
+
+    src = open(QPATH).read()
+    src, n = re.subn(
+        r"_ROTATION_INPUT_ROUNDS = \d+",
+        f"_ROTATION_INPUT_ROUNDS = {newest}",
+        src,
+    )
+    assert n == 1
+    m = re.search(r"_CHECK_PRIORITY = \[.*?\n\]", src, re.DOTALL)
+    assert m, "_CHECK_PRIORITY block not found"
+    src = src[: m.start()] + "\n".join(block) + src[m.end() :]
+    open(QPATH, "w").write(src)
+
+    print(f"rotation input: r{newest:02d}; backlog {len(never)} never-checked")
+    print("new 50-key window:")
+    for k in new[:50]:
+        print(f"  {k}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
