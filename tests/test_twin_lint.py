@@ -80,6 +80,33 @@ def test_lint_flags_wide_floor_division_and_modulo() -> None:
     )
 
 
+def test_lint_flags_unordered_aggregates() -> None:
+    """H7: a bare list()/string_agg() cell is order-unspecified even
+    though the driver's row compare is order-insensitive."""
+    assert any(
+        h.startswith("H7")
+        for h in lint_sql("k", "SELECT g, list(x) AS xs FROM t GROUP BY g")
+    )
+    assert any(
+        h.startswith("H7")
+        for h in lint_sql("k", "SELECT string_agg(x, ',') FROM t")
+    )
+    # sanctioned forms: internal ORDER BY, sort wrap (even through a
+    # NULL-guarding COALESCE), and prose in -- comments
+    assert not lint_sql("k", "SELECT list(x ORDER BY x) FROM t")
+    assert not lint_sql("k", "SELECT list_sort(list_distinct(list(x))) FROM t")
+    assert not lint_sql(
+        "k", "SELECT list_sort(list_distinct(COALESCE(list(x) FILTER (y > 0), []))) FROM t"
+    )
+    assert not lint_sql("k", "SELECT 1 -- the list() aggregate is mentioned here\nFROM t")
+    # the whitelist is per-key and per-function
+    assert not lint_sql("q_boilerplate_strip", "SELECT coalesce(list(word), []) FROM t")
+    assert any(
+        h.startswith("H7")
+        for h in lint_sql("q_boilerplate_strip", "SELECT string_agg(w, ' ') FROM t")
+    )
+
+
 def test_magnitude_scan_runs_clean_on_testdata() -> None:
     """H5 end-to-end at the small SF: no twin may fail to execute, project
     a wide type, or produce a >=2^63 magnitude. (Warnings — values in

@@ -43,6 +43,13 @@ H5  (data-driven, ``--magnitude-scan [sf_dir]``) run every twin against
 H6  ``//`` or ``%`` adjacent to a DECIMAL or HUGEINT cast — floor-div /
     modulo must only ever touch BIGINT operands (integer semantics are
     the only version-invariant ones).
+H7  order-NONDETERMINISTIC aggregate — ``list()`` / ``array_agg()`` /
+    ``string_agg()`` / ``group_concat()`` without an ORDER BY inside the
+    call and without an enclosing ``list_sort``/``list_distinct``: the
+    produced cell's element order is unspecified, so it can differ by
+    DuckDB version/thread count even though the row-level compare is
+    order-insensitive. Two audited exceptions are whitelisted per key
+    (membership-only and constant-per-group uses).
 
 Run: ``python tools/twin_lint.py`` (exit 1 on any static hit) or
 ``python tools/twin_lint.py --magnitude-scan /root/testdata/sf0.1``
@@ -187,8 +194,48 @@ def _other_operand_precision(sql: str, start: int, end: int) -> int:
     return INT_OPERAND_PRECISION
 
 
+# H7 whitelist: unordered-aggregate call sites audited as order-safe.
+# q_boilerplate_strip: list(word) is consumed ONLY via list_contains —
+#   set membership, element order can't reach the projected surface.
+# q_dedup_threshold_sweep: ANY_VALUE(n_docs) over a group where n_docs is
+#   functionally determined by the group key (joined USING the key) —
+#   every candidate value is identical.
+H7_WHITELIST: dict[str, set[str]] = {
+    "q_boilerplate_strip": {"list"},
+    "q_dedup_threshold_sweep": {"any_value"},
+}
+
+_H7_AGGS = r"\b(list|array_agg|string_agg|group_concat|any_value|arbitrary)\s*\("
+
+
 def lint_sql(key: str, sql: str) -> list[str]:
     hits: list[str] = []
+
+    # H7 — order-nondeterministic aggregates (see module doc). Scan with
+    # `--` line comments stripped (prose mentioning "list()" is not SQL).
+    bare = re.sub(r"--[^\n]*", "", sql)
+    for m in re.finditer(_H7_AGGS, bare, re.IGNORECASE):
+        fn = m.group(1).lower()
+        open_idx = bare.index("(", m.start())
+        close_idx = _matching_paren(bare, open_idx)
+        body = bare[open_idx : close_idx + 1] if close_idx > 0 else bare[open_idx:]
+        if "ORDER BY" in body.upper():
+            continue
+        # an enclosing list_sort/list_distinct (possibly through a
+        # NULL-guarding COALESCE) makes the order canonical downstream
+        lead = bare[max(0, m.start() - 120) : m.start()].rstrip()
+        while re.search(r"COALESCE\s*\($", lead, re.IGNORECASE):
+            lead = re.sub(r"COALESCE\s*\($", "", lead, flags=re.IGNORECASE).rstrip()
+        if re.search(r"(list_sort|list_distinct)\s*\($", lead, re.IGNORECASE):
+            continue
+        if fn in H7_WHITELIST.get(key, set()):
+            continue
+        hits.append(
+            f"H7 {key}: {fn}(...) without ORDER BY or a list_sort/"
+            "list_distinct wrap — element order is unspecified and can "
+            "vary by DuckDB version/threads; sort it or whitelist with "
+            "an audit note."
+        )
 
     # H4 — any HUGEINT at all (round-7: banned outright, see module doc)
     if re.search(r"\bHUGEINT\b", sql, re.IGNORECASE):
