@@ -59,3 +59,142 @@ def sessionize(
         Window.unboundedPreceding, 0
     )
     return df.withColumn("session_id", F.sum(is_new).over(run).cast("long"))
+
+
+def global_order_stats(
+    df: DataFrame,
+    order: list[Column | str],
+    *,
+    rn_col: str = "_grn",
+    n_col: str | None = None,
+    cum_cols: dict[str, str] | None = None,
+    max_cols_excl: dict[str, str] | None = None,
+    min_cols_excl_rev: dict[str, str] | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Global ``row_number()`` (plus optional running sums / carried
+    extrema and a total-count column) over a global order WITHOUT a
+    single-partition exchange.
+
+    ``row_number() OVER (ORDER BY ...)`` plans as
+    ``Exchange SinglePartition -> Window`` — one reducer sorts the world,
+    which is correct at test scale and a wall at 100 TB. This computes
+    the identical numbers with distributed machinery (the two-pass
+    global-rank pattern):
+
+    1. range-repartition on the order — the SAME linear, sampled exchange
+       a global ``orderBy`` uses (``Exchange rangepartitioning``);
+    2. one per-range count/sum aggregate (#ranges rows — planner-sized);
+    3. prefix offsets per range from a broadcast self-join over that tiny
+       aggregate (BroadcastNestedLoopJoin over #ranges² pairs);
+    4. a per-range local window keyed by the range id — every Window
+       partition holds exactly one range, so no operator ever buffers
+       more than one range's rows.
+
+    The range frame is eagerly ``localCheckpoint``-ed: range-boundary
+    sampling is order-sensitive upstream of a shuffle and
+    ``spark_partition_id()`` is only meaningful if the offsets aggregate
+    and the main frame observe ONE physical materialization — the
+    checkpoint pins it (the same spill a single-reducer sort would have
+    made, but partitioned).
+
+    ``order`` must be a total order (unique per row), or callers must
+    only consume tie-invariant results (e.g. the VALUE at a fixed global
+    position, bucket populations by position) — the same determinism
+    contract ``row_number`` itself has.
+
+    ``cum_cols`` maps source column -> output column for inclusive
+    running sums over the global order (``SUM(x) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``). ``max_cols_excl`` maps source column
+    -> output column carrying the running MAX over STRICTLY PRIOR rows
+    (``MAX(x) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)``; NULL when no prior non-null exists — nulls in the
+    source are skipped, so a nullable struct column doubles as an
+    ignore-nulls last-value carry). ``min_cols_excl_rev`` is the mirror:
+    running MIN over STRICTLY FOLLOWING rows. ``n_col`` names a
+    total-row-count column (``COUNT(*) OVER ()``) attached via a
+    broadcast scalar.
+    """
+    cums = list((cum_cols or {}).items())
+    maxes = list((max_cols_excl or {}).items())
+    rmins = list((min_cols_excl_rev or {}).items())
+    sess = df.sparkSession
+    if num_parts is None:
+        num_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order]
+    part = (
+        df.repartitionByRange(num_parts, *ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per = part.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_pc"),
+        *[F.sum(src).alias(f"_ps_{i}") for i, (src, _) in enumerate(cums)],
+        *[F.max(src).alias(f"_pm_{i}") for i, (src, _) in enumerate(maxes)],
+        *[F.min(src).alias(f"_pn_{i}") for i, (src, _) in enumerate(rmins)],
+    )
+    b = per.select(
+        F.col("_pid").alias("_pid_b"),
+        F.col("_pc").alias("_pc_b"),
+        *[F.col(f"_ps_{i}").alias(f"_ps_b_{i}") for i in range(len(cums))],
+        *[F.col(f"_pm_{i}").alias(f"_pm_b_{i}") for i in range(len(maxes))],
+        *[F.col(f"_pn_{i}").alias(f"_pn_b_{i}") for i in range(len(rmins))],
+    )
+    # prefix offsets (pid' < pid) for counts/sums/maxes; suffix (pid' >
+    # pid) for the reversed mins — one tiny broadcast pass each.
+    off = (
+        per.join(F.broadcast(b), F.col("_pid_b") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum("_pc_b"), F.lit(0)).cast("long").alias("_off_c"),
+            *[
+                F.coalesce(F.sum(f"_ps_b_{i}"), F.lit(0)).alias(f"_off_{i}")
+                for i in range(len(cums))
+            ],
+            *[F.max(f"_pm_b_{i}").alias(f"_offm_{i}") for i in range(len(maxes))],
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*ocols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wnext = w.rowsBetween(1, Window.unboundedFollowing)
+    out = part.join(F.broadcast(off), "_pid")
+    if rmins:
+        offr = (
+            per.join(F.broadcast(b), F.col("_pid_b") > F.col("_pid"), "left")
+            .groupBy(F.col("_pid").alias("_pid_r"))
+            .agg(*[F.min(f"_pn_b_{i}").alias(f"_offn_{i}") for i in range(len(rmins))])
+        )
+        out = out.join(F.broadcast(offr), out["_pid"] == offr["_pid_r"]).drop("_pid_r")
+    out = out.withColumn(
+        rn_col, (F.col("_off_c") + F.row_number().over(w)).cast("long")
+    )
+    for i, (src, dst) in enumerate(cums):
+        out = out.withColumn(dst, F.col(f"_off_{i}") + F.sum(src).over(wrun))
+
+    def _combine(local: Column, other: Column, prefer_local_if_ge: bool) -> Column:
+        keep = local >= other if prefer_local_if_ge else local <= other
+        return (
+            F.when(local.isNull(), other)
+            .when(other.isNull(), local)
+            .otherwise(F.when(keep, local).otherwise(other))
+        )
+
+    for i, (src, dst) in enumerate(maxes):
+        out = out.withColumn(
+            dst, _combine(F.max(src).over(wprev), F.col(f"_offm_{i}"), True)
+        )
+    for i, (src, dst) in enumerate(rmins):
+        out = out.withColumn(
+            dst, _combine(F.min(src).over(wnext), F.col(f"_offn_{i}"), False)
+        )
+    if n_col is not None:
+        tot = per.agg(F.sum("_pc").cast("long").alias(n_col))
+        out = out.crossJoin(F.broadcast(tot))
+    return out.drop(
+        "_pid",
+        "_off_c",
+        *[f"_off_{i}" for i in range(len(cums))],
+        *[f"_offm_{i}" for i in range(len(maxes))],
+        *[f"_offn_{i}" for i in range(len(rmins))],
+    )
