@@ -779,11 +779,13 @@ def main() -> int:
             p[:300],
         )
     )
-    p = plan("q_skew_report")
+    p = final_plan("q_skew_report")
     checks.append(
         (
-            "q_skew_report fact shuffles once on the audited key; ranking runs on one-row-per-key",
-            len(re.findall(r"Exchange hashpartitioning\(user_id", p)) == 1,
+            "q_skew_report per-key exchange computed once (AQE reuse); top-10 via TakeOrdered, window-free (round-8)",
+            "ReusedExchange" in p
+            and "TakeOrderedAndProject" in p
+            and "Window" not in p,
             p[:300],
         )
     )
@@ -991,9 +993,10 @@ def main() -> int:
     p = plan("q_uplift_deciles")
     checks.append(
         (
-            "q_uplift_deciles one unit aggregate + one global rank (single user exchange)",
-            len(re.findall(r"Exchange hashpartitioning", p)) == 1
-            and p.count("Exchange SinglePartition") == 1,
+            "q_uplift_deciles global rank via the two-pass range-partitioned window (round-8)",
+            # the one SinglePartition left is the bounded scalar-total
+            # aggregate (COUNT(*) OVER () replacement), not a Window feed
+            "windowspecdefinition(_pid" in p,
             p[:300],
         )
     )
@@ -1158,19 +1161,18 @@ def main() -> int:
     p = plan("q_cost_threshold")
     checks.append(
         (
-            "q_cost_threshold all confusion matrices from one broadcast-grid scan",
+            "q_cost_threshold broadcast-grid confusion scan over the two-pass rank grid (round-8)",
             "BroadcastNestedLoop" in p
-            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            and "windowspecdefinition(_pid" in p,
             p[:300],
         )
     )
     p = plan("q_matched_pairs_att")
     checks.append(
         (
-            "q_matched_pairs_att one unit aggregate + one sorted window (no candidate explosion)",
+            "q_matched_pairs_att as-of carries via two-pass struct extrema, no candidate explosion (round-8)",
             "CartesianProduct" not in p
-            and "BroadcastNestedLoop" not in p
-            and len(re.findall(r"Exchange hashpartitioning", p)) == 1,
+            and "windowspecdefinition(_pid" in p,
             p[:300],
         )
     )
@@ -1204,7 +1206,7 @@ def main() -> int:
 
     # --- round-5 batches 108-110 ---
     for key in ["q_capture_recapture", "q_vocab_richness",
-                "q_hash_collision_audit", "q_abc_xyz"]:
+                "q_hash_collision_audit"]:
         p = plan(key)
         checks.append(
             (
@@ -1292,22 +1294,21 @@ def main() -> int:
             p[:300],
         )
     )
-    for key in ["q_expected_calibration_error", "q_risk_coverage"]:
+    for key in ["q_expected_calibration_error", "q_risk_coverage", "q_abc_xyz"]:
         p = plan(key)
         checks.append(
             (
-                f"{key} global rank + decile aggregate (single-partition rank only)",
-                len(re.findall(r"Exchange hashpartitioning", p)) == 0
-                and p.count("Exchange SinglePartition") == 1,
+                f"{key} global rank/cumsum via the two-pass range-partitioned window (round-8)",
+                "windowspecdefinition(_pid" in p,
                 p[:300],
             )
         )
     p = plan("q_qini_curve")
     checks.append(
         (
-            "q_qini_curve one unit aggregate + global rank + O(10) cumulative window",
-            len(re.findall(r"Exchange hashpartitioning", p)) == 1
-            and p.count("Exchange SinglePartition") == 1
+            "q_qini_curve two-pass global rank + broadcast triangular decile cumulatives (round-8)",
+            "windowspecdefinition(_pid" in p
+            and "BroadcastNestedLoop" in p
             and "CartesianProduct" not in p,
             p[:300],
         )
@@ -1325,6 +1326,92 @@ def main() -> int:
     # docstring declares the UDTF row path deliberate (the vectorized
     # fast path is q_doc_chunk's explode).
     ROW_PYTHON_OK = {"q_udtf_split"}
+
+    # ---- round-8 rule: no Window fed by Exchange SinglePartition ----
+    # An unpartitioned window (row_number/ntile/SUM OVER (ORDER BY ...))
+    # plans as Exchange SinglePartition -> Sort -> Window: ONE reducer
+    # buffers the window's whole input — the scale-killer class the
+    # round-7 audit missed (the generic gate only banned CartesianProduct
+    # and row-Python, so 12 full-table rank keys passed it). The rule:
+    # every Exchange SinglePartition whose ANCESTOR chain reaches a
+    # Window (before an Aggregate/Limit/Join absorbs it) must have a
+    # provably-bounded input — a scalar aggregate (keys=[]) or a
+    # Limit/TakeOrdered below the exchange, or the key sits in
+    # WINDOW_GRID_OK with a one-line domain-bound justification (the
+    # q_udtf_split precedent). Grouped aggregates do NOT auto-exempt:
+    # a groupBy(entity) grid scales with the corpus (the old q_auc_roc
+    # distinct-score shape), which is exactly what global_order_stats
+    # now exists to replace.
+    WINDOW_GRID_OK = {
+        "q_alloc_largest_remainder": "grid = nations (fixed 25-row dimension)",
+        "q_backlog_curve": "grid = days (calendar-bounded event series)",
+        "q_benford_digits": "grid = leading digits (<= 9 rows)",
+        "q_benjamini_hochberg": "grid = event types (fixed enum of hypotheses)",
+        "q_bootstrap_diff_ci": "grid = bootstrap replicates (fixed 32)",
+        "q_centered_ma": "grid = days (calendar-bounded)",
+        "q_chi_square": "grid = event_type x value bucket (fixed contingency cells)",
+        "q_compaction_plan": "grid = days (calendar-bounded manifest)",
+        "q_emd_tcloseness": "grid = value/50 buckets (fixed quantization domain)",
+        "q_haberman_residuals": "grid = event_type x bucket (fixed cells)",
+        "q_hierarchical_share": "grid = region x nation (fixed 25-row dimension)",
+        "q_max_concurrency": "grid = days (calendar-bounded)",
+        "q_mtd_ytd": "grid = order dates (calendar-bounded)",
+        "q_multi_offset_lags": "grid = days (calendar-bounded)",
+        "q_mutual_information": "grid = event_type x bucket (fixed cells)",
+        "q_neyman_allocation": "grid = order priorities (fixed enum, 5)",
+        "q_peak_detect": "grid = days (calendar-bounded)",
+        "q_running_distinct": "grid = first-order dates (calendar-bounded)",
+        "q_semi_additive_balance": "grid = days (calendar-bounded)",
+        "q_survival_table": "grid = distinct day-durations (date-span-bounded)",
+        "q_wow_change": "grid = weeks (calendar-bounded)",
+    }
+
+    def _indent(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1
+
+    def single_partition_windows(p: str) -> list[str]:
+        """Exchange SinglePartition nodes that feed a Window without a
+        bounding scalar aggregate / limit below the exchange."""
+        lines = p.splitlines()
+        hits = []
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            d = _indent(ln)
+            # ancestors: nearest preceding lines of strictly smaller indent
+            j, cur, window_above = i - 1, d, False
+            while j >= 0 and cur > 0:
+                dj = _indent(lines[j])
+                if dj != -1 and dj < cur:
+                    a = lines[j]
+                    cur = dj
+                    if re.search(r"\bWindow\b", a) and "WindowGroupLimit" not in a:
+                        window_above = True
+                        break
+                    if re.search(r"Aggregate|Limit|TakeOrdered|Join", a):
+                        break
+                j -= 1
+            if not window_above:
+                continue
+            # bounded below? scalar aggregate or limit directly under the
+            # exchange (before any other exchange)
+            bounded = False
+            for k in range(i + 1, len(lines)):
+                dk = _indent(lines[k])
+                if dk != -1 and dk <= d:
+                    break
+                if re.search(r"Aggregate\(keys=\[\]", lines[k]) or re.search(
+                    r"Limit|TakeOrdered", lines[k]
+                ):
+                    bounded = True
+                    break
+                if re.search(r"Aggregate\(keys=\[[^\]]", lines[k]) or "Exchange" in lines[k]:
+                    break
+            if not bounded:
+                hits.append(ln.strip()[:120])
+        return hits
+
     generic_failed: list[str] = []
     for key in sorted(REGISTRY):
         try:
@@ -1338,8 +1425,15 @@ def main() -> int:
             bad.append("CartesianProduct")
         if "BatchEvalPython" in p and key not in ROW_PYTHON_OK:
             bad.append("BatchEvalPython (row-at-a-time Python)")
+        spw = single_partition_windows(p)
+        if spw and key not in WINDOW_GRID_OK:
+            bad.append(f"Window over Exchange SinglePartition ({spw[0]})")
         checks.append(
-            (f"{key} [generic] no cartesian, no row-at-a-time Python", not bad, ", ".join(bad))
+            (
+                f"{key} [generic] no cartesian, no row-Python, no single-partition window",
+                not bad,
+                ", ".join(bad),
+            )
         )
         if bad:
             generic_failed.append(key)

@@ -59,8 +59,13 @@ Run: ``python tools/twin_lint.py`` (exit 1 on any static hit) or
 
 from __future__ import annotations
 
+import os
 import re
 import sys
+
+# derive the repo root from this file's location (tools/..) so the lint
+# works from any checkout path, matching tools/rotate.py
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DECIMAL_RE = re.compile(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.IGNORECASE)
 
@@ -305,7 +310,7 @@ def lint_sql(key: str, sql: str) -> list[str]:
 
 
 def lint_all() -> list[str]:
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     import __spark_entry__ as contract
 
     hits: list[str] = []
@@ -339,21 +344,27 @@ def magnitude_scan(
 
     import duckdb
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     import __spark_entry__ as contract
     from etl_pipeline_project_spark.schemas import TESTDATA_TABLES
 
-    con = duckdb.connect()
-    con.execute("SET threads TO 16")
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
     errors: list[str] = []
     warnings: list[str] = []
     twins = contract.oracle_sql()
 
-    def _capped(fn):
+    def _mk_con():
+        # one FRESH connection per twin: a timed-out probe's interrupt can
+        # land after its fn() returns but before timer.cancel(), and a
+        # pending interrupt on a SHARED connection would cancel the NEXT
+        # twin's probe (round-7 ADVICE flake). A per-twin connection makes
+        # any stale interrupt die with its connection.
+        c = duckdb.connect()
+        c.execute("SET threads TO 16")
+        for t in TESTDATA_TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    def _capped(con, fn):
         timer = None
         if timeout_sec:
             timer = threading.Timer(timeout_sec, con.interrupt)
@@ -366,11 +377,13 @@ def magnitude_scan(
 
     for key in sorted(keys or twins):
         sql = twins[key]
+        con = _mk_con()
         try:
             rel = con.sql(sql)
             cols, types = rel.columns, [str(t).upper() for t in rel.types]
         except Exception as exc:  # noqa: BLE001 - report, don't abort the sweep
             errors.append(f"H5 {key}: twin failed to execute: {exc}")
+            con.close()
             continue
         probes = []
         for c, t in zip(cols, types):
@@ -382,19 +395,25 @@ def magnitude_scan(
             if ("INT" in t and "INTERVAL" not in t) or t.startswith("DECIMAL"):
                 probes.append(c)
         if not probes:
+            con.close()
             continue
         sel = ", ".join(f'max(abs("{c}"))' for c in probes)
         try:
-            row = _capped(lambda: con.sql(f"SELECT {sel} FROM ({sql})").fetchone())
+            row = _capped(
+                con, lambda: con.sql(f"SELECT {sel} FROM ({sql})").fetchone()
+            )
         except duckdb.InterruptException:
             warnings.append(
                 f"H5-warn {key}: magnitude probe exceeded {timeout_sec}s at "
                 f"{sf_dir} (O(n²)-by-design twin) — rely on the smaller-SF scan."
             )
+            con.close()
             continue
         except Exception as exc:  # noqa: BLE001
             errors.append(f"H5 {key}: magnitude probe failed: {exc}")
+            con.close()
             continue
+        con.close()
         for c, v in zip(probes, row):
             if v is None:
                 continue
