@@ -13,7 +13,13 @@ tests/test_registry_order.py enforces):
 3. every never-driver-checked ORACLE-backed key, preserving their
    current relative order (registration order, oldest first).
 4. never-checked rows-only keys.
-5. everything already driver-checked, preserving current relative order.
+5. everything already driver-checked, preserving current relative
+   order — except already-checked ROWS-ONLY keys, which sink to the
+   absolute tail: their driver row can never be anything but
+   ``no_oracle``, so re-sampling one spends an evidence slot on a known
+   result (round-7 verdict item 4, the q_ann_lsh case).
+
+The tool warns if a rows-only key still lands in the head-50 window.
 
 Also bumps ``_ROTATION_INPUT_ROUNDS`` to the newest committed round.
 
@@ -87,8 +93,19 @@ def main() -> int:
     never_rows = [k for k in never if k not in ORACLE]
     head = reds + pins
     rest = [k for k in cur if k in checked and k not in head]
-    new = head + never_oracled + never_rows + rest
+    # checked rows-only keys sink to the very tail: their re-sample can
+    # only reproduce `no_oracle`, which buys zero evidence
+    rest_oracled = [k for k in rest if k in ORACLE]
+    rest_rows = [k for k in rest if k not in ORACLE]
+    new = head + never_oracled + never_rows + rest_oracled + rest_rows
     assert sorted(new) == sorted(cur), "rotation must be a permutation"
+    for k in new[:50]:
+        if k not in ORACLE:
+            print(
+                f"WARNING: rows-only key {k} sits in the head-50 window — "
+                "its driver sample can only report no_oracle",
+                file=sys.stderr,
+            )
 
     def fmt(keys: list[str], per: int = 3) -> str:
         return "\n".join(
@@ -115,9 +132,15 @@ def main() -> int:
         block.append(fmt(never_rows))
     block.append(
         f"    # driver-checked through r{newest:02d} "
-        f"({len(rest)} keys; regression cover via pytest + sf0.1 replays):"
+        f"({len(rest_oracled)} keys; regression cover via pytest + sf0.1 replays):"
     )
-    block.append(fmt(rest))
+    block.append(fmt(rest_oracled))
+    if rest_rows:
+        block.append(
+            "    # checked rows-only keys — permanent tail (a re-sample can"
+        )
+        block.append("    # only reproduce no_oracle; see tools/rotate.py):")
+        block.append(fmt(rest_rows))
     block.append("]")
 
     src = open(QPATH).read()
