@@ -119,6 +119,46 @@ def test_residual_sign_double_expr_duckdb_equals_python(
     assert got == want or (got != got and want != want)  # NaN-safe bitwise-equal
 
 
+# Above 2^53 an int64 no longer converts to double exactly — but BOTH
+# engines use the same IEEE round-to-nearest-even int64→double cast, so
+# the identically-shaped expression must STILL be bit-equal (round-7
+# ADVICE: the >=2^53 regime was untested even though den = n·Sxx − Sx²
+# can plausibly reach it before the overflow guard fires).
+_WIDE = int(2**62)
+
+
+@given(
+    st.integers(min_value=1, max_value=_WIDE),          # n
+    st.integers(min_value=-_WIDE, max_value=_WIDE),     # num
+    st.integers(min_value=0, max_value=_WIDE),          # den
+    st.integers(min_value=-_WIDE, max_value=_WIDE),     # sx
+    st.integers(min_value=0, max_value=_WIDE),          # sy
+    st.integers(min_value=0, max_value=1_000_000),      # y
+    st.integers(min_value=-50_000, max_value=50_000),   # xc
+)
+@settings(max_examples=120, deadline=None)
+def test_residual_sign_double_expr_above_2_53(
+    n, num, den, sx, sy, y, xc
+) -> None:
+    con = duckdb.connect()
+    (got,) = con.execute(
+        """
+        SELECT CAST(? AS DOUBLE) * CAST(? AS DOUBLE) * CAST(? AS DOUBLE)
+             - CAST(? AS DOUBLE) * CAST(? AS DOUBLE) * CAST(? AS DOUBLE)
+             - CAST(? AS DOUBLE) * CAST(? AS DOUBLE)
+             + CAST(? AS DOUBLE) * CAST(? AS DOUBLE)
+        """,
+        [n, den, y, n, num, xc, den, sy, num, sx],
+    ).fetchone()
+    want = (
+        float(n) * float(den) * float(y)
+        - float(n) * float(num) * float(xc)
+        - float(den) * float(sy)
+        + float(num) * float(sx)
+    )
+    assert got == want or (got != got and want != want)
+
+
 # ---------------------------------------------------------------------------
 # 3. Milli-quantized TWA integer identities
 # ---------------------------------------------------------------------------
