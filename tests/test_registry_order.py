@@ -132,3 +132,21 @@ def test_never_checked_oracled_keys_precede_rows_only() -> None:
                 f"oracled never-checked key {k} ordered after a rows-only "
                 "key — hash evidence should drain first"
             )
+
+
+def test_checked_rows_only_keys_sink_to_tail() -> None:
+    """A rows-only key that already has a driver sample can only ever
+    reproduce `no_oracle` — re-sampling it spends an evidence slot on a
+    known result (round-7 verdict item 4). tools/rotate.py sinks such
+    keys to the absolute tail; this pins the policy."""
+    checked = _checked_through(_ROTATION_INPUT_ROUNDS)
+    checked_rows_only = [
+        k for k in _CHECK_PRIORITY if k in checked and k not in ORACLE
+    ]
+    if not checked_rows_only:
+        return
+    n_tail = len(checked_rows_only)
+    assert _CHECK_PRIORITY[-n_tail:] == checked_rows_only, (
+        "checked rows-only keys must occupy the rotation's final "
+        f"positions, got tail {_CHECK_PRIORITY[-n_tail:]}"
+    )
