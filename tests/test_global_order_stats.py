@@ -15,7 +15,10 @@ import random
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_project_spark.operators.windows import global_order_stats
+from etl_pipeline_project_spark.operators.windows import (
+    global_order_stats,
+    grouped_order_stats,
+)
 
 
 def _frame(spark, seed: int, n: int = 400):
@@ -115,6 +118,134 @@ def test_reversed_exclusive_running_min_struct(spark) -> None:
         ).collect()
     }
     assert got == want
+
+
+def test_nullable_cum_leading_null_partitions(spark) -> None:
+    # the round-8 ADVICE divergence: a nullable cum source whose leading
+    # rows of a non-first range partition are NULL must still carry the
+    # prior prefix sum (and stay NULL before the first non-null anywhere)
+    df = _frame(spark, 7).withColumn(
+        # NULL for most rows: long all-NULL prefixes straddle partitions
+        "src", F.when(F.col("k") % 97 == 0, F.col("w"))
+    )
+    got = {
+        r["k"]: r["cw"]
+        for r in global_order_stats(
+            df, ["v", "k"], cum_cols={"src": "cw"}, num_parts=16
+        ).collect()
+    }
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cw"]
+        for r in df.select("k", F.sum("src").over(w).alias("cw")).collect()
+    }
+    assert got == want
+    assert any(v is None for v in want.values())  # the regime is exercised
+
+
+def _grouped_frame(spark, seed: int, n: int = 600):
+    rng = random.Random(seed)
+    rows = [
+        # 3-way enum group (the q_spearman_rho shape), duplicate-heavy v,
+        # unique k tie-break
+        ("ABC"[rng.randrange(3)], rng.randrange(25), k, rng.randrange(-50, 50))
+        for k in range(n)
+    ]
+    return spark.createDataFrame(rows, "g string, v int, k int, w int")
+
+
+def test_grouped_rank_and_cum_match_window(spark) -> None:
+    df = _grouped_frame(spark, 11)
+    got = {
+        r["k"]: (r["rn"], r["cw"], r["n"])
+        for r in grouped_order_stats(
+            df, ["g"], ["v", "k"], rn_col="rn", cum_cols={"w": "cw"},
+            grp_n_col="n",
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "k")
+    want = {
+        r["k"]: (r["rn"], r["cw"], r["n"])
+        for r in df.select(
+            "k",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_nullable_cum(spark) -> None:
+    df = _grouped_frame(spark, 12).withColumn(
+        "src", F.when(F.col("k") % 89 == 0, F.col("w"))
+    )
+    got = {
+        r["k"]: r["cw"]
+        for r in grouped_order_stats(
+            df, ["g"], ["v", "k"], cum_cols={"src": "cw"}, num_parts=16
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["k"]: r["cw"]
+        for r in df.select("k", F.sum("src").over(w).alias("cw")).collect()
+    }
+    assert got == want
+    assert any(v is None for v in want.values())
+
+
+def test_grouped_single_group_column_string_arg(spark) -> None:
+    # `group` accepts a bare string; descending order columns work
+    df = _grouped_frame(spark, 13)
+    order = [F.col("v").desc(), F.col("k")]
+    got = {
+        r["k"]: r["rn"]
+        for r in grouped_order_stats(df, "g", order, rn_col="rn").collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        r["k"]: r["rn"]
+        for r in df.select(
+            "k", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_plan_never_hash_partitions_by_group_alone(spark) -> None:
+    # the entire point: no Exchange hashpartitioning on the bare enum
+    # group over the corpus-scaled input, and every Window is keyed by
+    # the range id or runs over the bounded (_pid, group) aggregate
+    df = _grouped_frame(spark, 14)
+    out = grouped_order_stats(
+        df, ["g"], ["v", "k"], rn_col="rn", cum_cols={"w": "cw"}, grp_n_col="n"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan
+    lines = plan.splitlines()
+
+    def _indent(s: str) -> int:
+        i = s.find("- ")
+        return i if i >= 0 else 0
+
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning" not in line or "_pid" in line:
+            continue
+        # a hash exchange keyed by the bare group is allowed ONLY above
+        # the (_pid, g) aggregate — bounded to #ranges + #groups rows —
+        # never over the raw corpus-scaled input
+        d = _indent(line)
+        subtree = []
+        for below in lines[i + 1 :]:
+            if _indent(below) <= d:
+                break
+            subtree.append(below)
+        assert any("keys=[_pid" in s for s in subtree), plan
 
 
 def test_no_single_partition_window_in_plan(spark) -> None:
