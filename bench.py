@@ -180,11 +180,21 @@ def main() -> None:
     print(json.dumps(out))
     # also persist the per-key timings in-repo: the driver's BENCH file
     # keeps only a truncated tail of stdout, which hides per-key
-    # regressions (and hid everything when a round crashed)
+    # regressions (and hid everything when a round crashed).
+    # Default target is the UNCOMMITTED .latest path (gitignored), so a
+    # driver-invoked run never dirties the committed artifact in place
+    # (round-8 verdict item 4); the builder refreshes the committed
+    # BENCH_local_sf*.json deliberately via SPARK_GRAFT_BENCH_COMMIT=1
+    # (or by copying the .latest file). See BASELINE.md.
     try:
+        suffix = (
+            ".json"
+            if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1"
+            else ".latest.json"
+        )
         art = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            f"BENCH_local_sf{_sf_of(sf_dir)}.json",
+            f"BENCH_local_sf{_sf_of(sf_dir)}{suffix}",
         )
         with open(art, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)

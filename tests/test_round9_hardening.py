@@ -1,0 +1,79 @@
+"""Round-9 hardening regressions.
+
+1. Overflow guards must bound the per-row OPERANDS, not max() of the
+   already-wrapped int64 product: a single row whose true product
+   exceeds 2^63 wraps BEFORE max() sees it, so a product-based guard can
+   read a small magnitude and wave the corrupted sum through (round-8
+   ADVICE low on q_time_weighted_avg / q_model_score_broadcast).
+2. A group whose guarded terms are all NULL (or an empty input) must
+   keep its pre-guard NULL semantics — assert_true(NULL) raises, so the
+   predicate is coalesced to true.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException  # noqa: F401 (import parity)
+
+LIM = float(1 << 61)
+
+
+def _agg(df):
+    return df.groupBy("k").agg(
+        F.sum(F.col("v") * F.col("d")).alias("s"),
+        F.max(F.abs(F.col("v") * F.col("d"))).alias("_mt"),  # the OLD style
+        F.max(F.abs("v")).alias("_mv"),
+        F.max(F.abs("d")).alias("_md"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+
+
+def test_wrapped_product_fools_old_guard_but_not_operand_guard(spark) -> None:
+    # Under this engine's ANSI default (Spark 4 ships ansi=true) the
+    # overflow raises on its own; the guard exists for non-ANSI
+    # deployments where v*d = 2^64 + 4 wraps SILENTLY to +4 in int64:
+    # tiny |product|, corrupt sum — exercise that regime explicitly.
+    v, d = 4, (1 << 62) + 1
+    df = spark.createDataFrame([(1, v, d)], "k int, v long, d long")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        row = _agg(df).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert row["_mt"] == 4, "the wrapped product really does look tiny"
+    old_safe = float(row["_c"]) * float(row["_mt"]) < LIM
+    new_safe = float(row["_c"]) * float(row["_mv"]) * float(row["_md"]) < LIM
+    assert old_safe, "old guard waves the corrupt sum through"
+    assert not new_safe, "operand guard catches it"
+
+
+def test_all_null_group_keeps_null_not_error(spark) -> None:
+    # all-NULL terms: sum/max are NULL; the coalesced guard must stay
+    # true (keep the NULL result) instead of assert_true(NULL) raising
+    df = spark.createDataFrame(
+        [(1, None, None)], "k int, v long, d long"
+    )
+    agg = _agg(df)
+    safe = F.coalesce(
+        F.col("_c").cast("double")
+        * F.col("_mv").cast("double")
+        * F.col("_md").cast("double")
+        < F.lit(LIM),
+        F.lit(True),
+    )
+    guard = F.assert_true(safe, F.lit("boom"))
+    out = agg.select("k", F.when(guard.isNull(), F.col("s")).alias("s")).collect()
+    assert out[0]["s"] is None  # NULL result survives; no raise
+
+    # and the un-coalesced predicate would indeed raise on NULL
+    bare = F.assert_true(
+        F.col("_c").cast("double")
+        * F.col("_mv").cast("double")
+        * F.col("_md").cast("double")
+        < F.lit(LIM),
+        F.lit("boom"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        agg.select(F.when(bare.isNull(), F.col("s")).alias("s")).collect()

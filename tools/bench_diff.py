@@ -64,7 +64,9 @@ def main() -> int:
     regressions = []
     for k in sorted(nq):
         o, n = oq.get(k), nq.get(k)
-        if o is None or n is None or (o < floor and n < floor):
+        # a zero/absent old reading is sub-floor noise, not a baseline —
+        # guard it explicitly or n / o divides by zero (round-8 ADVICE)
+        if o is None or n is None or o <= 0 or (o < floor and n < floor):
             continue
         if n / o > ratio:
             regressions.append((n / o, k, o, n))
