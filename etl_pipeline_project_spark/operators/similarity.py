@@ -26,25 +26,56 @@ from pyspark.sql import functions as F
 from etl_pipeline_project_spark.operators.windows import topk_per_group
 
 
-def dot_product(a: Column | str, b: Column | str) -> Column:
+def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Exact double dot product of two float-array columns (element-wise
-    double cast, sequential accumulation)."""
+    double cast, sequential accumulation).
+
+    ``dim`` is the pair-scoring hot-path lever: higher-order functions
+    (``zip_with``/``aggregate``) are CodegenFallback in Spark — every
+    element goes through the interpreted expression evaluator, which is
+    what dominated the sf1 replay's blocked-pair keys (q_knn_graph_blocked
+    300 s: ~40M pairs x 64 dims, each a lambda dispatch). When the vector
+    width is a schema contract (embeddings are fixed dim-64 here; any real
+    embedding column has one width), passing it unrolls the dot product
+    into a flat ``get``/multiply/add expression tree that whole-stage
+    codegen compiles — same left-associated accumulation from the same
+    0.0 seed, so the result is IEEE-bit-identical to the fold. A
+    ``size``-guard keeps the fold as the fallback branch, so rows whose
+    arrays are not exactly ``dim`` wide (NULLs, ragged data) keep the
+    fold's semantics verbatim; CaseWhen evaluates branches lazily, so the
+    fallback costs nothing on contract-conforming rows.
+    """
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    return F.aggregate(
+    fold = F.aggregate(
         F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if dim is None:
+        return fold
+    unrolled: Column = F.lit(0.0)
+    for i in range(dim):
+        unrolled = unrolled + F.get(ca, i).cast("double") * F.get(cb, i).cast("double")
+    return F.when((F.size(ca) == dim) & (F.size(cb) == dim), unrolled).otherwise(fold)
 
 
-def l2_norm(a: Column | str) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
     c = F.col(a) if isinstance(a, str) else a
-    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    fold = F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    if dim is None:
+        return fold
+    unrolled: Column = F.lit(0.0)
+    for i in range(dim):
+        x = F.get(c, i).cast("double")
+        unrolled = unrolled + x * x
+    return F.when(F.size(c) == dim, F.sqrt(unrolled)).otherwise(fold)
 
 
-def cosine_sim(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine_sim(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    return dot_product(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def ann_bruteforce_topk(
@@ -55,6 +86,7 @@ def ann_bruteforce_topk(
     vec_col: str = "embedding",
     k: int = 5,
     metric: str = "dot",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
@@ -64,7 +96,11 @@ def ann_bruteforce_topk(
     """
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
-    score = dot_product("qvec", "nvec") if metric == "dot" else cosine_sim("qvec", "nvec")
+    score = (
+        dot_product("qvec", "nvec", dim)
+        if metric == "dot"
+        else cosine_sim("qvec", "nvec", dim)
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("nid"))
@@ -75,6 +111,77 @@ def ann_bruteforce_topk(
     ).select("qid", "nid", "score", "rank")
 
 
+def salted_block_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    splits: int = 8,
+    ordered: bool = True,
+) -> DataFrame:
+    """Enumerate within-block vector pairs with salted parallelism.
+
+    A plain self-join on the block column hash-partitions on the block
+    key, so a corpus with B coarse blocks runs its pair enumeration on at
+    most B tasks — with B=10 IVF-style labels, 10 reducers own ALL the
+    O(Σ n_b²) work no matter how many executors exist (the join-side
+    sibling of the enum-partitioned-window scale-killer; measured: the
+    sf1 replay's q_knn_graph_blocked pinned ~10 of 32 cores). This
+    operator sub-chunks each block into ``splits`` deterministic slices
+    (``pmod`` on the id — no RNG) and joins on the (block, ga, gb) grid
+    cell instead: each side is replicated ``splits``× (vectors only, a
+    linear shuffle-volume cost), the pair SET is exactly the plain
+    join's, and parallelism becomes B·splits², with O((n_b/splits)²)
+    pairs per cell. At 100 TB, ``splits`` is sized from block-count
+    stats so cells fit an executor core's budget.
+
+    Output columns: ``id_a``, ``id_b``, ``va``, ``vb``, ``block`` —
+    ordered pairs (``id_a`` < ``id_b``) when ``ordered``, else all
+    directed pairs (``id_a`` != ``id_b``).
+    """
+    g_of = lambda c: F.pmod(F.xxhash64(c), F.lit(splits))  # noqa: E731
+    salt = F.explode(F.sequence(F.lit(0), F.lit(splits - 1)))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("va"),
+        g_of(F.col(id_col)).alias("_ga"),
+        salt.alias("_gb"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("_block_b"),
+        F.col(vec_col).alias("vb"),
+        salt.alias("_ga_b"),
+        g_of(F.col(id_col)).alias("_gb_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b") if ordered else F.col("id_a") != F.col("id_b")
+    # Distribute grid cells explicitly: the quadratic work is O(pairs)
+    # while the INPUT is O(rows) — a 10 MB embedding file arrives as one
+    # scan split, so without this shuffle a broadcast join would run all
+    # Σ n_b² scoring on one task no matter how well the cells are salted
+    # (file-split parallelism tracks bytes, not downstream work). BOTH
+    # sides are repartitioned because a broadcast join's output inherits
+    # the STREAMED side's partitioning and the planner may build either
+    # side — the linear extra shuffle is the price of making the
+    # quadratic stage's parallelism independent of that choice.
+    sess = df.sparkSession
+    nparts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(nparts, "block", "_ga", "_gb")
+    b = b.repartition(nparts, "_block_b", "_ga_b", "_gb_b")
+    return (
+        a.join(
+            b,
+            (F.col("block") == F.col("_block_b"))
+            & (F.col("_ga") == F.col("_ga_b"))
+            & (F.col("_gb") == F.col("_gb_b")),
+        )
+        .filter(cond)
+        .select("id_a", "id_b", "va", "vb", "block")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     *,
@@ -82,21 +189,17 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     top_n: int = 20,
+    dim: int | None = None,
+    splits: int = 8,
 ) -> DataFrame:
     """Most-similar vector pairs within coarse blocks (IVF-style): exact
     dot product on blocked pairs, global top-n by similarity. Output:
-    (id_a, id_b, score) with id_a < id_b, deterministic tie-breaks."""
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(block_col).alias("block"), F.col(vec_col).alias("va")
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(block_col).alias("block"), F.col(vec_col).alias("vb")
-    )
-    pairs = (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot_product("va", "vb").alias("score"))
-    )
+    (id_a, id_b, score) with id_a < id_b, deterministic tie-breaks.
+    Pair enumeration is salted (``salted_block_pairs``) so a small block
+    count cannot serialize the quadratic work onto a handful of tasks."""
+    pairs = salted_block_pairs(
+        df, id_col=id_col, vec_col=vec_col, block_col=block_col, splits=splits
+    ).select("id_a", "id_b", dot_product("va", "vb", dim).alias("score"))
     return pairs.orderBy(F.col("score").desc(), "id_a", "id_b").limit(top_n)
 
 
@@ -110,6 +213,7 @@ def ann_ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
     per-cluster inverted lists → probe the ``nprobe`` nearest cells per
@@ -138,7 +242,7 @@ def ann_ivf_topk(
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     probed = topk_per_group(
         q.crossJoin(F.broadcast(cents)).select(
-            "qid", "qvec", "cid", dot_product("qvec", "centroid").alias("cdot")
+            "qid", "qvec", "cid", dot_product("qvec", "centroid", dim).alias("cdot")
         ),
         "qid",
         [F.col("cdot").desc(), F.col("cid")],
@@ -147,7 +251,7 @@ def ann_ivf_topk(
     ).select("qid", "qvec", "cid")
 
     cand = probed.join(inverted, "cid").filter(F.col("qid") != F.col("nid"))
-    scored = cand.select("qid", "nid", dot_product("qvec", "nvec").alias("score"))
+    scored = cand.select("qid", "nid", dot_product("qvec", "nvec", dim).alias("score"))
     return topk_per_group(
         scored, "qid", [F.col("score").desc(), F.col("nid")], k, rank_col="rank"
     ).select("qid", "nid", "score", "rank")

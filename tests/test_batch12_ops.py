@@ -19,9 +19,11 @@ def test_partitioned_sink_prunes_read(spark, sf_dir):
     the scan's partition filters carry the predicate and only the one
     matching partition directory is planned."""
     REGISTRY["q_sink_partitioned"](spark, sf_dir).collect()
-    back = spark.read.parquet("/root/repo/.scratch/orders_by_year").filter(
-        F.col("o_year") == 1997
-    )
+    # the sink path is session-keyed (scratch-isolation policy) — read the
+    # same path the query wrote, not a fixed literal
+    back = spark.read.parquet(
+        f"/root/repo/.scratch/orders_by_year_{spark.sparkContext.applicationId}"
+    ).filter(F.col("o_year") == 1997)
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "o_year" in plan.split(
         "PartitionFilters"

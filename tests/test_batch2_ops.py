@@ -178,8 +178,11 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     import glob
 
     REGISTRY["q_compact_files"](spark, sf_dir).collect()
-    landing = glob.glob("/root/repo/.scratch/compact_landing/*.parquet")
-    compacted = glob.glob("/root/repo/.scratch/compact_out/*.parquet")
+    # the sink paths are session-keyed (scratch-isolation policy) — read
+    # the paths the query actually wrote
+    app = spark.sparkContext.applicationId
+    landing = glob.glob(f"/root/repo/.scratch/compact_landing_{app}/*.parquet")
+    compacted = glob.glob(f"/root/repo/.scratch/compact_out_{app}/*.parquet")
     assert len(landing) == 64
     assert len(compacted) <= 4
 

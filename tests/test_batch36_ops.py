@@ -31,13 +31,12 @@ def test_file_stats_pruning_matches_plain_filter(spark, sf_dir):
 
 
 def test_file_stats_pruning_actually_skips_files(spark, sf_dir):
-    import hashlib
+    from etl_pipeline_project_spark.queries import _SCRATCH, _fp_tag
 
-    from etl_pipeline_project_spark.queries import _SCRATCH
-
-    # the clustered layout exists after running the query
+    # the clustered layout exists after running the query; the fixture tag
+    # is the content fingerprint the query derives, not md5(sf_dir)
     q_file_stats_pruning(spark, sf_dir).count()
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     back = spark.read.parquet(f"{_SCRATCH}/events_clustered_{tag}")
     stats = back.groupBy(F.col("_metadata.file_path").alias("f")).agg(
         F.max("ts").alias("max_ts")

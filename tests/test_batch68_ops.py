@@ -28,9 +28,9 @@ def test_partitioned_stream_sink_prunes(spark, sf_dir):
     }
     assert rows == direct
     # reading one partition applies a PartitionFilter, not a full scan
-    import hashlib
+    from etl_pipeline_project_spark.queries import _fp_tag
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = _fp_tag(sf_dir, "events")
     sink = f"/root/repo/.scratch/stream_part_{tag}/sink"
     one = spark.read.parquet(sink).filter(F.col("event_type") == "click")
     plan = one._jdf.queryExecution().executedPlan().toString()

@@ -77,3 +77,59 @@ def test_all_null_group_keeps_null_not_error(spark) -> None:
     )
     with pytest.raises(Exception, match="boom"):
         agg.select(F.when(bare.isNull(), F.col("s")).alias("s")).collect()
+
+
+# ---------------------------------------------------------------------------
+# Salted block-pair enumeration (the join-side enum scale-killer fix)
+# ---------------------------------------------------------------------------
+
+
+def _plain_pairs(emb, ordered: bool):
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("bl"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("br"), F.col("embedding").alias("vb")
+    )
+    cond = F.col("id_a") < F.col("id_b") if ordered else F.col("id_a") != F.col("id_b")
+    return a.join(b, F.col("bl") == F.col("br")).filter(cond).select("id_a", "id_b")
+
+
+@pytest.mark.parametrize("ordered", [True, False])
+def test_salted_block_pairs_is_exactly_the_plain_join_pair_set(spark, sf_dir, ordered) -> None:
+    """The salt is a pure parallelism transform: the enumerated pair SET
+    must equal the plain block-equi-join's, for both the ordered
+    (id_a < id_b) and directed (id_a != id_b) variants."""
+    from etl_pipeline_project_spark.operators.similarity import salted_block_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    salted = salted_block_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", ordered=ordered
+    ).select("id_a", "id_b")
+    plain = _plain_pairs(emb, ordered)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_block_pairs_distributes_cells_not_blocks(spark, sf_dir) -> None:
+    """With B blocks, the plain join bounds parallelism by B regardless of
+    cluster size; the salted plan must spread the quadratic work over the
+    FULL configured shuffle parallelism (an explicit Exchange on the
+    grid-cell key, every shuffle partition occupied) — i.e. the pair
+    stream's task count is set by the session, not by the block count."""
+    from etl_pipeline_project_spark.operators.similarity import salted_block_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_blocks = emb.select("label").distinct().count()
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = salted_block_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", splits=8
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(block" in plan
+    occupied = pairs.select(F.spark_partition_id().alias("p")).distinct().count()
+    # 8 splits x B blocks = 8²·B cells >> nparts, so every shuffle
+    # partition holds work — the plain join could never occupy more
+    # than B distinct reducers on the pair-generating stage.
+    assert occupied == nparts, (occupied, nparts, n_blocks)

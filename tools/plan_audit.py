@@ -96,6 +96,16 @@ ENUM_COLS = {
     "weekday", "dow", "side", "_side", "flag", "grp", "bucket_kind",
 }
 
+# Columns the enum-JOIN rule treats as bounded-cardinality shuffle keys:
+# the window-rule enums plus the coarse blocking columns the similarity
+# tier joins on (10 labels in the testdata; any IVF-style block count is
+# tiny next to the cluster's core count).
+ENUM_JOIN_COLS = ENUM_COLS | {"label", "lb", "block", "_block_b", "plabel", "nlabel"}
+
+# Keys whose enum-keyed shuffle join is bounded by construction in a way
+# the textual probe cannot prove — one-line justification each.
+ENUM_JOIN_OK: dict[str, str] = {}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -1109,10 +1119,14 @@ def main() -> int:
     p = plan("q_knn_graph_blocked")
     checks.append(
         (
-            "q_knn_graph_blocked one label-keyed pair stage; per-vector top-k WindowGroupLimit-pruned",
+            "q_knn_graph_blocked salted grid-cell pair stage (not bare label-keyed); "
+            "per-vector top-k WindowGroupLimit-pruned",
             "WindowGroupLimit" in p
             and "CartesianProduct" not in p
-            and len(re.findall(r"Exchange hashpartitioning", p)) <= 2,
+            # the pair join must key on the salted (block, _ga, _gb) cell,
+            # never on the bare label (parallelism <= |labels|)
+            and re.search(r"Exchange hashpartitioning\(block[^)]*_ga", p) is not None
+            and re.search(r"Exchange hashpartitioning\(label#\d+, \d+\)", p) is None,
             p[:300],
         )
     )
@@ -1504,6 +1518,71 @@ def main() -> int:
                 hits.append(ln.strip()[:120])
         return hits
 
+    # ---- round-9 rule (session 2): no shuffle JOIN keyed only by a
+    # bounded enum over corpus-scaled input ----
+    # The join-side sibling of the enum-window rule, found while scaling
+    # the similarity tier: a self-join ON a.label = b.label with B
+    # distinct labels plans as Exchange hashpartitioning(label) ->
+    # SortMergeJoin — AT MOST B tasks own ALL the O(Σ n_b²) pair work at
+    # any cluster size (measured: q_knn_graph_blocked pinned ~10 of 32
+    # cores at sf1 until rewritten onto salted_block_pairs). The rule:
+    # every Exchange hashpartitioning whose keys are ALL bounded-enum
+    # columns and whose ancestor chain reaches a SortMergeJoin /
+    # ShuffledHashJoin must be provably bounded below (scalar aggregate,
+    # limit, or an aggregate keyed only by enums — <= Π|enum| rows), or
+    # the key sits in ENUM_JOIN_OK with a one-line justification.
+
+    def _ancestor_reaches_shuffle_join(lines: list[str], i: int, d: int) -> bool:
+        j, cur = i - 1, d
+        while j >= 0 and cur > 0:
+            dj = max(_indent(lines[j]), 0)
+            if dj < cur:
+                a = lines[j]
+                cur = dj
+                if re.search(r"SortMergeJoin|ShuffledHashJoin", a):
+                    return True
+                if re.search(r"Aggregate|Limit|TakeOrdered|Window|BroadcastHashJoin", a):
+                    return False
+            j -= 1
+        return False
+
+    def enum_partition_joins(p: str) -> list[str]:
+        lines = p.splitlines()
+        hits = []
+        for i, ln in enumerate(lines):
+            m = re.search(r"Exchange hashpartitioning\(([^)]*)\)", ln)
+            if m is None:
+                continue
+            attrs = re.findall(r"(\w+)#\d+", m.group(1))
+            if not attrs or not all(a in ENUM_JOIN_COLS for a in attrs):
+                continue
+            d = _indent(ln)
+            if not _ancestor_reaches_shuffle_join(lines, i, d):
+                continue
+            bounded = False
+            for k in range(i + 1, len(lines)):
+                dk = _indent(lines[k])
+                if dk != -1 and dk <= d:
+                    break
+                agg = re.search(r"Aggregate\(keys=\[([^\]]*)\]", lines[k])
+                if (
+                    re.search(r"Limit|TakeOrdered", lines[k])
+                    or (
+                        agg is not None
+                        and all(
+                            a in ENUM_JOIN_COLS
+                            for a in re.findall(r"(\w+)#\d+", agg.group(1))
+                        )
+                    )
+                ):
+                    bounded = True
+                    break
+                if agg is not None or "Exchange" in lines[k]:
+                    break
+            if not bounded:
+                hits.append(ln.strip()[:120])
+        return hits
+
 
     generic_failed: list[str] = []
     for key in sorted(REGISTRY):
@@ -1524,6 +1603,9 @@ def main() -> int:
         epw = enum_partition_windows(p)
         if epw and key not in WINDOW_GRID_OK and key not in ENUM_WINDOW_OK:
             bad.append(f"Window hash-partitioned by bare bounded enum ({epw[0]})")
+        epj = enum_partition_joins(p)
+        if epj and key not in ENUM_JOIN_OK:
+            bad.append(f"Shuffle join keyed only by bounded enum ({epj[0]})")
         checks.append(
             (
                 f"{key} [generic] no cartesian, no row-Python, no single-partition window",
