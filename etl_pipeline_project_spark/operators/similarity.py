@@ -117,8 +117,10 @@ def salted_block_pairs(
     id_col: str,
     vec_col: str,
     block_col: str,
-    splits: int = 8,
+    splits: int | str = 8,
     ordered: bool = True,
+    target_cell_rows: int = 256,
+    max_splits: int = 1024,
 ) -> DataFrame:
     """Enumerate within-block vector pairs with salted parallelism.
 
@@ -128,28 +130,54 @@ def salted_block_pairs(
     O(Σ n_b²) work no matter how many executors exist (the join-side
     sibling of the enum-partitioned-window scale-killer; measured: the
     sf1 replay's q_knn_graph_blocked pinned ~10 of 32 cores). This
-    operator sub-chunks each block into ``splits`` deterministic slices
+    operator sub-chunks each block into G deterministic slices
     (``pmod`` on the id — no RNG) and joins on the (block, ga, gb) grid
-    cell instead: each side is replicated ``splits``× (vectors only, a
-    linear shuffle-volume cost), the pair SET is exactly the plain
-    join's, and parallelism becomes B·splits², with O((n_b/splits)²)
-    pairs per cell. At 100 TB, ``splits`` is sized from block-count
-    stats so cells fit an executor core's budget.
+    cell instead: each side is replicated G× (vectors only — the
+    replication cost is O(pairs / target_cell_rows), i.e. proportional
+    to the quadratic work the caller asked for, never more), the pair
+    SET is exactly the plain join's, and parallelism becomes Σ G_b²
+    cells, with O((n_b/G_b)²) pairs per cell.
+
+    ``splits`` is a fixed integer, or ``"auto"``: size G PER BLOCK as
+    ``clamp(ceil(n_b / target_cell_rows), 1, max_splits)`` from one
+    cheap count aggregate (one row per block, broadcast back). Auto is
+    the skew-safe production path — with a fixed G, one hot block of
+    10⁸ rows still yields (10⁸/G)²-pair straggler cells while
+    thousands of small blocks pay G× replication for nothing; per-block
+    sizing bounds every cell at ~target_cell_rows² pairs so a
+    1000-executor stage has no stragglers. A block that would need more
+    than ``max_splits`` slices (n_b > target·max_splits) is beyond
+    exact pair enumeration at any parallelism — route such corpora
+    through the ANN tier (``ann_ivf_topk``/``ann_lsh_topk``) instead.
 
     Output columns: ``id_a``, ``id_b``, ``va``, ``vb``, ``block`` —
     ordered pairs (``id_a`` < ``id_b``) when ``ordered``, else all
     directed pairs (``id_a`` != ``id_b``).
     """
-    g_of = lambda c: F.pmod(F.xxhash64(c), F.lit(splits))  # noqa: E731
-    salt = F.explode(F.sequence(F.lit(0), F.lit(splits - 1)))
-    a = df.select(
+    if splits == "auto":
+        counts = df.groupBy(F.col(block_col).alias("_cb")).agg(
+            F.count(F.lit(1)).alias("_nb")
+        )
+        g_col = F.least(
+            F.greatest(F.ceil(F.col("_nb") / F.lit(target_cell_rows)), F.lit(1)),
+            F.lit(max_splits),
+        ).cast("int")
+        sized = df.join(
+            F.broadcast(counts.select("_cb", g_col.alias("_g"))),
+            df[block_col] == F.col("_cb"),
+        ).drop("_cb")
+    else:
+        sized = df.withColumn("_g", F.lit(int(splits)))
+    g_of = lambda c: F.pmod(F.xxhash64(c), F.col("_g").cast("bigint"))  # noqa: E731
+    salt = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+    a = sized.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("va"),
         g_of(F.col(id_col)).alias("_ga"),
         salt.alias("_gb"),
     )
-    b = df.select(
+    b = sized.select(
         F.col(id_col).alias("id_b"),
         F.col(block_col).alias("_block_b"),
         F.col(vec_col).alias("vb"),
@@ -190,7 +218,7 @@ def cosine_neardup_pairs(
     block_col: str = "label",
     top_n: int = 20,
     dim: int | None = None,
-    splits: int = 8,
+    splits: int | str = 8,
 ) -> DataFrame:
     """Most-similar vector pairs within coarse blocks (IVF-style): exact
     dot product on blocked pairs, global top-n by similarity. Output:

@@ -96,20 +96,68 @@ def _plain_pairs(emb, ordered: bool):
 
 
 @pytest.mark.parametrize("ordered", [True, False])
-def test_salted_block_pairs_is_exactly_the_plain_join_pair_set(spark, sf_dir, ordered) -> None:
+@pytest.mark.parametrize("splits", [8, "auto"])
+def test_salted_block_pairs_is_exactly_the_plain_join_pair_set(
+    spark, sf_dir, ordered, splits
+) -> None:
     """The salt is a pure parallelism transform: the enumerated pair SET
-    must equal the plain block-equi-join's, for both the ordered
-    (id_a < id_b) and directed (id_a != id_b) variants."""
+    must equal the plain block-equi-join's, for the ordered (id_a < id_b)
+    and directed (id_a != id_b) variants, under both a fixed split count
+    and the per-block auto sizing."""
     from etl_pipeline_project_spark.operators.similarity import salted_block_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     salted = salted_block_pairs(
-        emb, id_col="vec_id", vec_col="embedding", block_col="label", ordered=ordered
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        ordered=ordered,
+        splits=splits,
     ).select("id_a", "id_b")
     plain = _plain_pairs(emb, ordered)
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_block_pairs_auto_bounds_cells_under_skew(spark) -> None:
+    """Auto sizing must bound every grid cell's pair count near
+    target_cell_rows² even when one block dwarfs the rest — the
+    straggler-free property a fixed split count cannot give. Skewed
+    frame: one 400-row block, one 10-row block."""
+    from etl_pipeline_project_spark.operators.similarity import salted_block_pairs
+
+    rows = [(i, 0 if i < 400 else 1, [float(i), 1.0]) for i in range(410)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    pairs = salted_block_pairs(
+        df,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        splits="auto",
+        target_cell_rows=50,
+    )
+    # exact set vs plain join on the same frame
+    plain = _plain_pairs(
+        df.withColumnRenamed("label", "label"), True
+    )
+    assert pairs.select("id_a", "id_b").exceptAll(plain).count() == 0
+    assert plain.exceptAll(pairs.select("id_a", "id_b")).count() == 0
+    # per-cell bound: with target 50, the 400-row block splits into G=8
+    # slices of ~50 rows — no cell may see more than ~2x the target²
+    # ordered pairs (hash imbalance allowance)
+    cell_counts = (
+        df.selectExpr(
+            "label",
+            "pmod(xxhash64(vec_id), 8) as g",
+        )
+        .where("label = 0")
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in cell_counts) <= 2 * 50
 
 
 def test_salted_block_pairs_distributes_cells_not_blocks(spark, sf_dir) -> None:

@@ -1124,9 +1124,17 @@ def main() -> int:
             "WindowGroupLimit" in p
             and "CartesianProduct" not in p
             # the pair join must key on the salted (block, _ga, _gb) cell,
-            # never on the bare label (parallelism <= |labels|)
+            # never on the bare label (parallelism <= |labels|). The
+            # per-block count aggregate of auto-sizing legitimately
+            # exchanges on label (one output row per block), so the probe
+            # targets the PAIR join: every join line mentioning the pair
+            # ids must carry the salt in its key list.
             and re.search(r"Exchange hashpartitioning\(block[^)]*_ga", p) is not None
-            and re.search(r"Exchange hashpartitioning\(label#\d+, \d+\)", p) is None,
+            and all(
+                "_ga" in ln
+                for ln in p.splitlines()
+                if re.search(r"Join .*id_a", ln)
+            ),
             p[:300],
         )
     )
