@@ -389,6 +389,7 @@ def containment_pairs(
     *,
     k: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Directed shingle containment |A∩B| / |A| over blocked pairs — the
     near-SUPERSET detector exact Jaccard misses: a short doc wholly
@@ -398,7 +399,20 @@ def containment_pairs(
 
     Same inverted-index plan as ``jaccard_pairs`` (explode → count
     co-occurrence per pair, shuffle on (block, shingle)); directed, so
-    both (a,b) and (b,a) emit when both clear the threshold."""
+    both (a,b) and (b,a) emit when both clear the threshold.
+
+    The plan's shuffle key (block, shingle) is high-cardinality, so
+    parallelism scales with the corpus; the residual 100 TB hazard is the
+    HOT shingle — a boilerplate k-gram present in d documents of one
+    block contributes d² join pairs on one key. ``max_df`` (default None
+    = exact, the oracle-checked contract) caps posting-list length:
+    shingles with per-block document frequency above it are dropped
+    before the pair join, the standard frequent-shingle approximation
+    (cf. Broder's shingling; a shingle shared by thousands of docs
+    carries ~no duplicate signal but dominates the join). Production at
+    100 TB should set it (e.g. 1000); results then under-count
+    containment for pairs whose overlap is mostly boilerplate — the
+    pairs the threshold is meant to reject anyway."""
     from pyspark.sql import Window
 
     sh = df.select(
@@ -409,7 +423,10 @@ def containment_pairs(
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     ex = sh.select(F.col(id_col), "block", F.explode("shingles").alias("tok"))
     w = Window.partitionBy("block", "tok")
-    ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1).drop("df_")
+    ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1)
+    if max_df is not None:
+        ex = ex.filter(F.col("df_") <= max_df)
+    ex = ex.drop("df_")
     a = ex.select(F.col(id_col).alias("id_a"), "block", "tok")
     b = ex.select(F.col(id_col).alias("id_b"), "block", "tok")
     inter = (

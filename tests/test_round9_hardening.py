@@ -181,3 +181,22 @@ def test_salted_block_pairs_distributes_cells_not_blocks(spark, sf_dir) -> None:
     # partition holds work — the plain join could never occupy more
     # than B distinct reducers on the pair-generating stage.
     assert occupied == nparts, (occupied, nparts, n_blocks)
+
+
+def test_containment_max_df_caps_hot_shingles_exactly(spark, sf_dir) -> None:
+    """max_df=None is the exact oracle-checked contract; a huge cap must
+    change nothing, and a cap of 1 must drop every co-occurring shingle
+    (posting lists of length >= 2) and so emit no pairs."""
+    from etl_pipeline_project_spark.operators.dedup_text import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = containment_pairs(docs, "doc_id", "text", "source", k=3, threshold=0.15)
+    capped_high = containment_pairs(
+        docs, "doc_id", "text", "source", k=3, threshold=0.15, max_df=10**9
+    )
+    assert exact.exceptAll(capped_high).count() == 0
+    assert capped_high.exceptAll(exact).count() == 0
+    capped_one = containment_pairs(
+        docs, "doc_id", "text", "source", k=3, threshold=0.15, max_df=1
+    )
+    assert capped_one.count() == 0
