@@ -68,12 +68,18 @@ def jaccard_pairs(
     *,
     k: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked candidate pairs.
 
     Pairs are generated only within ``block_col`` groups (the all-pairs
     join is O(n²) — blocking is what makes this an operator instead of an
     accident). Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_df`` caps per-block shingle document frequency before the pair
+    join (default None = exact): a boilerplate shingle in d docs emits
+    d² join rows on one (block, shingle) key, the hot-token hazard at
+    corpus scale — see ``containment_pairs`` for the trade-off note.
     """
     sh = df.select(
         F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, k).alias("shingles")
@@ -96,7 +102,10 @@ def jaccard_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy("block", "tok")
-    ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1).drop("df_")
+    ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1)
+    if max_df is not None:
+        ex = ex.filter(F.col("df_") <= max_df)
+    ex = ex.drop("df_")
     a = ex.select(F.col(id_col).alias("id_a"), "block", "tok")
     b = ex.select(F.col(id_col).alias("id_b"), "block", "tok")
     inter = (
