@@ -149,6 +149,11 @@ def salted_block_pairs(
     than ``max_splits`` slices (n_b > target·max_splits) is beyond
     exact pair enumeration at any parallelism — route such corpora
     through the ANN tier (``ann_ivf_topk``/``ann_lsh_topk``) instead.
+    Rows whose block column is NULL never pair (in auto mode the inner
+    broadcast join with the per-block counts drops them; in fixed mode
+    the NULL-rejecting equi-join condition does) — identical to the
+    plain block equi-join this operator replaces, where NULL = NULL is
+    not a match.
 
     Output columns: ``id_a``, ``id_b``, ``va``, ``vb``, ``block`` —
     ordered pairs (``id_a`` < ``id_b``) when ``ordered``, else all
@@ -169,7 +174,13 @@ def salted_block_pairs(
     else:
         sized = df.withColumn("_g", F.lit(int(splits)))
     g_of = lambda c: F.pmod(F.xxhash64(c), F.col("_g").cast("bigint"))  # noqa: E731
-    salt = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+    # bigint salt to match g_of's type: Murmur3 hashes int and long
+    # differently, so an int salt column would make the explicit
+    # repartition's distribution unusable for the bigint-keyed join and
+    # Spark would insert a second redundant exchange on both sides.
+    salt = F.explode(
+        F.sequence(F.lit(0).cast("bigint"), (F.col("_g") - 1).cast("bigint"))
+    )
     a = sized.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("block"),
@@ -195,7 +206,11 @@ def salted_block_pairs(
     # side — the linear extra shuffle is the price of making the
     # quadratic stage's parallelism independent of that choice.
     sess = df.sparkSession
-    nparts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nparts = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # AQE-managed platforms set the conf to the string "auto"
+        nparts = sess.sparkContext.defaultParallelism
     a = a.repartition(nparts, "block", "_ga", "_gb")
     b = b.repartition(nparts, "_block_b", "_ga_b", "_gb_b")
     return (

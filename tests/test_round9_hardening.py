@@ -177,10 +177,15 @@ def test_salted_block_pairs_distributes_cells_not_blocks(spark, sf_dir) -> None:
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(block" in plan
     occupied = pairs.select(F.spark_partition_id().alias("p")).distinct().count()
-    # 8 splits x B blocks = 8²·B cells >> nparts, so every shuffle
-    # partition holds work — the plain join could never occupy more
-    # than B distinct reducers on the pair-generating stage.
-    assert occupied == nparts, (occupied, nparts, n_blocks)
+    # 8 splits x B blocks = 8²·B cells >> nparts, so nearly every shuffle
+    # partition holds work — the plain join could never occupy more than
+    # B distinct reducers on the pair-generating stage. `occupied ==
+    # nparts` exactly would flake: hashing ~640 cells into nparts buckets
+    # leaves a bucket empty with small but real probability. The property
+    # claimed is that occupancy tracks the CONFIGURED parallelism (640
+    # cells >> nparts), not the block count, so assert near-full
+    # occupancy of nparts whatever the session's nparts/B ratio is.
+    assert occupied >= 0.9 * nparts, (occupied, nparts, n_blocks)
 
 
 def test_containment_max_df_caps_hot_shingles_exactly(spark, sf_dir) -> None:
