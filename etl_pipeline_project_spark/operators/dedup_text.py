@@ -32,6 +32,37 @@ from etl_pipeline_project_spark.operators.dedup import dedup_keyed
 from etl_pipeline_project_spark.operators.text_analysis import doc_fingerprint
 
 
+def _observe_posting_skew(a: DataFrame, observation) -> DataFrame:
+    """Attach posting-list skew metrics to one side of the inverted-index
+    pair self-join (side ``a`` — each posting row passes it exactly once,
+    so metrics are single-counted; observing the shared ``ex`` frame
+    would put two same-named CollectMetrics nodes in the plan).
+
+    Rides the pass the join already makes (df.observe — zero extra
+    scans, the q_observe_metrics discipline). Metrics describe the
+    postings the pair join ACTUALLY consumes (post-``max_df`` when a cap
+    is set, the raw hot-shingle distribution when exact):
+
+    - ``max_df`` / ``p99_df``: per-(block, shingle) document-frequency
+      tail — the d in the d² hot-key hazard.
+    - ``n_postings``: inverted-index rows feeding the join.
+    - ``pair_rows_upper``: Σ_tok df² = the EXACT directed row count the
+      (block, tok) self-join emits before the id filter — the quadratic
+      work, measured, not guessed. A run whose pair_rows_upper explodes
+      relative to n_postings has a hot shingle; cap it.
+
+    Requires rows to flow (metrics materialize on the action) and the
+    ``_df`` column on ``a``; the caller drops ``_df`` above this node.
+    """
+    return a.observe(
+        observation,
+        F.max("_df").alias("max_df"),
+        F.percentile_approx("_df", 0.99).alias("p99_df"),
+        F.count(F.lit(1)).alias("n_postings"),
+        F.sum(F.col("_df").cast("long")).alias("pair_rows_upper"),
+    )
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact near-copy removal: group by normalized-text sha-256, keep the
     lowest id (deterministic — SURVEY §1.4 Q3 discipline)."""
@@ -69,6 +100,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.1,
     max_df: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over blocked candidate pairs.
 
@@ -80,6 +112,9 @@ def jaccard_pairs(
     join (default None = exact): a boilerplate shingle in d docs emits
     d² join rows on one (block, shingle) key, the hot-token hazard at
     corpus scale — see ``containment_pairs`` for the trade-off note.
+    ``observation`` (a ``pyspark.sql.Observation``) collects the posting
+    df-skew metrics (max_df, p99_df, n_postings, pair_rows_upper) as a
+    side effect of the join's own pass — see ``_observe_posting_skew``.
     """
     sh = df.select(
         F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, k).alias("shingles")
@@ -105,9 +140,11 @@ def jaccard_pairs(
     ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1)
     if max_df is not None:
         ex = ex.filter(F.col("df_") <= max_df)
-    ex = ex.drop("df_")
-    a = ex.select(F.col(id_col).alias("id_a"), "block", "tok")
-    b = ex.select(F.col(id_col).alias("id_b"), "block", "tok")
+    a = ex.select(F.col(id_col).alias("id_a"), "block", "tok", F.col("df_").alias("_df"))
+    if observation is not None:
+        a = _observe_posting_skew(a, observation)
+    a = a.drop("_df")
+    b = ex.drop("df_").select(F.col(id_col).alias("id_b"), "block", "tok")
     inter = (
         a.join(b, ["block", "tok"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -399,6 +436,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.3,
     max_df: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Directed shingle containment |A∩B| / |A| over blocked pairs — the
     near-SUPERSET detector exact Jaccard misses: a short doc wholly
@@ -421,7 +459,13 @@ def containment_pairs(
     carries ~no duplicate signal but dominates the join). Production at
     100 TB should set it (e.g. 1000); results then under-count
     containment for pairs whose overlap is mostly boilerplate — the
-    pairs the threshold is meant to reject anyway."""
+    pairs the threshold is meant to reject anyway.
+
+    ``observation`` (a ``pyspark.sql.Observation``) collects the posting
+    df-skew metrics (max_df, p99_df, n_postings, pair_rows_upper) as a
+    side effect of the join's own pass — see ``_observe_posting_skew``.
+    pair_rows_upper = Σ df² is the measured quadratic work; monitor it
+    in production and set ``max_df`` when it decouples from n_postings."""
     from pyspark.sql import Window
 
     sh = df.select(
@@ -435,9 +479,11 @@ def containment_pairs(
     ex = ex.withColumn("df_", F.count(F.lit(1)).over(w)).filter(F.col("df_") > 1)
     if max_df is not None:
         ex = ex.filter(F.col("df_") <= max_df)
-    ex = ex.drop("df_")
-    a = ex.select(F.col(id_col).alias("id_a"), "block", "tok")
-    b = ex.select(F.col(id_col).alias("id_b"), "block", "tok")
+    a = ex.select(F.col(id_col).alias("id_a"), "block", "tok", F.col("df_").alias("_df"))
+    if observation is not None:
+        a = _observe_posting_skew(a, observation)
+    a = a.drop("_df")
+    b = ex.drop("df_").select(F.col(id_col).alias("id_b"), "block", "tok")
     inter = (
         a.join(b, ["block", "tok"])
         .filter(F.col("id_a") != F.col("id_b"))
