@@ -104,6 +104,25 @@ ROWS_ONLY_KEYS = [
     "q_ann_ivf",
 ]
 
+# round-10 widening (verdict item 5): a deterministic mid-tier sample —
+# every 2nd key (sorted) of the oracled, non-streaming registry keys
+# whose committed sf0.1 cost sits in [0.4, 3.0] s and that weren't
+# already replayed, first 30. Full differential; slow twins degrade to
+# the recorded twin_timeout, never hang the run.
+MID_TIER_KEYS = [
+    "q_ab_welch_ttest", "q_agg_cube", "q_agg_sum_by_dim",
+    "q_allen_relations", "q_arc_elasticity", "q_assoc_confidence",
+    "q_attribution_linear", "q_autocorr_lag1", "q_benjamini_hochberg",
+    "q_bipartite_degree", "q_blocking_eval", "q_bloom_prune_semi",
+    "q_bollinger_bands", "q_business_days", "q_cms_heavy_hitters",
+    "q_compact_files", "q_corr_exact", "q_cuped",
+    "q_daily_percentile_bands", "q_dedup_keyed",
+    "q_dedup_threshold_sweep", "q_diff_in_diff", "q_dq_referential",
+    "q_dup_ngram_coverage", "q_emd_tcloseness", "q_fd_audit",
+    "q_feature_hash", "q_geo_radius_join", "q_graph_2hop",
+    "q_group_vs_rest",
+]
+
 
 def build_derived(spark) -> None:
     if os.path.isdir(OUT) and all(
@@ -152,6 +171,148 @@ def build_derived(spark) -> None:
         print(f"derived {t}: {dst}", flush=True)
 
 
+FOOTER = " copyright footer terms privacy contact about"
+HOT_CAP = 1000
+
+
+def hot_shingle_case(spark) -> dict:
+    """Planted-hot-shingle case (round-10 verdict item 1b): append a
+    6-word boilerplate footer to EVERY doc of one source block of the
+    sf1-derived corpus (the web page-footer regime — block src0 holds
+    10 x 250 = 2500 docs after derivation, so each footer shingle's
+    posting list is df = 2500).
+
+    Proves three things, all MEASURED (the operators' own df.observe
+    metrics, not plan reading):
+    1. the exact default is in the hot regime here — predicted pair
+       rows jump by Σ df² ≈ 4·2500² ≈ 25M on 4 keys, and the
+       skew_audit fair-share gate fires;
+    2. the max_df=1000 capped path bounds what the join consumes
+       (observed max_df ≤ cap) and completes in bounded time;
+    3. the cap's exactness trade is the documented one: the derived
+       corpus's TRUE duplicates (exact clone groups of 10) all survive
+       — only boilerplate-dominated overlap is under-counted.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_spark.operators.dedup_text import (
+        containment_pairs,
+        jaccard_pairs,
+        word_shingles,
+    )
+    from tools.skew_audit import FAIR_SHARE_PARTS, SMALL_DATA_FLOOR
+
+    rec: dict = {"footer": FOOTER.strip(), "cap": HOT_CAP}
+    docs = load_table(spark, OUT, "documents")
+    hot = docs.withColumn(
+        "text",
+        F.when(
+            F.col("source") == "src0", F.concat(F.col("text"), F.lit(FOOTER))
+        ).otherwise(F.col("text")),
+    ).localCheckpoint(eager=True)
+    rec["n_docs"] = hot.count()
+    rec["n_hot_docs"] = hot.filter(F.col("source") == "src0").count()
+
+    # (1) the exact path's predicted quadratic work + the audit gate,
+    # from one cheap postings aggregate (no quadratic join executed)
+    t0 = time.perf_counter()
+    s = (
+        hot.select(
+            F.col("source").alias("k1"),
+            F.explode(word_shingles(F.col("text"), 3)).alias("k2"),
+        )
+        .groupBy("k1", "k2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.max("cnt").alias("max_cnt"),
+            F.sum((F.col("cnt") * F.col("cnt")).cast("long")).alias("sum_sq"),
+        )
+        .collect()[0]
+    )
+    rec["postings_sec"] = round(time.perf_counter() - t0, 2)
+    rec["exact_max_df"] = int(s["max_cnt"])
+    rec["exact_pair_rows"] = int(s["sum_sq"])
+    rec["hot_key_pairs"] = int(s["max_cnt"]) ** 2
+    rec["fair_share_limit"] = max(
+        int(s["sum_sq"]) // FAIR_SHARE_PARTS, SMALL_DATA_FLOOR
+    )
+    rec["audit_gate_fires"] = rec["hot_key_pairs"] > rec["fair_share_limit"]
+
+    # (2) capped runs complete with the join's consumption bounded
+    for name, fn, kw in [
+        ("containment", containment_pairs, {"threshold": 0.15}),
+        ("jaccard", jaccard_pairs, {"threshold": 0.02}),
+    ]:
+        obs = Observation(f"hot_{name}")
+        t0 = time.perf_counter()
+        out = fn(
+            hot, "doc_id", "text", "source", k=3,
+            max_df=HOT_CAP, observation=obs, **kw,
+        )
+        n = out.count()
+        sec = round(time.perf_counter() - t0, 2)
+        m = obs.get
+        rec[f"capped_{name}"] = {
+            "rows": n,
+            "sec": sec,
+            "observed_max_df": int(m["max_df"]),
+            "observed_p99_df": int(m["p99_df"]),
+            "observed_pair_rows": int(m["pair_rows_upper"]),
+            "cap_held": int(m["max_df"]) <= HOT_CAP,
+        }
+
+    # (3) true duplicates survive: every src0 base doc has 9 shifted
+    # exact clones; all C(10,2) ordered clone pairs must be in the
+    # capped jaccard output (jaccard 1.0 pre-footer; footer shingles
+    # are shared by clones anyway, so capping cannot split a group)
+    base_ids = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") < SHIFT)
+    ).select("doc_id")
+    ci = F.col("i")
+    cj = F.col("j")
+    expected = (
+        base_ids.crossJoin(
+            spark.range(COPIES).select(F.col("id").alias("i"))
+        )
+        .crossJoin(spark.range(COPIES).select(F.col("id").alias("j")))
+        .filter(ci < cj)
+        .select(
+            (F.col("doc_id") + ci * SHIFT).alias("id_a"),
+            (F.col("doc_id") + cj * SHIFT).alias("id_b"),
+        )
+    )
+    obs2 = Observation("hot_clone_check")
+    capped_j = jaccard_pairs(
+        hot, "doc_id", "text", "source", k=3, threshold=0.02,
+        max_df=HOT_CAP, observation=obs2,
+    )
+    n_expected = expected.count()
+    n_found = expected.join(capped_j, ["id_a", "id_b"], "left_semi").count()
+    rec["clone_pairs_expected"] = n_expected
+    rec["clone_pairs_found"] = n_found
+    rec["clones_survive_cap"] = n_found == n_expected
+    ok = (
+        rec["audit_gate_fires"]
+        and rec["capped_containment"]["cap_held"]
+        and rec["capped_jaccard"]["cap_held"]
+        and rec["clones_survive_cap"]
+    )
+    rec["ok"] = ok
+    print(
+        f"{'ok   ' if ok else 'FAIL '} __hot_shingle_case__: exact Σdf²="
+        f"{rec['exact_pair_rows']} (hot key {rec['hot_key_pairs']} > "
+        f"limit {rec['fair_share_limit']}: gate fires) | capped "
+        f"containment {rec['capped_containment']['sec']}s / jaccard "
+        f"{rec['capped_jaccard']['sec']}s, observed pair rows "
+        f"{rec['capped_containment']['observed_pair_rows']}, clones "
+        f"{n_found}/{n_expected}",
+        flush=True,
+    )
+    return rec
+
+
 def main() -> int:
     spark = get_spark("sf1_replay")
     build_derived(spark)
@@ -164,7 +325,7 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     failures: list[str] = []
-    for key in TWIN_KEYS + ROWS_ONLY_KEYS:
+    for key in TWIN_KEYS + MID_TIER_KEYS + ROWS_ONLY_KEYS:
         rec: dict = {}
         t0 = time.perf_counter()
         try:
@@ -232,6 +393,10 @@ def main() -> int:
         )
         results[key] = rec
 
+    hot = hot_shingle_case(spark)
+    if not hot["ok"]:
+        failures.append("__hot_shingle_case__")
+
     payload = {
         "__meta__": {
             "derivation": (
@@ -243,9 +408,11 @@ def main() -> int:
             "derived_dir": OUT,
             "lineitem_rows": 600000 * COPIES,
             "twin_keys": len(TWIN_KEYS),
+            "mid_tier_keys": len(MID_TIER_KEYS),
             "rows_only_keys": len(ROWS_ONLY_KEYS),
             "failures": sorted(failures),
         },
+        "__hot_shingle_case__": hot,
         **results,
     }
     art = os.path.join(sys_path, "SCALE_sf1_replay.json")
