@@ -390,10 +390,44 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash64"))
 
 
-def simhash_candidates(df: DataFrame, id_col: str, text_col: str, *, band_bits: int = 16) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    band_bits: int = 16,
+    max_bucket: int | None = None,
+    observation=None,
+) -> DataFrame:
     """Near-dup candidate pairs: documents sharing any of the four 16-bit
     SimHash bands (standard 64-bit simhash blocking: Hamming distance ≤ 3
-    guarantees one shared band)."""
+    guarantees one shared band).
+
+    Scale note (found by tools/skew_audit.py on the clone-dense sf1
+    corpus): a 16-bit band key space is fixed at 65536 values, so bucket
+    size grows LINEARLY with the corpus and the candidate self-join's
+    per-key pair count quadratically — the band-join analog of the hot
+    shingle (measured: max bucket 291 at 50k docs → 2910 at the 10×
+    clone-dense derivation → 8.5M pairs on ONE key, 6.7× the fair-share
+    audit bound). Two documented remedies, composable:
+
+    1. **Exact-dedup first** (the principled pipeline order): identical
+       docs share ALL bands, so clone swarms are exactly the mega-bucket
+       makers; ``dedup_exact`` removes them losslessly and the bucket
+       distribution returns to the unique-corpus one (measured in the
+       sf1 replay's __simhash_band_case__).
+    2. ``max_bucket`` (default None = the exact oracle-checked
+       contract): drop band buckets larger than the cap before the
+       self-join — the max_df trade restated for bands: a bucket of
+       thousands is dominated by exact/near-exact swarms that exact
+       dedup should own, while a true near-dup pair shares all 4 bands
+       and survives unless every one of its bands is a mega-bucket.
+
+    ``observation`` collects the same bucket-skew metrics as the
+    shingle ops (max_df/p99_df/n_postings/pair_rows_upper = Σ bucket²)
+    from the join's own pass."""
+    from pyspark.sql import Window
+
     sig = simhash_signatures(df, id_col, text_col)
     bands = sig.select(
         id_col,
@@ -412,10 +446,20 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, *, band_bits: 
             )
         ).alias("bk"),
     ).select(id_col, "simhash64", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None or observation is not None:
+        w = Window.partitionBy("band", "key")
+        bands = bands.withColumn("_df", F.count(F.lit(1)).over(w))
+        if max_bucket is not None:
+            bands = bands.filter(F.col("_df") <= max_bucket)
     a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("simhash64").alias("sh_a"), "band", "key"
+        F.col(id_col).alias("id_a"), F.col("simhash64").alias("sh_a"), "band", "key",
+        *(["_df"] if "_df" in bands.columns else []),
     )
-    b = bands.select(
+    if observation is not None:
+        a = _observe_posting_skew(a, observation)
+    if "_df" in a.columns:
+        a = a.drop("_df")
+    b = bands.drop("_df").select(
         F.col(id_col).alias("id_b"), F.col("simhash64").alias("sh_b"), "band", "key"
     )
     return (

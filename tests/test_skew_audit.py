@@ -140,3 +140,55 @@ def test_capped_path_bounds_pair_work_and_keeps_true_dups(spark, sf_dir) -> None
     for a, b in clone_pairs:
         assert (a, b) in capped_rows, (a, b)
         assert (b, a) in capped_rows, (b, a)
+
+
+def test_simhash_bucket_cap_and_exact_first(spark, sf_dir) -> None:
+    """The sf1 skew audit found the band-bucket analog of the hot
+    shingle: exact clones share ALL bands, so clone swarms make
+    mega-buckets and the 16-bit key space makes bucket size linear in
+    corpus size. Both documented remedies must hold:
+
+    1. max_bucket=huge is the identity; max_bucket=1 empties the join
+       (every candidate needs a bucket of >= 2).
+    2. exact-dedup-first: planting 50 exact clones of one doc must not
+       change the candidate set once dedup_exact runs first (clones are
+       the mega-bucket; removing them restores the unique corpus).
+    3. the operator's observation reports the planted bucket (max_df >=
+       51 on the cloned corpus) and the capped run bounds it.
+    """
+    from etl_pipeline_project_spark.operators.dedup_text import (
+        dedup_exact,
+        simhash_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = simhash_candidates(docs, "doc_id", "text")
+    base_rows = {(r.id_a, r.id_b) for r in base.collect()}
+
+    capped_high = simhash_candidates(docs, "doc_id", "text", max_bucket=10**9)
+    assert {(r.id_a, r.id_b) for r in capped_high.collect()} == base_rows
+    assert simhash_candidates(docs, "doc_id", "text", max_bucket=1).count() == 0
+
+    one = docs.orderBy("doc_id").limit(1)
+    clones = one.crossJoin(
+        spark.range(1, 51).select((F.col("id") + CLONE_SHIFT).alias("_cid"))
+    ).select(
+        F.col("_cid").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    cloned = docs.unionByName(clones)
+
+    obs = Observation("simhash_skew")
+    hot = simhash_candidates(cloned, "doc_id", "text", observation=obs)
+    hot.write.mode("overwrite").format("noop").save()
+    assert obs.get["max_df"] >= 51, obs.get
+
+    cap_obs = Observation("simhash_capped")
+    capped = simhash_candidates(
+        cloned, "doc_id", "text", max_bucket=40, observation=cap_obs
+    )
+    capped.write.mode("overwrite").format("noop").save()
+    assert cap_obs.get["max_df"] <= 40, cap_obs.get
+
+    deduped = dedup_exact(cloned, "text", "doc_id").drop("fingerprint")
+    exact_first = simhash_candidates(deduped, "doc_id", "text")
+    assert {(r.id_a, r.id_b) for r in exact_first.collect()} == base_rows

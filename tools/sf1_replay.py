@@ -92,16 +92,20 @@ TWIN_KEYS = [
     # the derived tables (measured), so these upgrade from rows-only to
     # the full hash-match differential — Spark wins 4-6x at this scale
     "q_embed_neardup", "q_knn_graph_blocked",
+    # round-10 upgrades from rows-only (verdict item 5 tail): these six
+    # twins are sub-second-to-seconds at sf0.1 and linear-ish in data
+    # (hash/fingerprint/simhash maps, broadcast-probe ANN), so the full
+    # differential is tractable on the derived tables
+    "q_dedup_exact_docs", "q_dedup_normalized", "q_doc_fingerprint",
+    "q_dedup_simhash", "q_ann_bruteforce", "q_ann_ivf",
 ]
 # dedup / similarity tier: Spark must run clean at scale; twins are the
 # documented >120s quadratic formulations — rows-only here
 ROWS_ONLY_KEYS = [
     "q_skyline",
-    "q_dedup_exact_docs", "q_dedup_normalized", "q_doc_fingerprint",
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_groups",
+    "q_dedup_minhash_lsh", "q_dedup_groups",
     "q_cluster_size_stats", "q_cross_source_dups", "q_split_leakage",
-    "q_ngram_jaccard", "q_dedup_containment", "q_ann_bruteforce",
-    "q_ann_ivf",
+    "q_ngram_jaccard", "q_dedup_containment",
 ]
 
 # round-10 widening (verdict item 5): a deterministic mid-tier sample —
@@ -313,6 +317,89 @@ def hot_shingle_case(spark) -> dict:
     return rec
 
 
+def simhash_band_case(spark) -> dict:
+    """Band-bucket skew case (found by tools/skew_audit.py at this very
+    scale): the derived corpus's exact clone groups of 10 multiply every
+    SimHash band bucket by 10, and the 16-bit band key space is fixed,
+    so the candidate self-join's hottest key owns ~6.7× its fair share
+    (measured: max bucket 291 at 50k unique docs → 2910 here → 8.5M
+    pairs on one key vs a ~1.26M fair-share limit). Proves both
+    documented remedies with measurements:
+
+    1. ``max_bucket`` bounds what the join consumes (observed max_df ≤
+       cap via the operator's own observation);
+    2. exact-dedup-first is lossless here: clones share ALL bands, so
+       ``dedup_exact`` removes exactly the mega-bucket makers and the
+       bucket distribution returns within the audit bound.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_project_spark.operators.dedup_text import (
+        dedup_exact,
+        simhash_candidates,
+    )
+    from tools.skew_audit import FAIR_SHARE_PARTS, SMALL_DATA_FLOOR
+
+    rec: dict = {"cap": 1000}
+    docs = load_table(spark, OUT, "documents")
+
+    obs = Observation("sf1_simhash_exact")
+    t0 = time.perf_counter()
+    exact = simhash_candidates(docs, "doc_id", "text", observation=obs)
+    rec["exact_candidates"] = exact.count()
+    rec["exact_sec"] = round(time.perf_counter() - t0, 2)
+    m = obs.get
+    rec["exact_max_bucket"] = int(m["max_df"])
+    rec["exact_pair_rows"] = int(m["pair_rows_upper"])
+    rec["hot_key_pairs"] = rec["exact_max_bucket"] ** 2
+    rec["fair_share_limit"] = max(
+        rec["exact_pair_rows"] // FAIR_SHARE_PARTS, SMALL_DATA_FLOOR
+    )
+    rec["audit_gate_fires"] = rec["hot_key_pairs"] > rec["fair_share_limit"]
+
+    cap_obs = Observation("sf1_simhash_capped")
+    t0 = time.perf_counter()
+    capped = simhash_candidates(
+        docs, "doc_id", "text", max_bucket=rec["cap"], observation=cap_obs
+    )
+    rec["capped_candidates"] = capped.count()
+    rec["capped_sec"] = round(time.perf_counter() - t0, 2)
+    cm = cap_obs.get
+    rec["capped_max_bucket"] = int(cm["max_df"])
+    rec["capped_pair_rows"] = int(cm["pair_rows_upper"])
+    rec["cap_held"] = rec["capped_max_bucket"] <= rec["cap"]
+
+    ded_obs = Observation("sf1_simhash_deduped")
+    t0 = time.perf_counter()
+    deduped = dedup_exact(docs, "text", "doc_id").drop("fingerprint")
+    after = simhash_candidates(deduped, "doc_id", "text", observation=ded_obs)
+    rec["dedup_first_candidates"] = after.count()
+    rec["dedup_first_sec"] = round(time.perf_counter() - t0, 2)
+    dm = ded_obs.get
+    rec["dedup_first_max_bucket"] = int(dm["max_df"])
+    rec["dedup_first_pair_rows"] = int(dm["pair_rows_upper"])
+    rec["dedup_first_within_bound"] = rec["dedup_first_max_bucket"] ** 2 <= max(
+        rec["dedup_first_pair_rows"] // FAIR_SHARE_PARTS, SMALL_DATA_FLOOR
+    )
+    ok = (
+        rec["audit_gate_fires"]
+        and rec["cap_held"]
+        and rec["dedup_first_within_bound"]
+    )
+    rec["ok"] = ok
+    print(
+        f"{'ok   ' if ok else 'FAIL '} __simhash_band_case__: exact max "
+        f"bucket {rec['exact_max_bucket']} (hot key {rec['hot_key_pairs']}"
+        f" > limit {rec['fair_share_limit']}: gate fires) | capped max "
+        f"{rec['capped_max_bucket']} in {rec['capped_sec']}s | exact-first"
+        f" max {rec['dedup_first_max_bucket']} within bound "
+        f"{rec['dedup_first_within_bound']} in {rec['dedup_first_sec']}s",
+        flush=True,
+    )
+    return rec
+
+
 def main() -> int:
     spark = get_spark("sf1_replay")
     build_derived(spark)
@@ -396,6 +483,9 @@ def main() -> int:
     hot = hot_shingle_case(spark)
     if not hot["ok"]:
         failures.append("__hot_shingle_case__")
+    sim = simhash_band_case(spark)
+    if not sim["ok"]:
+        failures.append("__simhash_band_case__")
 
     payload = {
         "__meta__": {
@@ -413,6 +503,7 @@ def main() -> int:
             "failures": sorted(failures),
         },
         "__hot_shingle_case__": hot,
+        "__simhash_band_case__": sim,
         **results,
     }
     art = os.path.join(sys_path, "SCALE_sf1_replay.json")
