@@ -173,6 +173,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     band_rows: int = 2,
     jaccard_distance_threshold: float = 0.9,
+    max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Approximate near-dup pairs via native MinHash+LSH banding — the
     100 TB dedup path, built entirely from Catalyst expressions.
@@ -195,7 +197,17 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard_distance), id_a < id_b, distance below
     threshold. Approximate recall ⇒ no SQL oracle; recall vs exact
     `jaccard_pairs` asserted in tests.
+
+    ``max_bucket`` / ``observation`` are the band-join instance of the
+    hot-key controls (see ``simhash_candidates``): a band bucket of d
+    docs emits d² candidate rows on one (band, bkey) key, and exact-dup
+    swarms share ALL bands. Default None = the recall-tested contract;
+    production runs exact dedup first (lossless for this operator — a
+    clone contributes no near-dup information its representative
+    doesn't) and caps the residue.
     """
+    from pyspark.sql import Window
+
     sh = minhash_signatures(
         df, id_col, text_col, k=k, num_hashes=num_hashes, band_rows=band_rows
     )
@@ -207,10 +219,17 @@ def minhash_lsh_pairs(
     bands = sh.select("doc_id", F.explode("bands").alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    if max_bucket is not None or observation is not None:
+        w = Window.partitionBy("band", "bkey")
+        bands = bands.withColumn("_df", F.count(F.lit(1)).over(w))
+        if max_bucket is not None:
+            bands = bands.filter(F.col("_df") <= max_bucket)
 
+    a = bands.alias("a")
+    if observation is not None:
+        a = _observe_posting_skew(a, observation)
     cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
+        a.join(bands.drop("_df").alias("b"), ["band", "bkey"])
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -192,3 +192,23 @@ def test_simhash_bucket_cap_and_exact_first(spark, sf_dir) -> None:
     deduped = dedup_exact(cloned, "text", "doc_id").drop("fingerprint")
     exact_first = simhash_candidates(deduped, "doc_id", "text")
     assert {(r.id_a, r.id_b) for r in exact_first.collect()} == base_rows
+
+
+def test_minhash_bucket_cap_identity_and_metrics(spark, sf_dir) -> None:
+    """Band-join instance #3 (MinHash-LSH batch self-join): a huge cap is
+    the identity, cap=1 empties the candidate join, and the observation
+    reports the band-bucket distribution from the join's own pass."""
+    from etl_pipeline_project_spark.operators.dedup_text import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = minhash_lsh_pairs(docs, "doc_id", "text")
+    base_rows = {(r.id_a, r.id_b) for r in base.collect()}
+
+    obs = Observation("mh_skew")
+    hi = minhash_lsh_pairs(
+        docs, "doc_id", "text", max_bucket=10**9, observation=obs
+    )
+    assert {(r.id_a, r.id_b) for r in hi.collect()} == base_rows
+    m = obs.get
+    assert m["max_df"] >= 2 and m["pair_rows_upper"] >= m["n_postings"], m
+    assert minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=1).count() == 0
