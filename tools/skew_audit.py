@@ -104,6 +104,57 @@ def _simhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey) basket sizes feeding the co-purchase pair self-joins
+    (q_item_similarity, q_assoc_confidence, q_graph_2hop's edge build,
+    q_market_basket): a basket of b distinct items emits b² join rows on
+    one orderkey."""
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.groupBy(F.col("l_orderkey").alias("k1"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("k2", F.lit(0))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def _graph_2hop_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intermediate-node degrees of the support-pruned co-purchase edge
+    list — the join key of q_graph_2hop's wedge join (e1.dst = e2.src):
+    a hub of degree d routes ~d² two-hop paths through one key."""
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, c = li.alias("a"), li.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("c.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("c.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        e.groupBy(F.col("dst").alias("k1"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("k2", F.lit(0))
+        .filter(F.col("cnt") > 1)
+    )
+
+
 def _salted_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(block, ga) grid slices produced by salted_block_pairs(splits="auto")
     on embeddings — the q_knn_graph_blocked / q_embed_neardup pair stage.
@@ -152,6 +203,24 @@ PROBES = {
         "absolute:768",
         "auto split sizing bounds E[cell] ≤ target_cell_rows=256; 3x "
         "slack covers xxhash64 slice-assignment variance",
+    ),
+    "basket_pairs": (
+        _basket_pairs,
+        "fair_share",
+        "a basket of b distinct items ⇒ b² co-purchase pair rows on one "
+        "orderkey (item_similarity / assoc_confidence / graph_2hop / "
+        "market_basket); violation ⇒ cap basket size before the square — "
+        "a thousand-item basket carries ~no pairwise signal (standard "
+        "market-basket practice) — or grid-salt the self-join",
+    ),
+    "graph_2hop_wedges": (
+        _graph_2hop_wedges,
+        "fair_share",
+        "a hub node of pruned degree d routes ~d² two-hop paths through "
+        "one wedge-join key; violation ⇒ raise the support floor, cap "
+        "hub degree (keep top-w edges per node), or salt the hub's "
+        "neighbor list — the output itself is quadratic in d, so the cap "
+        "is a semantic choice documented on the key",
     ),
 }
 
