@@ -62,7 +62,11 @@ def _host_noise(start: list[int] | None, end: list[int] | None) -> dict:
     except (OSError, ValueError):
         pass
     if start and end and len(start) >= 8 and len(end) >= 8:
-        total = sum(end) - sum(start)
+        # denominator: user..steal only (fields 0-7) — guest/guest_nice
+        # are already folded into user/nice by the kernel, so including
+        # them double-counts and understates steal_pct on VMs running
+        # guests (round-10 ADVICE; standard CPU-percentage accounting)
+        total = sum(end[:8]) - sum(start[:8])
         if total > 0:
             meta["steal_pct"] = round(100.0 * (end[7] - start[7]) / total, 2)
             meta["idle_pct"] = round(100.0 * (end[3] - start[3]) / total, 2)

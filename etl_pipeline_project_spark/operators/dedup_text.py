@@ -38,10 +38,17 @@ def _observe_posting_skew(a: DataFrame, observation) -> DataFrame:
     so metrics are single-counted; observing the shared ``ex`` frame
     would put two same-named CollectMetrics nodes in the plan).
 
-    Rides the pass the join already makes (df.observe — zero extra
-    scans, the q_observe_metrics discipline). Metrics describe the
-    postings the pair join ACTUALLY consumes (post-``max_df`` when a cap
-    is set, the raw hot-shingle distribution when exact):
+    Cost of observing: in ``jaccard_pairs``/``containment_pairs`` the
+    ``df_`` window pre-exists (singleton pruning), so the metrics ride a
+    pass the join already makes — zero added scans or sorts (the
+    q_observe_metrics discipline). In the band ops
+    (``minhash_lsh_pairs``/``simhash_candidates``) observation alone
+    (``max_bucket=None``) newly adds the ``_df`` count-window over
+    (band, key): the window's exchange is the same partitioning the
+    self-join needs and is reused, so the added cost is the window's
+    sort + state, not an extra scan. Metrics describe the postings the
+    pair join ACTUALLY consumes (post-``max_df`` when a cap is set, the
+    raw hot-shingle distribution when exact):
 
     - ``max_df`` / ``p99_df``: per-(block, shingle) document-frequency
       tail — the d in the d² hot-key hazard.
@@ -439,8 +446,13 @@ def simhash_candidates(
        contract): drop band buckets larger than the cap before the
        self-join — the max_df trade restated for bands: a bucket of
        thousands is dominated by exact/near-exact swarms that exact
-       dedup should own, while a true near-dup pair shares all 4 bands
-       and survives unless every one of its bands is a mega-bucket.
+       dedup should own. Recall contract, precisely: only EXACT
+       duplicates are guaranteed to share all 4 bands; a genuine
+       near-dup at Hamming distance d is guaranteed only ≥ 4−d shared
+       bands (d ≤ 3 ⇒ at least one), so a pair is lost iff EVERY band
+       it shares is over the cap. Recall loss is therefore possible
+       under the cap and should be bounded from the ``observation``
+       metrics (how many postings the cap dropped), not assumed zero.
 
     ``observation`` collects the same bucket-skew metrics as the
     shingle ops (max_df/p99_df/n_postings/pair_rows_upper = Σ bucket²)

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 FAIR_SHARE_PARTS = 32  # session parallelism the hot key must not exceed 1/N of
 SMALL_DATA_FLOOR = 100_000  # pairs; below this a "hot" key cannot straggle
+HASH_VARIANCE_SLACK = 3  # x target_cell_rows: xxhash64 slice-assignment variance
 
 
 def _postings_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,15 +156,32 @@ def _graph_2hop_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grid_defaults() -> tuple[int, int]:
+    """salted_block_pairs' own default (target_cell_rows, max_splits),
+    read from its signature so this probe tracks the operator — a
+    literal copy here would silently measure a distribution the engine
+    no longer produces if the operator's sizing changed (round-10
+    ADVICE)."""
+    import inspect
+
+    from etl_pipeline_project_spark.operators.similarity import salted_block_pairs
+
+    sig = inspect.signature(salted_block_pairs)
+    return (
+        sig.parameters["target_cell_rows"].default,
+        sig.parameters["max_splits"].default,
+    )
+
+
 def _salted_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(block, ga) grid slices produced by salted_block_pairs(splits="auto")
     on embeddings — the q_knn_graph_blocked / q_embed_neardup pair stage.
     Constructive bound: auto sizing targets ≤ target_cell_rows per slice."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    target = 256
+    target, max_splits = _grid_defaults()
     counts = emb.groupBy(F.col("label").alias("k1")).agg(F.count(F.lit(1)).alias("_nb"))
     g = F.least(
-        F.greatest(F.ceil(F.col("_nb") / F.lit(target)), F.lit(1)), F.lit(1024)
+        F.greatest(F.ceil(F.col("_nb") / F.lit(target)), F.lit(1)), F.lit(max_splits)
     ).cast("int")
     sized = emb.join(
         F.broadcast(counts.select("k1", g.alias("_g"))), emb["label"] == F.col("k1")
@@ -200,9 +218,13 @@ PROBES = {
     ),
     "salted_grid_cells": (
         _salted_grid_cells,
-        "absolute:768",
-        "auto split sizing bounds E[cell] ≤ target_cell_rows=256; 3x "
-        "slack covers xxhash64 slice-assignment variance",
+        # resolved at run time to 3 x salted_block_pairs' own
+        # target_cell_rows default (HASH_VARIANCE_SLACK covers xxhash64
+        # slice-assignment variance) so the gate tracks the operator
+        "absolute:3x_target",
+        "auto split sizing bounds E[cell] ≤ the operator's "
+        "target_cell_rows default; 3x slack covers xxhash64 "
+        "slice-assignment variance",
     ),
     "basket_pairs": (
         _basket_pairs,
@@ -250,7 +272,11 @@ def run_probe(spark: SparkSession, sf_dir: str, name: str) -> dict:
         stats["limit_pairs"] = limit
         stats["ok"] = stats["hot_key_pairs"] <= limit
     else:
-        limit = int(bound.split(":")[1])
+        spec = bound.split(":")[1]
+        if spec == "3x_target":
+            limit = HASH_VARIANCE_SLACK * _grid_defaults()[0]
+        else:
+            limit = int(spec)
         stats["limit_max_cnt"] = limit
         stats["ok"] = stats["max_cnt"] <= limit
     return stats
