@@ -78,26 +78,40 @@ def test_red_key_stays_first_until_driver_green() -> None:
 
 
 def test_sample_window_drains_the_backlog() -> None:
-    """Keys 1..49 of the rotation must be never-driver-checked as of the
-    rotation's input rounds — the driver's sample budget may not be spent
-    re-checking green keys while 200+ keys have no evidence at all.
+    """The driver's sample budget goes to the evidence backlog first: every
+    never-driver-checked key (as of the rotation's input rounds) must sit
+    inside the 50-key window, ahead of any already-checked key. While the
+    backlog exceeded the window this meant keys 1..49 were all
+    never-checked; now that it is smaller (8 keys as of r10), the window's
+    remaining slots are necessarily re-checks — allowed only AFTER the
+    whole backlog, so no backlog key can be displaced by a green one.
 
     Exception (round-6 verdict item 3): ``_STALE_TWIN_PINS`` — keys whose
     only driver sample predates a check upgrade (their CORRECTNESS row
     tested an older, weaker twin), so a fresh sample against the CURRENT
-    check is evidence, not waste. The set is small and explicit; anything
-    else already-checked in the window is still a policy violation."""
+    check is evidence, not waste. The set is small and explicit, and pins
+    may precede the backlog (reds-then-pins head policy, tools/rotate.py)."""
     checked = _checked_through(_ROTATION_INPUT_ROUNDS)
     never = set(REGISTRY) - checked
     if not never:  # backlog fully drained — policy satisfied vacuously
         return
     assert len(_STALE_TWIN_PINS) <= 5, "pin list should stay a handful"
-    window = _CHECK_PRIORITY[1:50]
-    stale = [k for k in window if k in checked and k not in _STALE_TWIN_PINS]
-    assert not stale, (
-        "rotation wastes driver samples on already-checked keys while a "
-        f"backlog remains: {stale[:10]}"
+    window = _CHECK_PRIORITY[:50]
+    missing = sorted(never - set(window))
+    assert not missing, (
+        f"never-checked keys displaced from the sample window: {missing[:10]}"
     )
+    positions_never = [i for i, k in enumerate(window) if k in never]
+    positions_checked = [
+        i
+        for i, k in enumerate(window)
+        if k in checked and k not in _STALE_TWIN_PINS
+    ]
+    if positions_checked and positions_never:
+        assert max(positions_never) < min(positions_checked), (
+            "an already-checked key precedes a never-checked key in the "
+            "window — the backlog must drain first"
+        )
 
 
 def test_rotation_not_stale() -> None:

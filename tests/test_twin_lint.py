@@ -110,9 +110,14 @@ def test_lint_flags_unordered_aggregates() -> None:
 def test_magnitude_scan_runs_clean_on_testdata() -> None:
     """H5 end-to-end at the small SF: no twin may fail to execute, project
     a wide type, or produce a >=2^63 magnitude. (Warnings — values in
-    [2^53, 2^63) — are allowed; the one expected today is the simhash64
-    column, which is a verbatim 64-bit hash, not arithmetic.)"""
+    [2^53, 2^63) — are allowed; the expected ones today are the simhash64
+    column and its pair-output aliases sh_a/sh_b
+    (q_dedup_simhash_capped), each a verbatim 64-bit hash carried
+    through unchanged, not arithmetic.)"""
     errors, warnings = magnitude_scan(SF_SMALL)
     assert not errors, "H5 magnitude errors:\n" + "\n".join(errors)
-    unexpected = [w for w in warnings if "simhash64" not in w]
+    verbatim_hash_cols = ("simhash64", "|sh_a|", "|sh_b|")
+    unexpected = [
+        w for w in warnings if not any(c in w for c in verbatim_hash_cols)
+    ]
     assert not unexpected, "new H5 warnings:\n" + "\n".join(unexpected)

@@ -98,13 +98,16 @@ TWIN_KEYS = [
     # differential is tractable on the derived tables
     "q_dedup_exact_docs", "q_dedup_normalized", "q_doc_fingerprint",
     "q_dedup_simhash", "q_ann_bruteforce", "q_ann_ivf",
+    # round-11 upgrades: the inverted-index twin restatement (queries.py,
+    # round-11) makes these tractable at this scale — full differential
+    # instead of rows-only/timeout
+    "q_dedup_groups", "q_cluster_size_stats",
 ]
 # dedup / similarity tier: Spark must run clean at scale; twins are the
 # documented >120s quadratic formulations — rows-only here
 ROWS_ONLY_KEYS = [
     "q_skyline",
-    "q_dedup_minhash_lsh", "q_dedup_groups",
-    "q_cluster_size_stats", "q_cross_source_dups", "q_split_leakage",
+    "q_dedup_minhash_lsh", "q_cross_source_dups", "q_split_leakage",
     "q_ngram_jaccard", "q_dedup_containment",
 ]
 
