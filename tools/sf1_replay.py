@@ -22,7 +22,18 @@ the >120s-capped quadratic formulations already documented at sf0.1).
 
 Writes SCALE_sf1_replay.json (committed artifact).
 
-Run: python tools/sf1_replay.py
+Round 11 (verdict item 3 — the scale ladder past sf1): the derivation,
+cases and runner are COPIES-parametric. ``--copies 30`` derives an
+sf3-equivalent corpus (18M lineitem / 3M events / 150k docs, clone
+groups of 30) into .scratch/sf3_derived and replays the HEAVY tier
+(dedup, similarity, two-pass rank keys), writing SCALE_sf3_replay.json.
+Comparing the sf1 and sf3 artifacts gives the two-scale growth curves:
+the exact pair paths' Σdf² / Σbucket² grow quadratically in clone
+multiplicity, the capped paths bound the hottest KEY (max per-key work ≤
+cap², i.e. the straggler) at every scale, and the exact-dedup-first legs
+stay FLAT — the linear 100 TB pipeline order, measured at two scales.
+
+Run: python tools/sf1_replay.py [--copies N]
 """
 
 from __future__ import annotations
@@ -49,9 +60,16 @@ from etl_pipeline_project_spark.session import get_spark  # noqa: E402
 from etl_pipeline_project_spark.sources.readers import load_table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(sys_path, ".scratch", "sf1_derived")
-COPIES = 10
+COPIES = 10  # --copies N overrides; sf label = N/10 (SRC is sf0.1)
 SHIFT = 50_000_000
+
+
+def _label(copies: int) -> str:
+    sf = copies / 10
+    return f"sf{sf:g}"
+
+
+OUT = os.path.join(sys_path, ".scratch", f"{_label(COPIES)}_derived")
 
 # key columns to shift per table (referential integrity preserved)
 KEYED = {
@@ -102,6 +120,13 @@ TWIN_KEYS = [
     # round-11) makes these tractable at this scale — full differential
     # instead of rows-only/timeout
     "q_dedup_groups", "q_cluster_size_stats",
+    # round-11 capped-path keys: the max_df/max_bucket production
+    # configurations, differential at scale (their twins apply the same
+    # cap, so the joins they verify are bounded by construction).
+    # (q_dedup_threshold_sweep / q_blocking_eval — the r10 twin_timeout
+    # pair — already sit in MID_TIER_KEYS; their restated inverted-index
+    # twins now complete there.)
+    "q_dedup_jaccard_capped", "q_dedup_simhash_capped",
 ]
 # dedup / similarity tier: Spark must run clean at scale; twins are the
 # documented >120s quadratic formulations — rows-only here
@@ -109,6 +134,30 @@ ROWS_ONLY_KEYS = [
     "q_skyline",
     "q_dedup_minhash_lsh", "q_cross_source_dups", "q_split_leakage",
     "q_ngram_jaccard", "q_dedup_containment",
+]
+
+# round-11 heavy tier for the sf3+ ladder (--copies != 10): the keys
+# whose scale behavior the ladder is meant to measure — dedup,
+# similarity, the capped production paths, and the two-pass rank
+# rewrites — full differential where the twin is linear-ish, rows-only
+# where it is the documented quadratic formulation. Twins that outgrow
+# TWIN_TIMEOUT degrade to a recorded twin_timeout, never a hang.
+HEAVY_TWIN_KEYS = [
+    "q_dedup_exact_docs", "q_dedup_normalized", "q_doc_fingerprint",
+    "q_dedup_simhash", "q_ann_bruteforce", "q_ann_ivf",
+    "q_dedup_groups", "q_cluster_size_stats",
+    "q_dedup_jaccard_capped", "q_dedup_simhash_capped",
+    "q_embed_neardup", "q_knn_graph_blocked",
+    "q_dedup_threshold_sweep", "q_blocking_eval",
+    "q_spearman_rho", "q_mann_whitney_u", "q_quantiles",
+    "q_percentile_disc", "q_weighted_median", "q_iqr_outliers",
+    "q_ks_test", "q_ntile_quartiles", "q_quantile_normalize",
+    "q_window_distribution", "q_decile_spread", "q_minmax_scale",
+    "q_time_weighted_avg", "q_auc_roc",
+]
+HEAVY_ROWS_ONLY = [
+    "q_dedup_minhash_lsh", "q_ngram_jaccard", "q_dedup_containment",
+    "q_cross_source_dups", "q_split_leakage", "q_skyline",
 ]
 
 # round-10 widening (verdict item 5): a deterministic mid-tier sample —
@@ -163,9 +212,8 @@ def build_derived(spark) -> None:
             if str(f.dataType) == "TimestampType()":
                 out = out.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
         tmp = f"{OUT}/_tmp_{t}"
-        out.coalesce(4 if t == "lineitem" else 1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        n_files = max(4, (4 * COPIES) // 10) if t == "lineitem" else 1
+        out.coalesce(n_files).write.mode("overwrite").parquet(tmp)
         files = sorted(
             f for f in os.listdir(tmp) if f.endswith(".parquet")
         )
@@ -270,6 +318,31 @@ def hot_shingle_case(spark) -> dict:
             "cap_held": int(m["max_df"]) <= HOT_CAP,
         }
 
+    # (2b) the LINEAR pipeline order, measured: exact-dedup first
+    # collapses the clone groups to their representatives, so the pair
+    # stage's Σdf² stays ~flat in the number of copies (the capped run
+    # above bounds the hottest KEY — max per-key work ≤ cap² — but total
+    # true-pair work is inherently quadratic in clone multiplicity;
+    # dedup-first is what makes the whole pass linear at 100 TB)
+    from etl_pipeline_project_spark.operators.dedup_text import dedup_exact
+
+    ded_obs = Observation("hot_dedup_first")
+    t0 = time.perf_counter()
+    reps = dedup_exact(hot, "text", "doc_id").drop("fingerprint")
+    ded_out = jaccard_pairs(
+        reps, "doc_id", "text", "source", k=3,
+        max_df=HOT_CAP, observation=ded_obs, threshold=0.02,
+    )
+    n_ded = ded_out.count()
+    dm = ded_obs.get
+    rec["dedup_first_jaccard"] = {
+        "rows": n_ded,
+        "sec": round(time.perf_counter() - t0, 2),
+        "observed_max_df": int(dm["max_df"]),
+        "observed_p99_df": int(dm["p99_df"]),
+        "observed_pair_rows": int(dm["pair_rows_upper"]),
+    }
+
     # (3) true duplicates survive: every src0 base doc has 9 shifted
     # exact clones; all C(10,2) ordered clone pairs must be in the
     # capped jaccard output (jaccard 1.0 pre-footer; footer shingles
@@ -300,11 +373,19 @@ def hot_shingle_case(spark) -> dict:
     rec["clone_pairs_expected"] = n_expected
     rec["clone_pairs_found"] = n_found
     rec["clones_survive_cap"] = n_found == n_expected
+    # the linear-pipeline bound: collapsing clone groups of COPIES
+    # divides every posting df by ~COPIES, so dedup-first Σdf² must sit
+    # at ~exact/COPIES² (1.2x slack for natural in-corpus dups pruned)
+    rec["dedup_first_within_linear"] = (
+        rec["dedup_first_jaccard"]["observed_pair_rows"] * COPIES * COPIES
+        <= rec["exact_pair_rows"] * 1.2
+    )
     ok = (
         rec["audit_gate_fires"]
         and rec["capped_containment"]["cap_held"]
         and rec["capped_jaccard"]["cap_held"]
         and rec["clones_survive_cap"]
+        and rec["dedup_first_within_linear"]
     )
     rec["ok"] = ok
     print(
@@ -314,7 +395,10 @@ def hot_shingle_case(spark) -> dict:
         f"containment {rec['capped_containment']['sec']}s / jaccard "
         f"{rec['capped_jaccard']['sec']}s, observed pair rows "
         f"{rec['capped_containment']['observed_pair_rows']}, clones "
-        f"{n_found}/{n_expected}",
+        f"{n_found}/{n_expected} | dedup-first Σdf²="
+        f"{rec['dedup_first_jaccard']['observed_pair_rows']} "
+        f"({rec['dedup_first_jaccard']['sec']}s, flat: "
+        f"{rec['dedup_first_within_linear']})",
         flush=True,
     )
     return rec
@@ -404,7 +488,12 @@ def simhash_band_case(spark) -> dict:
 
 
 def main() -> int:
-    spark = get_spark("sf1_replay")
+    global COPIES, OUT
+    if "--copies" in sys.argv:
+        COPIES = int(sys.argv[sys.argv.index("--copies") + 1])
+        OUT = os.path.join(sys_path, ".scratch", f"{_label(COPIES)}_derived")
+    label = _label(COPIES)
+    spark = get_spark(f"{label}_replay")
     build_derived(spark)
 
     con = duckdb.connect()
@@ -413,9 +502,13 @@ def main() -> int:
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
+    if COPIES == 10:
+        twin_keys, rows_only = TWIN_KEYS + MID_TIER_KEYS, ROWS_ONLY_KEYS
+    else:
+        twin_keys, rows_only = HEAVY_TWIN_KEYS, HEAVY_ROWS_ONLY
     results: dict[str, dict] = {}
     failures: list[str] = []
-    for key in TWIN_KEYS + MID_TIER_KEYS + ROWS_ONLY_KEYS:
+    for key in twin_keys + rows_only:
         rec: dict = {}
         t0 = time.perf_counter()
         try:
@@ -430,7 +523,7 @@ def main() -> int:
             results[key] = rec
             print(f"FAIL  {key}: {rec['err']}", flush=True)
             continue
-        if key in ROWS_ONLY_KEYS or key not in ORACLE:
+        if key in rows_only or key not in ORACLE:
             rec["status"] = "rows_only"
             ok = len(s_rows) > 0
             if not ok:
@@ -495,21 +588,21 @@ def main() -> int:
             "derivation": (
                 f"{COPIES}x union of driver sf0.1 with key shifts of "
                 f"{SHIFT} per copy; dims copied once; ts cast to NTZ; "
-                "documents/embeddings form exact clone groups of 10"
+                f"documents/embeddings form exact clone groups of {COPIES}"
             ),
             "source": SRC,
             "derived_dir": OUT,
+            "copies": COPIES,
             "lineitem_rows": 600000 * COPIES,
-            "twin_keys": len(TWIN_KEYS),
-            "mid_tier_keys": len(MID_TIER_KEYS),
-            "rows_only_keys": len(ROWS_ONLY_KEYS),
+            "twin_keys": len(twin_keys),
+            "rows_only_keys": len(rows_only),
             "failures": sorted(failures),
         },
         "__hot_shingle_case__": hot,
         "__simhash_band_case__": sim,
         **results,
     }
-    art = os.path.join(sys_path, "SCALE_sf1_replay.json")
+    art = os.path.join(sys_path, f"SCALE_{label}_replay.json")
     with open(art, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(f"\nwrote {art}; {len(failures)} failure(s)")
