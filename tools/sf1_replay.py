@@ -505,6 +505,12 @@ def main() -> int:
         COPIES = int(sys.argv[sys.argv.index("--copies") + 1])
         OUT = os.path.join(sys_path, ".scratch", f"{_label(COPIES)}_derived")
     label = _label(COPIES)
+    if COPIES > 10:
+        # the band-join hash aggregates at sf3 exceed the 8g local-mode
+        # default (32 threads share ONE driver JVM here; a real cluster
+        # gives each executor its own heap) — size the stress-replay JVM
+        # to the corpus unless the caller already did
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(f"{label}_replay")
     build_derived(spark)
 
