@@ -29,7 +29,7 @@ from etl_pipeline_project_spark.queries import (
     REGISTRY,
     _CHECK_PRIORITY,
     _ROTATION_INPUT_ROUNDS,
-    _STALE_TWIN_PINS,
+    _STALE_IMPL_PINS,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,16 +86,19 @@ def test_sample_window_drains_the_backlog() -> None:
     remaining slots are necessarily re-checks — allowed only AFTER the
     whole backlog, so no backlog key can be displaced by a green one.
 
-    Exception (round-6 verdict item 3): ``_STALE_TWIN_PINS`` — keys whose
-    only driver sample predates a check upgrade (their CORRECTNESS row
-    tested an older, weaker twin), so a fresh sample against the CURRENT
-    check is evidence, not waste. The set is small and explicit, and pins
-    may precede the backlog (reds-then-pins head policy, tools/rotate.py)."""
+    Exception (round-6 verdict item 3, generalized round 12):
+    ``_STALE_IMPL_PINS`` — keys whose newest driver sample predates a
+    check upgrade OR an implementation rewrite (their CORRECTNESS row
+    tested an older twin or older Spark code), so a fresh sample against
+    the CURRENT code is evidence, not waste. The set is explicit and
+    bounded, and pins may precede the backlog (reds-then-pins head
+    policy, tools/rotate.py; `rotate.py --impl-diff <rev>` mechanizes
+    the queries.py half of the detection)."""
     checked = _checked_through(_ROTATION_INPUT_ROUNDS)
     never = set(REGISTRY) - checked
     if not never:  # backlog fully drained — policy satisfied vacuously
         return
-    assert len(_STALE_TWIN_PINS) <= 5, "pin list should stay a handful"
+    assert len(_STALE_IMPL_PINS) <= 20, "pin list must stay bounded (< window/2)"
     window = _CHECK_PRIORITY[:50]
     missing = sorted(never - set(window))
     assert not missing, (
@@ -105,7 +108,7 @@ def test_sample_window_drains_the_backlog() -> None:
     positions_checked = [
         i
         for i, k in enumerate(window)
-        if k in checked and k not in _STALE_TWIN_PINS
+        if k in checked and k not in _STALE_IMPL_PINS
     ]
     if positions_checked and positions_never:
         assert max(positions_never) < min(positions_checked), (
@@ -146,6 +149,20 @@ def test_never_checked_oracled_keys_precede_rows_only() -> None:
                 f"oracled never-checked key {k} ordered after a rows-only "
                 "key — hash evidence should drain first"
             )
+
+
+def test_stale_impl_pins_sit_in_sample_window() -> None:
+    """Every stale-evidence pin must sit inside the driver's ~50-key
+    sample window (after any red keys), or pinning it bought nothing —
+    the whole point of ``_STALE_IMPL_PINS`` is that the NEXT driver
+    round re-samples the key against its current twin/implementation
+    (round-12 generalization of the round-6 twin rule)."""
+    window = _CHECK_PRIORITY[:50]
+    missing = [k for k in _STALE_IMPL_PINS if k not in window]
+    assert not missing, (
+        f"pinned keys outside the head-50 sample window: {missing} — "
+        "re-run tools/rotate.py"
+    )
 
 
 def test_checked_rows_only_keys_sink_to_tail() -> None:

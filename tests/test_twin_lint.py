@@ -116,8 +116,14 @@ def test_magnitude_scan_runs_clean_on_testdata() -> None:
     through unchanged, not arithmetic.)"""
     errors, warnings = magnitude_scan(SF_SMALL)
     assert not errors, "H5 magnitude errors:\n" + "\n".join(errors)
-    verbatim_hash_cols = ("simhash64", "|sh_a|", "|sh_b|")
-    unexpected = [
-        w for w in warnings if not any(c in w for c in verbatim_hash_cols)
-    ]
+    # exact (key, column) exemptions — each a verbatim 64-bit hash
+    # carried through unchanged, not arithmetic (structured tuples per
+    # ADVICE r11: substring matching on warning text silently widened
+    # the exemption to any column containing the token)
+    allowed = {
+        ("q_dedup_simhash", "simhash64"),
+        ("q_dedup_simhash_capped", "sh_a"),
+        ("q_dedup_simhash_capped", "sh_b"),
+    }
+    unexpected = [m for k, c, m in warnings if (k, c) not in allowed]
     assert not unexpected, "new H5 warnings:\n" + "\n".join(unexpected)

@@ -7,9 +7,11 @@ tests/test_registry_order.py enforces):
 1. position 0: any key whose newest driver record is a FAIL (hash or
    rows mismatch, or an err) — red keys get re-checked first; if none,
    the head goes straight to the backlog.
-2. ``_STALE_TWIN_PINS`` next (keys whose only driver sample predates a
-   check upgrade — edit the list in queries.py when a twin changes after
-   its key was sampled).
+2. ``_STALE_IMPL_PINS`` next (keys whose newest driver sample predates a
+   check upgrade OR an implementation rewrite — edit the list in
+   queries.py when a twin or a key's Spark code changes after its last
+   sample; ``python tools/rotate.py --impl-diff <rev>`` lists the
+   queries.py key bodies touched since <rev> to help).
 3. every never-driver-checked ORACLE-backed key, preserving their
    current relative order (registration order, oldest first).
 4. never-checked rows-only keys.
@@ -54,12 +56,67 @@ def _correctness() -> dict[int, dict]:
     return out
 
 
+def impl_diff(rev: str) -> int:
+    """List registry keys whose queries.py body (decorator twin SQL +
+    function) changed between ``rev`` and the working tree — the
+    round-12 staleness rule's mechanical half. A key printed here whose
+    newest driver CORRECTNESS row predates the change belongs in
+    ``_STALE_IMPL_PINS``. (Changes to shared operators/ modules still
+    need a manual pin — the key->operator dependency graph is not
+    modeled; the round-8/9 rewrites were exactly that case.)
+
+    Spans run decorator-to-next-decorator, so interstitial module-level
+    constants attribute to the PRECEDING key — a deliberate
+    over-approximation (a false positive costs one wasted sample slot;
+    a false negative ships stale evidence)."""
+    import subprocess
+
+    lines = open(QPATH).read().splitlines()
+    # span of each key: from its @_q("key", ...) decorator line to the
+    # line before the next top-level def/@ (registration is decorator-
+    # based, so twin SQL edits land inside the span too)
+    spans: list[tuple[int, int, str]] = []  # (start, end, key) 1-based
+    starts: list[tuple[int, str]] = []
+    for i, ln in enumerate(lines, 1):
+        m = re.match(r'@_q\(\s*$|@_q\("(?P<k>q_\w+)"', ln)
+        if m and m.group("k"):
+            starts.append((i, m.group("k")))
+        elif ln.startswith("@_q("):
+            # key on the next line(s)
+            for j in range(i, min(i + 3, len(lines))):
+                km = re.search(r'"(q_\w+)"', lines[j])
+                if km:
+                    starts.append((i, km.group(1)))
+                    break
+    for idx, (start, key) in enumerate(starts):
+        end = starts[idx + 1][0] - 1 if idx + 1 < len(starts) else len(lines)
+        # trim span at the next top-level non-key construct
+        spans.append((start, end, key))
+    diff = subprocess.run(
+        ["git", "diff", "-U0", rev, "--", QPATH],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout
+    changed: set[str] = set()
+    for m in re.finditer(r"^@@ [^+]*\+(\d+)(?:,(\d+))? @@", diff, re.M):
+        lo = int(m.group(1))
+        hi = lo + max(int(m.group(2) or 1), 1) - 1
+        for start, end, key in spans:
+            if lo <= end and hi >= start:
+                changed.add(key)
+    for k in sorted(changed):
+        print(k)
+    print(f"# {len(changed)} key body(ies) changed vs {rev}", file=sys.stderr)
+    return 0
+
+
 def main() -> int:
     sys.path.insert(0, REPO)
+    if "--impl-diff" in sys.argv:
+        return impl_diff(sys.argv[sys.argv.index("--impl-diff") + 1])
     from etl_pipeline_project_spark.queries import (
         ORACLE,
         _CHECK_PRIORITY,
-        _STALE_TWIN_PINS,
+        _STALE_IMPL_PINS,
     )
 
     rounds = _correctness()
@@ -87,7 +144,7 @@ def main() -> int:
 
     cur = list(_CHECK_PRIORITY)
     reds = [k for k in cur if is_red(k)]
-    pins = [k for k in _STALE_TWIN_PINS if k in cur and k not in reds]
+    pins = [k for k in _STALE_IMPL_PINS if k in cur and k not in reds]
     never = [k for k in cur if k not in checked]
     never_oracled = [k for k in never if k in ORACLE]
     never_rows = [k for k in never if k not in ORACLE]
@@ -123,7 +180,7 @@ def main() -> int:
         block.append("    # red in their newest driver record — re-check first:")
         block.append(fmt(reds))
     if pins:
-        block.append("    # stale-evidence pins (_STALE_TWIN_PINS):")
+        block.append("    # stale-evidence pins (_STALE_IMPL_PINS):")
         block.append(fmt(pins))
     block.append("    # never-driver-checked, oldest first (oracled tier):")
     block.append(fmt(never_oracled))

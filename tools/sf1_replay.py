@@ -96,7 +96,31 @@ TWIN_TIMEOUT_SEC = 180.0
 TWIN_TIMEOUT_OVERRIDES = {
     "q_dedup_groups": 600.0,
     "q_cluster_size_stats": 600.0,
+    # round-12 (verdict item 3): the three sf3 twin_timeouts adjudicated
+    # the "raise the cap once and record the number" way — their pair
+    # work grows ~quadratically in clone multiplicity (sf1 oracle_sec
+    # 26.5 / 29.6 / 72.6 → ~9x at sf3), so the 180s default was a cap
+    # collision, not an open question
+    "q_dedup_threshold_sweep": 900.0,
+    "q_embed_neardup": 900.0,
+    "q_knn_graph_blocked": 1800.0,
+    # linear-in-docs signature-building twins: 48.9 s / 57.6 s at sf3 →
+    # ~3.3x at sf10 clears the 180 s default without being a hazard
+    "q_dedup_simhash": 900.0,
+    "q_dedup_simhash_capped": 900.0,
 }
+
+# Quadratic-in-clone-multiplicity Spark legs excluded from the sf10 tier
+# (copies >= 100): their sf3 measurements extrapolate to 23-70 min EACH
+# (e.g. q_dedup_minhash_lsh 376 s at 30 copies → ~(100/30)² ≈ 4200 s),
+# which is the documented anti-pattern the dedup-first pipeline order
+# exists to avoid — the growth curve for these legs is measured at
+# sf1→sf3 and the sf10 artifact records the exclusion explicitly in
+# __meta__ (no silent caps).
+SF10_EXCLUDED = [
+    "q_dedup_minhash_lsh", "q_dedup_containment", "q_ngram_jaccard",
+    "q_dedup_groups", "q_cluster_size_stats",
+]
 
 # the round-8 + round-9 two-pass rewrites: full differential vs twins
 TWIN_KEYS = [
@@ -307,7 +331,11 @@ def hot_shingle_case(spark) -> dict:
     )
     rec["audit_gate_fires"] = rec["hot_key_pairs"] > rec["fair_share_limit"]
 
-    # (2) capped runs complete with the join's consumption bounded
+    # (2) capped runs complete with the join's consumption bounded.
+    # The jaccard output is lazily checkpointed and reused by the clone
+    # check in (3) — the two previously ran the identical plan twice,
+    # which at 100 copies is ~15 wasted minutes.
+    capped_j = None
     for name, fn, kw in [
         ("containment", containment_pairs, {"threshold": 0.15}),
         ("jaccard", jaccard_pairs, {"threshold": 0.02}),
@@ -318,6 +346,9 @@ def hot_shingle_case(spark) -> dict:
             hot, "doc_id", "text", "source", k=3,
             max_df=HOT_CAP, observation=obs, **kw,
         )
+        if name == "jaccard":
+            out = out.localCheckpoint(eager=False)
+            capped_j = out
         n = out.count()
         sec = round(time.perf_counter() - t0, 2)
         m = obs.get
@@ -328,6 +359,11 @@ def hot_shingle_case(spark) -> dict:
             "observed_p99_df": int(m["p99_df"]),
             "observed_pair_rows": int(m["pair_rows_upper"]),
             "cap_held": int(m["max_df"]) <= HOT_CAP,
+            # round-12 cap-loss surfaces: the footer IS a dropped whole
+            # group here (boilerplate, the cap's purpose), so the flag
+            # fires — loud, and correct to investigate
+            "uncapped_max_df": int(m["uncapped_max_df"]),
+            "cap_below_top_group": bool(m["cap_below_top_group"]),
         }
 
     # (2b) the LINEAR pipeline order, measured: exact-dedup first
@@ -353,6 +389,8 @@ def hot_shingle_case(spark) -> dict:
         "observed_max_df": int(dm["max_df"]),
         "observed_p99_df": int(dm["p99_df"]),
         "observed_pair_rows": int(dm["pair_rows_upper"]),
+        "uncapped_max_df": int(dm["uncapped_max_df"]),
+        "cap_below_top_group": bool(dm["cap_below_top_group"]),
     }
 
     # (3) true duplicates survive: every src0 base doc has 9 shifted
@@ -375,11 +413,6 @@ def hot_shingle_case(spark) -> dict:
             (F.col("doc_id") + cj * SHIFT).alias("id_b"),
         )
     )
-    obs2 = Observation("hot_clone_check")
-    capped_j = jaccard_pairs(
-        hot, "doc_id", "text", "source", k=3, threshold=0.02,
-        max_df=HOT_CAP, observation=obs2,
-    )
     n_expected = expected.count()
     n_found = expected.join(capped_j, ["id_a", "id_b"], "left_semi").count()
     rec["clone_pairs_expected"] = n_expected
@@ -392,7 +425,22 @@ def hot_shingle_case(spark) -> dict:
         rec["dedup_first_jaccard"]["observed_pair_rows"] * COPIES * COPIES
         <= rec["exact_pair_rows"] * 1.2
     )
+    # (4) round-12 (verdict item 2): the sf3-measured failure mode — a
+    # cap below the clone multiplicity silently returning 0 pairs — is
+    # now a hard error under assert_cap_covers_clones. Proven on the hot
+    # block alone (full clone groups, fraction of the corpus cost).
+    small = hot.filter(F.col("source") == "src0")
+    strict = jaccard_pairs(
+        small, "doc_id", "text", "source", k=3, threshold=0.02,
+        max_df=COPIES - 1, assert_cap_covers_clones=True,
+    )
+    try:
+        strict.count()
+        rec["strict_cap_raises"] = False
+    except Exception as e:  # noqa: BLE001 - the raise IS the pass
+        rec["strict_cap_raises"] = "cap_below_top_group" in str(e)
     ok = (
+        rec["strict_cap_raises"] and
         rec["audit_gate_fires"]
         and rec["capped_containment"]["cap_held"]
         and rec["capped_jaccard"]["cap_held"]
@@ -468,6 +516,8 @@ def simhash_band_case(spark) -> dict:
     rec["capped_max_bucket"] = int(cm["max_df"])
     rec["capped_pair_rows"] = int(cm["pair_rows_upper"])
     rec["cap_held"] = rec["capped_max_bucket"] <= rec["cap"]
+    rec["uncapped_max_bucket"] = int(cm["uncapped_max_df"])
+    rec["cap_below_top_group"] = bool(cm["cap_below_top_group"])
 
     ded_obs = Observation("sf1_simhash_deduped")
     t0 = time.perf_counter()
@@ -510,7 +560,9 @@ def main() -> int:
         # default (32 threads share ONE driver JVM here; a real cluster
         # gives each executor its own heap) — size the stress-replay JVM
         # to the corpus unless the caller already did
-        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        os.environ.setdefault(
+            "SPARK_GRAFT_DRIVER_MEM", "80g" if COPIES >= 100 else "48g"
+        )
     spark = get_spark(f"{label}_replay")
     build_derived(spark)
 
@@ -523,12 +575,33 @@ def main() -> int:
     if COPIES == 10:
         twin_keys, rows_only = TWIN_KEYS + MID_TIER_KEYS, ROWS_ONLY_KEYS
     else:
-        twin_keys, rows_only = HEAVY_TWIN_KEYS, HEAVY_ROWS_ONLY
+        twin_keys, rows_only = list(HEAVY_TWIN_KEYS), list(HEAVY_ROWS_ONLY)
+        if COPIES >= 100:
+            # sf10 tier policy (round 12): the clone-quadratic twins pay
+            # ~COPIES²/100 of their sf1 cost (26.5-72.6 s there → hours
+            # at 100 copies) — a tier decision, not a cap collision.
+            # Their differential lives at sf1 (hash_match) and sf3
+            # (uncapped numbers recorded); at sf10 they run rows-only,
+            # which is the Spark-side scale evidence this tier is for.
+            for k in ("q_dedup_threshold_sweep", "q_blocking_eval",
+                      "q_embed_neardup", "q_knn_graph_blocked"):
+                twin_keys.remove(k)
+                rows_only.append(k)
+            rows_only = [k for k in rows_only if k not in SF10_EXCLUDED]
     # --keys k1,k2: re-run a subset and merge into the existing artifact
     # (e.g. after a twin restatement), skipping the planted cases
     only: set[str] | None = None
     if "--keys" in sys.argv:
         only = set(sys.argv[sys.argv.index("--keys") + 1].split(","))
+        unknown = only - set(twin_keys) - set(rows_only)
+        if unknown:
+            # a typo'd or wrong-tier key would otherwise produce a
+            # "merged 0 key(s)" run that still exits 0 (ADVICE r11)
+            print(
+                f"--keys not in this tier's lists: {sorted(unknown)}",
+                file=sys.stderr,
+            )
+            return 2
         twin_keys = [k for k in twin_keys if k in only]
         rows_only = [k for k in rows_only if k in only]
     results: dict[str, dict] = {}
@@ -612,6 +685,15 @@ def main() -> int:
         payload["__meta__"]["failures"] = sorted(
             (prior - only) | set(failures)
         )
+        # refresh the tier counts from the merged content (they were
+        # left stale from the original full run — ADVICE r11)
+        merged_keys = [k for k in payload if not k.startswith("__")]
+        payload["__meta__"]["twin_keys"] = sum(
+            1 for k in merged_keys if payload[k].get("status") != "rows_only"
+        )
+        payload["__meta__"]["rows_only_keys"] = sum(
+            1 for k in merged_keys if payload[k].get("status") == "rows_only"
+        )
         with open(art, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
         print(f"\nmerged {len(results)} key(s) into {art}; "
@@ -639,6 +721,20 @@ def main() -> int:
             "twin_keys": len(twin_keys),
             "rows_only_keys": len(rows_only),
             "failures": sorted(failures),
+            **(
+                {
+                    "excluded_quadratic_legs": SF10_EXCLUDED,
+                    "excluded_reason": (
+                        "quadratic-in-clone-multiplicity Spark legs; sf3 "
+                        "measurements extrapolate to 23-70 min each at 100 "
+                        "copies (the documented anti-pattern dedup-first "
+                        "avoids); growth curves for them live in the "
+                        "sf1/sf3 artifacts"
+                    ),
+                }
+                if COPIES >= 100
+                else {}
+            ),
         },
         "__hot_shingle_case__": hot,
         "__simhash_band_case__": sim,

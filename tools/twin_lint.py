@@ -328,10 +328,13 @@ DOUBLE_EDGE = 2**53
 
 def magnitude_scan(
     sf_dir: str, keys=None, timeout_sec: float | None = 120.0
-) -> tuple[list[str], list[str]]:
+) -> tuple[list[str], list[tuple[str, str | None, str]]]:
     """H5: execute every twin on DuckDB over `sf_dir` and inspect the
     RESULT — wide projected types and >=2^63 magnitudes are errors,
-    integer values at [2^53, 2^63) are warnings. Catches implicit wide
+    integer values at [2^53, 2^63) are warnings. Warnings are structured
+    ``(key, column, message)`` tuples (column None for timeout warnings)
+    so the test allowlist can exempt exact (key, column) pairs instead
+    of substring-matching message text (ADVICE r11). Catches implicit wide
     surfaces (e.g. a bare SUM(BIGINT) projecting HUGEINT) that the static
     rules can't see, driven by the committed data rather than analysis.
 
@@ -349,7 +352,7 @@ def magnitude_scan(
     from etl_pipeline_project_spark.schemas import TESTDATA_TABLES
 
     errors: list[str] = []
-    warnings: list[str] = []
+    warnings: list[tuple[str, str | None, str]] = []
     twins = contract.oracle_sql()
 
     def _mk_con():
@@ -403,10 +406,11 @@ def magnitude_scan(
                 con, lambda: con.sql(f"SELECT {sel} FROM ({sql})").fetchone()
             )
         except duckdb.InterruptException:
-            warnings.append(
+            warnings.append((
+                key, None,
                 f"H5-warn {key}: magnitude probe exceeded {timeout_sec}s at "
-                f"{sf_dir} (O(n²)-by-design twin) — rely on the smaller-SF scan."
-            )
+                f"{sf_dir} (O(n²)-by-design twin) — rely on the smaller-SF scan.",
+            ))
             con.close()
             continue
         except Exception as exc:  # noqa: BLE001
@@ -424,10 +428,11 @@ def magnitude_scan(
                     "wide arithmetic happened; re-quantize."
                 )
             elif v >= DOUBLE_EDGE:
-                warnings.append(
+                warnings.append((
+                    key, c,
                     f"H5-warn {key}: |{c}| reaches {v:.3e} in [2^53, 2^63) "
-                    "— exact today, but any DOUBLE transit would corrupt it."
-                )
+                    "— exact today, but any DOUBLE transit would corrupt it.",
+                ))
     return errors, warnings
 
 
@@ -448,8 +453,8 @@ def main() -> int:
             else "/root/testdata/sf0.1"
         )
         errors, warnings = magnitude_scan(sf_dir)
-        for w in warnings:
-            print(w)
+        for _, _, msg in warnings:
+            print(msg)
         for e in errors:
             print(e)
         print(
