@@ -188,6 +188,35 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, acc).otherwise(F.array().cast("array<string>")))
 
 
+def shingle_frame(
+    df: DataFrame, text_col: str, out_col: str, k: int = 3, *, keep: list[str] | None = None
+) -> DataFrame:
+    """``select(keep..., word_shingles(text) AS out)`` expressed through
+    spark.ml's NGram transformer (round 12, guide §1.2 per-task work):
+    the zip_with shingler runs each concat through the interpreted
+    higher-order-function evaluator (HOFs are CodegenFallback), while
+    NGram's sliding window is compiled Scala — measured 0.46 s → 0.32 s
+    per shingling pass at sf0.1, bit-identical output (same single-space
+    split, same " " joiner, same left-to-right order, ``array_distinct``
+    keeps first occurrences in both forms; equality asserted in
+    tests/test_properties_dedup_text.py)."""
+    from pyspark.ml.feature import NGram
+
+    keep = list(keep or [])
+    # coalesce: word_shingles(NULL) is the EMPTY array (its when-guard);
+    # NGram's Scala closure would NPE on a null words array
+    words = df.select(
+        *keep,
+        F.coalesce(
+            F.split(F.col(text_col), " "), F.array().cast("array<string>")
+        ).alias("_sg_words"),
+    )
+    ng = NGram(n=k, inputCol="_sg_words", outputCol="_sg_ngrams")
+    return ng.transform(words).select(
+        *keep, F.array_distinct("_sg_ngrams").alias(out_col)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -222,8 +251,12 @@ def jaccard_pairs(
     """
     if assert_cap_covers_clones and max_df is None:
         raise ValueError("assert_cap_covers_clones requires max_df")
-    sh = df.select(
-        F.col(id_col), F.col(block_col).alias("block"), word_shingles(text_col, k).alias("shingles")
+    sh = shingle_frame(
+        df.select(F.col(id_col), F.col(block_col).alias("block"), text_col),
+        text_col,
+        "shingles",
+        k,
+        keep=[id_col, "block"],
     )
     # Inverted-index plan: explode shingles and count co-occurrences per
     # pair instead of intersecting shingle arrays for every block pair.
@@ -384,8 +417,12 @@ def minhash_signatures(
     import random
 
     n_bands = num_hashes // band_rows
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("shingles")
+    sh = shingle_frame(
+        df.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col,
+        "shingles",
+        k,
+        keep=["doc_id"],
     ).filter(F.size("shingles") > 0)
 
     P = (1 << 31) - 1
@@ -395,22 +432,32 @@ def minhash_signatures(
     ex = sh.select(F.col("doc_id"), F.explode("shingles").alias("tok")).withColumn(
         "h", F.pmod(F.xxhash64("tok"), F.lit(P))
     )
+    # each aggregate / band column is ONE parsed expression: the
+    # Column-by-Column construction issued ~8 py4j round-trips per hash
+    # (~600 for the 64-hash + 32-band family), ~0.9 s of pure driver time
+    # per call per run (round 12, guide §1.2). Literal values, operator
+    # order and types are unchanged (xL literals keep the multiply in
+    # BIGINT exactly as F.lit(int) did), so signatures are bit-identical.
+    # `%` not pmod in the affine step: h ∈ [0,P), a ∈ [1,P), b ∈ [0,P) ⇒
+    # h*a+b is non-negative (< 2^62, no overflow), where % ≡ pmod with two
+    # fewer long ops per hash — 64 hashes × every shingle row makes that
+    # measurable. The outer pmod on xxhash64 stays (hashes are signed).
     sig = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(P))).alias(f"m{i}")
+            F.expr(f"min((h * {a}L + {b}L) % {P}L)").alias(f"m{i}")
             for i, (a, b) in enumerate(coeffs)
         ]
     )
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]).alias(
-                    "bkey"
-                ),
+    bands_arr = F.expr(
+        "array("
+        + ", ".join(
+            "struct({b} AS band, hash({cols}) AS bkey)".format(
+                b=b,
+                cols=", ".join(f"m{b * band_rows + r}" for r in range(band_rows)),
             )
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     return sig.join(sh, "doc_id").select("doc_id", "shingles", bands_arr.alias("bands"))
 
@@ -448,13 +495,19 @@ def neardup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
 
     Iterative min-label propagation: every node starts labeled with itself;
     each round every node takes the min label in its closed neighborhood;
-    stop when a round changes nothing (checked with a 1-row count action —
-    the only driver-side value; labels themselves never leave executors).
-    Rounds needed = graph diameter, and near-dup components are shallow
-    (dozens of docs, diameter ≲ 5), so this converges in a handful of
-    shuffles. A pathological 100 TB graph with long chains would switch to
-    the large-star/small-star contraction of Kiveris et al. — same
-    DataFrame skeleton, different neighborhood rule.
+    stop when a round changes nothing. Labels are monotonically
+    non-increasing (``least(old, neighbor_min)``), so "nothing changed" ⟺
+    "Σlabel unchanged" — the convergence probe is ONE exact decimal sum
+    per round (a scalar to the driver; labels themselves never leave
+    executors) instead of the round-11 join-diff + limit + count pass,
+    and its action doubles as the materializer of that round's lazy
+    ``localCheckpoint`` (guide §1.2: fewer jobs, fewer passes — measured
+    2 jobs/round → 1 job/round, q_dedup_groups 4.8 s → see
+    OPTIMIZATION_r12.md). Rounds needed = graph diameter, and near-dup
+    components are shallow (dozens of docs, diameter ≲ 5), so this
+    converges in a handful of shuffles. A pathological 100 TB graph with
+    long chains would switch to the large-star/small-star contraction of
+    Kiveris et al. — same DataFrame skeleton, different neighborhood rule.
 
     ``pairs`` must have columns (id_a, id_b); isolated documents are not
     emitted (they are their own group by definition).
@@ -465,7 +518,11 @@ def neardup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)  # cut the lineage once; reused every round
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    )
+    ).localCheckpoint(eager=False)  # round 1 referenced the distinct 3×; pin it
+    # exact Σlabel (decimal(38,0) — no int64 overflow at any corpus size);
+    # this first action also materializes the initial-labels checkpoint
+    _sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_sum).collect()[0][0]
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -479,19 +536,15 @@ def neardup_groups(pairs: DataFrame, *, max_iters: int = 20) -> DataFrame:
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
-        # materialize the round so the convergence check and the next
-        # iteration don't re-run the whole chain of prior rounds
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # lazy checkpoint: the convergence sum below materializes it in the
+        # SAME job, so next round (and the caller) reuse this round's blocks
+        # without re-running the chain of prior rounds
+        new_labels = new_labels.localCheckpoint(eager=False)
+        cur_sum = new_labels.agg(_sum).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
 
 
@@ -675,10 +728,12 @@ def containment_pairs(
         raise ValueError("assert_cap_covers_clones requires max_df")
     from pyspark.sql import Window
 
-    sh = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        word_shingles(text_col, k).alias("shingles"),
+    sh = shingle_frame(
+        df.select(F.col(id_col), F.col(block_col).alias("block"), text_col),
+        text_col,
+        "shingles",
+        k,
+        keep=[id_col, "block"],
     )
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("sz"))
     ex = sh.select(F.col(id_col), "block", F.explode("shingles").alias("tok"))

@@ -54,9 +54,24 @@ def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Col
     )
     if dim is None:
         return fold
-    unrolled: Column = F.lit(0.0)
-    for i in range(dim):
-        unrolled = unrolled + F.get(ca, i).cast("double") * F.get(cb, i).cast("double")
+    # Build the unrolled sum as ONE parsed expression when both inputs are
+    # plain column names (every caller): the Column-by-Column loop issued
+    # ~6 py4j round-trips per dimension (~400 for dim=64), ~0.4 s of pure
+    # driver time per call site per run (round 12, guide §1.2 — the plan
+    # and the left-associated double accumulation are identical, only the
+    # construction path changes).
+    if isinstance(a, str) and isinstance(b, str) and a.isidentifier() and b.isidentifier():
+        unrolled = F.expr(
+            "CAST(0.0 AS DOUBLE) + "
+            + " + ".join(
+                f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
+                for i in range(dim)
+            )
+        )
+    else:
+        unrolled = F.lit(0.0)
+        for i in range(dim):
+            unrolled = unrolled + F.get(ca, i).cast("double") * F.get(cb, i).cast("double")
     return F.when((F.size(ca) == dim) & (F.size(cb) == dim), unrolled).otherwise(fold)
 
 
@@ -67,10 +82,21 @@ def l2_norm(a: Column | str, dim: int | None = None) -> Column:
     )
     if dim is None:
         return fold
-    unrolled: Column = F.lit(0.0)
-    for i in range(dim):
-        x = F.get(c, i).cast("double")
-        unrolled = unrolled + x * x
+    if isinstance(a, str) and a.isidentifier():
+        # one parsed expression instead of ~4 py4j calls per dim — see
+        # dot_product; same tree, same accumulation order
+        unrolled = F.expr(
+            "CAST(0.0 AS DOUBLE) + "
+            + " + ".join(
+                f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({a}, {i}) AS DOUBLE)"
+                for i in range(dim)
+            )
+        )
+    else:
+        unrolled = F.lit(0.0)
+        for i in range(dim):
+            x = F.get(c, i).cast("double")
+            unrolled = unrolled + x * x
     return F.when(F.size(c) == dim, F.sqrt(unrolled)).otherwise(fold)
 
 
@@ -257,6 +283,8 @@ def ann_ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer →
     per-cluster inverted lists → probe the ``nprobe`` nearest cells per
@@ -265,6 +293,14 @@ def ann_ivf_topk(
     touches ~nprobe/nlist of the corpus instead of all of it. Exact within
     probed cells; recall is the only approximation (tested on clustered
     data; near-uniform corpora defeat any cell-based index).
+
+    ``max_iter`` / ``init_mode`` expose the quantizer's training budget:
+    centroid quality moves RECALL only, never correctness of the probed
+    scores. A probe-complete caller (nprobe = nlist — every cell probed,
+    result exact by construction, e.g. q_ann_ivf's oracle configuration)
+    is invariant to clustering, so it should spend ~nothing here
+    (round 12, guide §1.2: k-means|| init alone is ~5 driver-blocking
+    jobs, each default-20-iteration step several more).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -275,7 +311,14 @@ def ann_ivf_topk(
         F.col(vec_col).alias("nvec"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cid").fit(c)
+    model = KMeans(
+        k=nlist,
+        seed=seed,
+        featuresCol="features",
+        predictionCol="cid",
+        maxIter=max_iter,
+        initMode=init_mode,
+    ).fit(c)
     inverted = model.transform(c).select("nid", "nvec", "cid")
 
     cents = spark.createDataFrame(

@@ -224,6 +224,7 @@ def grouped_order_stats(
     rn_col: str | None = None,
     cum_cols: dict[str, str] | None = None,
     grp_n_col: str | None = None,
+    grp_sum_cols: dict[str, str] | None = None,
     num_parts: int | None = None,
 ) -> DataFrame:
     """PER-GROUP ``row_number()`` / running sums / group totals over a
@@ -269,8 +270,12 @@ def grouped_order_stats(
     PRECEDING)``), with exact NULL semantics for nullable sources (NULL
     until the group's first non-null). ``grp_n_col`` attaches the
     group's total row count (``COUNT(*) OVER (PARTITION BY g)``) via a
-    broadcast of the per-group totals. ``rn_col`` is the per-group
-    1-based row number.
+    broadcast of the per-group totals. ``grp_sum_cols`` maps source ->
+    output for the group's TOTAL sum (``SUM(x) OVER (PARTITION BY g)``),
+    folded into the same per-(range, group) aggregate and re-summed per
+    group — identical integer totals to a fresh ``SUM(x) GROUP BY g``
+    over the input, without a second scan of it (round 12, guide §2.4).
+    ``rn_col`` is the per-group 1-based row number.
 
     The broadcast side is the offsets frame: ``#ranges + #groups`` rows
     of a few longs. Bounded-enum groups (the motivating class) make it
@@ -280,6 +285,7 @@ def grouped_order_stats(
     """
     groups = [group] if isinstance(group, str) else list(group)
     cums = list((cum_cols or {}).items())
+    gsums = list((grp_sum_cols or {}).items())
     sess = df.sparkSession
     if num_parts is None:
         num_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -292,6 +298,7 @@ def grouped_order_stats(
     per = part.groupBy("_pid", *groups).agg(
         F.count(F.lit(1)).alias("_pc"),
         *[F.sum(src).alias(f"_ps_{i}") for i, (src, _) in enumerate(cums)],
+        *[F.sum(src).alias(f"_pg_{i}") for i, (src, _) in enumerate(gsums)],
     )
     # prefix offsets per (group, range): a window over the (_pid, group)
     # aggregate partitioned by group — bounded by #ranges rows per
@@ -328,7 +335,10 @@ def grouped_order_stats(
             .when(off_s.isNull(), local)
             .otherwise(off_s + local),
         )
-    if grp_n_col is not None:
-        tot = per.groupBy(*groups).agg(F.sum("_pc").cast("long").alias(grp_n_col))
+    if grp_n_col is not None or gsums:
+        tot = per.groupBy(*groups).agg(
+            *([F.sum("_pc").cast("long").alias(grp_n_col)] if grp_n_col else []),
+            *[F.sum(f"_pg_{i}").alias(dst) for i, (_, dst) in enumerate(gsums)],
+        )
         out = out.join(F.broadcast(tot), groups)
     return out.drop("_pid", "_off_c", *[f"_off_{i}" for i in range(len(cums))])

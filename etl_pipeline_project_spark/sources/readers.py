@@ -17,6 +17,8 @@ Reference behaviors re-expressed:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,6 +31,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet is self-describing, so no schema is forced — but we validate
     against the registry to fail fast on drift instead of mid-query.
+
+    The constructed (lazy) DataFrame is memoized per (session, path,
+    file-stat): ``spark.read.parquet`` re-lists the path and re-reads a
+    footer for the schema on EVERY call — pure driver-side metadata work
+    that repeated ~1,500× across a bench run (optimization guide §6: table
+    formats exist largely to cache exactly this). The cache holds only the
+    unexecuted plan; every action still scans the parquet files, and the
+    stat key (mtime, size) invalidates the entry if anyone rewrites the
+    table in place.
     """
     # The driver testdata stores `ts` as parquet TIMESTAMP(NANOS); vanilla
     # Spark sessions reject that type outright (PARQUET_TYPE_ILLEGAL). The
@@ -39,7 +50,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp→string renderings (dim_waktu's jam/hari/bulan) must agree
     # with the UTC-naive DuckDB oracles under any caller session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        stat_key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stat_key = None  # let spark.read raise its own (clearer) error
+    cache = getattr(spark, "_sg_table_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._sg_table_cache = cache
+        except AttributeError:  # session type forbids attributes — skip memo
+            cache = None
+    if cache is not None:
+        hit = cache.get(path)
+        if hit is not None and hit[0] == stat_key:
+            return hit[1]
+    df = spark.read.parquet(path)
     expected = TESTDATA_SCHEMAS.get(name)
     if expected is not None:
         got = {f.name: f.dataType for f in df.schema.fields}
@@ -66,6 +94,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 fixes[f.name] = F.col(f.name).cast(T.TimestampType())
         if fixes:
             df = df.withColumns(fixes)
+    if cache is not None:
+        cache[path] = (stat_key, df)
     return df
 
 
