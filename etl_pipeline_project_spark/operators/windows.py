@@ -91,12 +91,16 @@ def global_order_stats(
        partition holds exactly one range, so no operator ever buffers
        more than one range's rows.
 
-    The range frame is eagerly ``localCheckpoint``-ed: range-boundary
-    sampling is order-sensitive upstream of a shuffle and
-    ``spark_partition_id()`` is only meaningful if the offsets aggregate
-    and the main frame observe ONE physical materialization — the
-    checkpoint pins it (the same spill a single-reducer sort would have
-    made, but partitioned).
+    The range frame is ``localCheckpoint``-ed: range-boundary sampling is
+    order-sensitive upstream of a shuffle and ``spark_partition_id()`` is
+    only meaningful if the offsets aggregate and the main frame observe
+    ONE physical materialization — the checkpoint pins it (the same spill
+    a single-reducer sort would have made, but partitioned). Lazy
+    (round 12): the FIRST action — the offsets broadcast build, which
+    computes every partition — materializes the blocks while doing work
+    it had to do anyway, where ``eager=True`` spent a dedicated
+    materialization job plus one extra read pass of the frame first
+    (measured: one job fewer per call, same pinning guarantee).
 
     ``order`` must be a total order (unique per row), or callers must
     only consume tie-invariant results (e.g. the VALUE at a fixed global
@@ -125,7 +129,7 @@ def global_order_stats(
     part = (
         df.repartitionByRange(num_parts, *ocols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     per = part.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_pc"),
@@ -254,11 +258,13 @@ def grouped_order_stats(
        run a local window keyed by ``(_pid, group)`` — no operator ever
        buffers more than one range's rows.
 
-    The eager ``localCheckpoint`` pins one physical materialization for
-    the same reason as :func:`global_order_stats` (range-boundary
-    sampling is order-sensitive upstream of a shuffle and
+    The ``localCheckpoint`` pins one physical materialization for the
+    same reason as :func:`global_order_stats` (range-boundary sampling
+    is order-sensitive upstream of a shuffle and
     ``spark_partition_id()`` must agree across the offsets branch and
-    the main frame).
+    the main frame); it is lazy for the same reason as there — the
+    offsets build is a full-partition action and doubles as the
+    materializer (round 12).
 
     Within each group, ``order`` must be a total order (unique per row in
     the group) or callers must only consume tie-invariant results — the
@@ -293,7 +299,7 @@ def grouped_order_stats(
     part = (
         df.repartitionByRange(num_parts, *[F.col(g) for g in groups], *ocols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     per = part.groupBy("_pid", *groups).agg(
         F.count(F.lit(1)).alias("_pc"),
