@@ -50,6 +50,34 @@ def exact_sum(col: Column, scale: int = 2) -> Column:
     )
 
 
+def weighted_exact_sum(count: Column, value: Column, scale: int = 2) -> Column:
+    """``exact_sum`` over a pre-grouped frame: each row stands for
+    ``count`` identical source rows of ``value`` — Σ count·value computed
+    so the result is BIT-IDENTICAL to running :func:`exact_sum` over the
+    ungrouped rows (r13, guide §2.3/§2.4: aggregate the duplicates away
+    first, then weight — the decimal work moves from one op per source
+    row to one op per distinct value).
+
+    Exactness argument: the per-row decimal is the same
+    ``cast(value AS decimal(38,10))`` the ungrouped sum uses; decimal
+    multiplication by an integer count equals count-fold decimal
+    addition, so the weighted sum is term-for-term the ungrouped sum.
+    The multiply must NOT trigger Spark's precision-loss rule (which
+    rescales and silently rounds — observed 1e-8 drift): casting the
+    operands to ``decimal(13,0) × decimal(24,10)`` keeps the result type
+    at precision 13+24+1 = 38, scale 10 — exact. Domain: count < 1e13
+    and |value| < 1e14, i.e. ten trillion duplicates of one value —
+    ~25× a 100 TB corpus; outside it the cast fails LOUD under ANSI
+    (never silent divergence), and the unweighted decimal(38,10) sum
+    itself overflows at a comparable magnitude."""
+    d = value.cast(_ACC).cast("decimal(24,10)")
+    return (
+        F.round(F.sum(count.cast("decimal(13,0)") * d), scale)
+        .cast(f"decimal(38,{scale})")
+        .cast("double")
+    )
+
+
 def sum_by_dim(
     df: DataFrame,
     dims: list[str],

@@ -61,10 +61,12 @@ def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Col
     # and the left-associated double accumulation are identical, only the
     # construction path changes).
     if isinstance(a, str) and isinstance(b, str) and a.isidentifier() and b.isidentifier():
+        # backticks: isidentifier() is the injection guard, the quoting is
+        # for SQL reserved words that pass it (a column named 'order'/'end')
         unrolled = F.expr(
             "CAST(0.0 AS DOUBLE) + "
             + " + ".join(
-                f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
+                f"CAST(get(`{a}`, {i}) AS DOUBLE) * CAST(get(`{b}`, {i}) AS DOUBLE)"
                 for i in range(dim)
             )
         )
@@ -88,7 +90,7 @@ def l2_norm(a: Column | str, dim: int | None = None) -> Column:
         unrolled = F.expr(
             "CAST(0.0 AS DOUBLE) + "
             + " + ".join(
-                f"CAST(get({a}, {i}) AS DOUBLE) * CAST(get({a}, {i}) AS DOUBLE)"
+                f"CAST(get(`{a}`, {i}) AS DOUBLE) * CAST(get(`{a}`, {i}) AS DOUBLE)"
                 for i in range(dim)
             )
         )

@@ -318,11 +318,18 @@ def lm_bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(char_bigrams(lm_normalize(text_col))).alias("bg")
     )
     model = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
-    pref = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+    return _nbits_from_counts(model)
+
+
+def _nbits_from_counts(model_counts: DataFrame) -> DataFrame:
+    """(bg, cnt) → (bg, nbits_micro): the Laplace-smoothed conditional
+    NLL shared by :func:`lm_bigram_model` and :func:`lm_quality_score` —
+    the prefix total is a broadcast join between two ≤38²-row frames."""
+    pref = model_counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("cnt").alias("tot")
     )
     return (
-        model.join(F.broadcast(pref), F.substring("bg", 1, 1) == F.col("c1"))
+        model_counts.join(F.broadcast(pref), F.substring("bg", 1, 1) == F.col("c1"))
         .select(
             "bg",
             F.round(
@@ -345,23 +352,34 @@ def lm_quality_score(
     the classic perplexity-proxy quality filter (gibberish, boilerplate
     and wrong-charset docs score high; fluent text scores low).
 
-    Two passes over the text (model build, then scoring), both map-side
-    explodes; the model (≤38² rows) broadcasts, so scoring adds exactly
-    one shuffle: the per-doc aggregate. The per-doc sum accumulates
-    *integer* micro-bits — order-independent, so 1000-executor partials
-    equal the single-node result, and the only float op is one final
-    division.
+    ONE pass over the text (r13, guide §2.4): the normalize+explode runs
+    once into a per-(doc, bigram) count frame; the corpus model counts
+    are its per-bigram re-sum (identical integers — associativity), and
+    scoring weights each (doc, bigram) row by its count instead of
+    re-exploding the corpus (Σ c·nbits ≡ the per-instance sum, exact in
+    int64: c ≤ doc length, nbits_micro ≤ ~3e7). The model (≤38² rows)
+    broadcasts; the only float op is one final division per doc.
+    Interleaved A/B vs the two-explode r12 shape: min 4.25 s → 3.22 s
+    unpinned, → 2.78 s with the per-(doc, bigram) frame lazily
+    localCheckpoint-ed (three consumers — model counts, prefix totals,
+    scoring join — read ONE materialization instead of re-running the
+    explode subtree; bit-identical output at every step).
     """
-    model = lm_bigram_model(docs, text_col)
-    big = docs.select(
-        F.col(id_col), F.explode(char_bigrams(lm_normalize(text_col))).alias("bg")
+    perdoc = (
+        docs.select(
+            F.col(id_col), F.explode(char_bigrams(lm_normalize(text_col))).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c_db"))
+        .localCheckpoint(eager=False)
     )
+    model = _nbits_from_counts(perdoc.groupBy("bg").agg(F.sum("c_db").alias("cnt")))
     return (
-        big.join(F.broadcast(model), "bg")
+        perdoc.join(F.broadcast(model), "bg")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("nbits_micro").alias("sum_micro"),
+            F.sum("c_db").alias("n_bigrams"),
+            F.sum(F.col("c_db") * F.col("nbits_micro")).alias("sum_micro"),
         )
         .select(
             id_col,

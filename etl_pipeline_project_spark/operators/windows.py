@@ -70,6 +70,7 @@ def global_order_stats(
     cum_cols: dict[str, str] | None = None,
     max_cols_excl: dict[str, str] | None = None,
     min_cols_excl_rev: dict[str, str] | None = None,
+    tot_sum_cols: dict[str, str] | None = None,
     num_parts: int | None = None,
 ) -> DataFrame:
     """Global ``row_number()`` (plus optional running sums / carried
@@ -100,7 +101,12 @@ def global_order_stats(
     computes every partition — materializes the blocks while doing work
     it had to do anyway, where ``eager=True`` spent a dedicated
     materialization job plus one extra read pass of the frame first
-    (measured: one job fewer per call, same pinning guarantee).
+    (measured: one job fewer per call, same pinning guarantee). Timeout
+    coupling (r12 ADVICE): the materialization now runs inside the
+    BroadcastExchange build, which is bounded by
+    ``spark.sql.broadcastTimeout`` (default 300 s) — deployments whose
+    range frame takes longer than that to materialize must raise the
+    timeout (the broadcast payload itself stays #ranges-sized).
 
     ``order`` must be a total order (unique per row), or callers must
     only consume tie-invariant results (e.g. the VALUE at a fixed global
@@ -117,11 +123,18 @@ def global_order_stats(
     ignore-nulls last-value carry). ``min_cols_excl_rev`` is the mirror:
     running MIN over STRICTLY FOLLOWING rows. ``n_col`` names a
     total-row-count column (``COUNT(*) OVER ()``) attached via a
-    broadcast scalar.
+    broadcast scalar. ``tot_sum_cols`` maps source -> output for the
+    GLOBAL sum (``SUM(x) OVER ()``), folded into the same per-range
+    aggregate and re-summed — identical totals to a fresh ``df.agg(sum)``
+    without a second pass over the input (r13, guide §2.4 — the global
+    twin of ``grouped_order_stats``'s ``grp_sum_cols``); sources MUST be
+    exact (integral or decimal) types, since the per-range-partials
+    re-association is only value-preserving for associative arithmetic.
     """
     cums = list((cum_cols or {}).items())
     maxes = list((max_cols_excl or {}).items())
     rmins = list((min_cols_excl_rev or {}).items())
+    tsums = list((tot_sum_cols or {}).items())
     sess = df.sparkSession
     if num_parts is None:
         num_parts = int(sess.conf.get("spark.sql.shuffle.partitions"))
@@ -136,6 +149,7 @@ def global_order_stats(
         *[F.sum(src).alias(f"_ps_{i}") for i, (src, _) in enumerate(cums)],
         *[F.max(src).alias(f"_pm_{i}") for i, (src, _) in enumerate(maxes)],
         *[F.min(src).alias(f"_pn_{i}") for i, (src, _) in enumerate(rmins)],
+        *[F.sum(src).alias(f"_pt_{i}") for i, (src, _) in enumerate(tsums)],
     )
     b = per.select(
         F.col("_pid").alias("_pid_b"),
@@ -208,8 +222,23 @@ def global_order_stats(
         out = out.withColumn(
             dst, _combine(F.min(src).over(wnext), F.col(f"_offn_{i}"), False)
         )
-    if n_col is not None:
-        tot = per.agg(F.sum("_pc").cast("long").alias(n_col))
+    if n_col is not None or tsums:
+        if tsums:
+            # re-associated partial sums are only value-preserving for
+            # exact arithmetic — reject float sources loudly
+            types = dict(per.dtypes)
+            for i in range(len(tsums)):
+                dt = types[f"_pt_{i}"]
+                if dt in ("float", "double"):
+                    raise TypeError(
+                        f"tot_sum_cols source {tsums[i][0]!r} sums to {dt}; "
+                        "re-associated partials require an integral or "
+                        "decimal source (cast first)"
+                    )
+        tot = per.agg(
+            *([F.sum("_pc").cast("long").alias(n_col)] if n_col is not None else []),
+            *[F.sum(f"_pt_{i}").alias(dst) for i, (_, dst) in enumerate(tsums)],
+        )
         out = out.crossJoin(F.broadcast(tot))
     return out.drop(
         "_pid",
@@ -281,6 +310,11 @@ def grouped_order_stats(
     folded into the same per-(range, group) aggregate and re-summed per
     group — identical integer totals to a fresh ``SUM(x) GROUP BY g``
     over the input, without a second scan of it (round 12, guide §2.4).
+    ``grp_sum_cols`` sources MUST be exact (integral or decimal) types:
+    the per-range-partials-then-re-sum re-associates the addition, which
+    is only value-preserving for associative arithmetic — a float source
+    would silently drift from the single-pass window sum (r12 ADVICE;
+    every current caller passes longs).
     ``rn_col`` is the per-group 1-based row number.
 
     The broadcast side is the offsets frame: ``#ranges + #groups`` rows
@@ -342,6 +376,18 @@ def grouped_order_stats(
             .otherwise(off_s + local),
         )
     if grp_n_col is not None or gsums:
+        if gsums:
+            # re-associated partial sums are only value-preserving for
+            # exact arithmetic — reject float sources loudly (r12 ADVICE)
+            types = dict(per.dtypes)
+            for i in range(len(gsums)):
+                dt = types[f"_pg_{i}"]
+                if dt in ("float", "double"):
+                    raise TypeError(
+                        f"grp_sum_cols source {gsums[i][0]!r} sums to {dt}; "
+                        "re-associated partials require an integral or "
+                        "decimal source (cast first)"
+                    )
         tot = per.groupBy(*groups).agg(
             *([F.sum("_pc").cast("long").alias(grp_n_col)] if grp_n_col else []),
             *[F.sum(f"_pg_{i}").alias(dst) for i, (_, dst) in enumerate(gsums)],

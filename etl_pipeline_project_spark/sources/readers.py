@@ -39,7 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     formats exist largely to cache exactly this). The cache holds only the
     unexecuted plan; every action still scans the parquet files, and the
     stat key (mtime, size) invalidates the entry if anyone rewrites the
-    table in place.
+    table in place. Invalidation scope (r12 ADVICE): exact for
+    SINGLE-FILE tables (the driver testdata); for a parquet *directory*
+    the stat only changes on file add/remove — an in-place rewrite of an
+    existing part file keeps the directory stat, so directory tables are
+    assumed immutable-once-written (the standard lakehouse contract;
+    rewriters create new files).
     """
     # The driver testdata stores `ts` as parquet TIMESTAMP(NANOS); vanilla
     # Spark sessions reject that type outright (PARQUET_TYPE_ILLEGAL). The

@@ -52,3 +52,39 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     ).collect()
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= 0.02 * r["exact"], (r["exact"], r["approx"])
+
+
+def test_weighted_exact_sum_matches_per_row_exact_sum(spark):
+    """r13: Σ count·value through weighted_exact_sum must be BIT-identical
+    to exact_sum over the count-exploded rows (decimal distributivity;
+    the (13,0)×(24,10) casts keep the product at precision 38 so Spark's
+    precision-loss rescaling never fires)."""
+    import random
+    import struct
+
+    from etl_pipeline_project_spark.operators.aggregates import (
+        exact_sum,
+        weighted_exact_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.choice(["a", "b", "c"]),
+            rng.randint(1, 9),
+            # mix magnitudes and signs, incl. values with non-terminating
+            # binary fractions and near the scale-10 rounding boundary
+            rng.choice([1.0, -1.0]) * rng.random() * 10 ** rng.randint(-8, 6),
+        )
+        for _ in range(400)
+    ] + [("a", 3, 0.1), ("b", 2, -123456.00000000005), ("c", 1, 1e-10)]
+    df = spark.createDataFrame(rows, "g string, c int, v double")
+    grouped = df.groupBy("g").agg(weighted_exact_sum(F.col("c"), F.col("v"), 6).alias("s"))
+    exploded = df.select(
+        "g", F.explode(F.expr("array_repeat(v, c)")).alias("v")
+    ).groupBy("g").agg(exact_sum(F.col("v"), 6).alias("s"))
+    got = {r["g"]: r["s"] for r in grouped.collect()}
+    want = {r["g"]: r["s"] for r in exploded.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert struct.pack("d", got[k]) == struct.pack("d", want[k]), (k, got[k], want[k])

@@ -262,3 +262,41 @@ def test_no_single_partition_window_in_plan(spark) -> None:
             # total (an Aggregate with no grouping keys sits beneath it)
             below = "\n".join(plan.splitlines()[i + 1 : i + 3])
             assert "keys=[]" in below, plan
+
+
+def test_tot_sum_cols_match_global_window_sum(spark) -> None:
+    """r13: tot_sum_cols must equal SUM(x) OVER () exactly, including the
+    all-NULL-source → NULL case, and ride the same broadcast scalar as
+    n_col (no extra pass over the input)."""
+    df = _frame(spark, 9).withColumn(
+        "wn", F.when(F.col("k") % 3 == 0, F.col("w"))  # nullable source
+    )
+    out = global_order_stats(
+        df,
+        ["v", "k"],
+        rn_col="rn",
+        n_col="n",
+        cum_cols={"w": "cw"},
+        tot_sum_cols={"w": "tw", "wn": "twn"},
+    )
+    rows = out.collect()
+    want_tw = df.agg(F.sum("w")).collect()[0][0]
+    want_twn = df.agg(F.sum("wn")).collect()[0][0]
+    assert all(r["tw"] == want_tw for r in rows)
+    assert all(r["twn"] == want_twn for r in rows)
+    # all-NULL source stays NULL (SUM over () of no non-nulls)
+    nulls = df.withColumn("z", F.lit(None).cast("long"))
+    out2 = global_order_stats(nulls, ["v", "k"], tot_sum_cols={"z": "tz"})
+    assert all(r["tz"] is None for r in out2.collect())
+
+
+def test_sum_cols_reject_float_sources(spark) -> None:
+    """Re-associated partial sums are exact only for integral/decimal
+    sources; float sources must fail loudly (r12 ADVICE)."""
+    import pytest
+
+    df = _frame(spark, 10).withColumn("f", F.col("w").cast("double"))
+    with pytest.raises(TypeError, match="tot_sum_cols"):
+        global_order_stats(df, ["v", "k"], tot_sum_cols={"f": "tf"})._jdf
+    with pytest.raises(TypeError, match="grp_sum_cols"):
+        grouped_order_stats(df, ["v"], ["k"], grp_sum_cols={"f": "tf"})._jdf

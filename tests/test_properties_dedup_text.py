@@ -172,3 +172,44 @@ def test_simhash_bag_invariants(toks, seed):
     assert _simhash_one("  ".join(toks) + " ") == base
     # deterministic across calls (md5-based, no PYTHONHASHSEED surface)
     assert _simhash_one(" ".join(toks)) == base
+
+
+def test_shingle_frame_equals_word_shingles(spark):
+    """r13 (r12 ADVICE): direct equality of the NGram-based shingle_frame
+    with the word_shingles reference for every k the engine uses
+    (jaccard/containment/minhash use k∈{2,3}; q_decontaminate uses k=5),
+    over the awkward inputs: NULL text, empty string, repeated spaces,
+    fewer-than-k words, duplicate shingles."""
+    from etl_pipeline_project_spark.operators.dedup_text import (
+        shingle_frame,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        None,
+        "",
+        " ",
+        "  ",
+        "a",
+        "a b",
+        "a b c",
+        "a  b   c",
+        "a b c d e f g",
+        "x x x x x x",
+        "a b a b a b a b",
+        " leading space",
+        "trailing space ",
+        "tab\tinside stays one token",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    for k in (2, 3, 5):
+        got = {
+            r["id"]: r["sh"]
+            for r in shingle_frame(df, "text", "sh", k, keep=["id"]).collect()
+        }
+        want = {
+            r["id"]: r["sh"]
+            for r in df.select("id", word_shingles("text", k).alias("sh")).collect()
+        }
+        assert got == want, (k, got, want)

@@ -352,12 +352,17 @@ def main() -> int:
     p = plan("q_spearman_rho")
     checks.append(
         (
-            "q_spearman_rho rank maps pinned (2 checkpoint scans), moments on ONE flag exchange (round-9)",
+            "q_spearman_rho rank maps pinned (4 checkpoint scans); only the"
+            " CROSS moment rides the fact (r13 weighted side moments)",
             # the grouped two-pass rank subtree sits behind the lazy
             # localCheckpoint (shape asserted by the helper's pytest);
-            # visible here: the pinned map consumed twice + one moment agg
-            len(re.findall(r"Exchange hashpartitioning\(l_returnflag", p)) == 1
-            and len(re.findall(r"Scan ExistingRDD", p)) == 2,
+            # visible here: the pinned map consumed 4× (qmap/pmap filters
+            # + the two c-weighted side-moment aggregates), ONE parquet
+            # scan of the fact (only sxy needs row-level pairing), and 3
+            # flag exchanges of which 2 are distinct-value-map-sized
+            len(re.findall(r"Exchange hashpartitioning\(l_returnflag", p)) == 3
+            and len(re.findall(r"Scan ExistingRDD", p)) == 4
+            and len(re.findall(r"Scan parquet", p)) == 1,
             p[:300],
         )
     )
